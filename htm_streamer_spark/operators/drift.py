@@ -1,0 +1,103 @@
+"""Distribution-drift detection: per-partition histograms + KL/PSI.
+
+Replaces the reference's HTM anomaly likelihood (sliding-window Gaussian
+fit + tail probability, /root/reference/htm_streamer/data/
+anomalylikelihood.py:424-467,718-788) with distribution distances computed
+per partition against a checkpointed baseline:
+
+- token-frequency histogram: explode each row's token-bucket ids and
+  count — Spark's map-side partial aggregation collapses the exploded
+  stream to ``n_partitions × n_buckets`` rows before the shuffle, so the
+  shuffle moves histograms, not tokens.
+- n_tok histogram: one bucket per row, same shape.
+- PSI / KL with probability floors — the flooring mirrors the reference's
+  mean/variance floors (anomalylikelihood.py:733-742).
+
+The probation verdict for partitions seen before the baseline commit
+mirrors the probationary flat-0.5 (anomalylikelihood.py:440-442); the
+hard-fail override for invariant violations mirrors the spatial-anomaly
+override (model/htm_model.py:385-388).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.config import HIST_EPS, NTOK_MAX, EngineConfig
+from htm_streamer_spark.functions.array_funcs import (
+    ntok_bucket_expr,
+    token_bucket_expr,
+    token_hist_rows,
+)
+
+
+def token_histogram(df: DataFrame, cfg: EngineConfig, impl: str = "native") -> DataFrame:
+    """Per-partition token-bucket histogram: (part_id, bucket, cnt).
+
+    ``impl='native'``: transform tokens→buckets then explode + count
+    (codegen, partial agg). ``impl='arrow'``: mapInPandas pre-aggregation
+    — each Arrow batch emits at most n_parts×buckets rows, bounding
+    executor→shuffle traffic independent of tokens-per-row (the 100 TB
+    path; also the north star's histogram-of-arrays Arrow UDF).
+    """
+    if impl == "arrow":
+        hist = df.select("part_id", "tokens").mapInPandas(
+            lambda it: token_hist_rows(it, cfg.tok_hist_buckets, cfg.vocab_size),
+            schema="part_id int, bucket int, cnt long",
+        )
+        return hist.groupBy("part_id", "bucket").agg(F.sum("cnt").alias("cnt"))
+    bucketed = df.select(
+        "part_id",
+        F.explode(
+            F.transform(
+                F.col("tokens"),
+                lambda t: token_bucket_expr(t, cfg.tok_hist_buckets, cfg.vocab_size),
+            )
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("part_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def ntok_histogram(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Per-partition n_tok histogram: (part_id, bucket, cnt). Null n_tok
+    rows are excluded (they are violations, not distribution mass)."""
+    return (
+        df.filter(F.col("n_tok").isNotNull())
+        .select("part_id", ntok_bucket_expr(F.col("n_tok"), cfg.ntok_hist_buckets, NTOK_MAX).alias("bucket"))
+        .groupBy("part_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_scores(part_hist: DataFrame, baseline_hist: DataFrame, n_buckets: int) -> DataFrame:
+    """(part_id, psi, kl) of each partition's histogram vs the baseline.
+
+    Exact oracle semantics: p = cnt / max(total, 1), floored at 1e-6 (and
+    likewise q); PSI = Σ (p-q)·ln(p/q); KL = Σ p·ln(p/q), summed over the
+    full bucket grid. Inputs are already tiny (n_partitions × n_buckets),
+    so the grid cross-join and joins below are all broadcast-sized.
+    """
+    spark = part_hist.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    pids = part_hist.select("part_id").distinct()
+    grid = pids.crossJoin(F.broadcast(buckets))
+
+    p_tot = part_hist.groupBy("part_id").agg(F.sum("cnt").alias("p_total"))
+    q_tot = baseline_hist.agg(F.sum("cnt").alias("q_total"))
+    base = baseline_hist.withColumnRenamed("cnt", "q_cnt")
+
+    joined = (
+        grid.join(part_hist, ["part_id", "bucket"], "left")
+        .join(F.broadcast(base), ["bucket"], "left")
+        .join(p_tot, ["part_id"], "left")
+        .crossJoin(F.broadcast(q_tot))
+        .fillna({"cnt": 0, "q_cnt": 0, "p_total": 0, "q_total": 0})
+    )
+    p = F.greatest(F.col("cnt") / F.greatest(F.col("p_total"), F.lit(1.0)), F.lit(HIST_EPS))
+    q = F.greatest(F.col("q_cnt") / F.greatest(F.col("q_total"), F.lit(1.0)), F.lit(HIST_EPS))
+    lr = F.log(p / q)
+    return joined.groupBy("part_id").agg(
+        F.sum((p - q) * lr).alias("psi"),
+        F.sum(p * lr).alias("kl"),
+    )

@@ -1,0 +1,64 @@
+"""doc_id uniqueness via salted two-phase hash aggregation.
+
+Reference analog: duplicate dataset name → hard ``NameError``
+(/root/reference/driver.py:46-48). At 10^12 rows a hot duplicate key (the
+skew fixture: one id repeated 10^4+ times in a partition) would melt the
+single reducer that owns ``hash(doc_id)``. The north rule requires the
+salted pattern explicitly:
+
+- phase 1: group by ``(doc_id, salt)`` where the salt sub-splits identical
+  keys (derived from the row's physical position, so copies of the hot key
+  spread over ``n_salts`` reducers); partial counts.
+- phase 2: group by ``doc_id`` over the per-salt partial counts — the hot
+  key now contributes at most ``n_salts`` rows to the final shuffle.
+
+Spark's map-side partial aggregation already combines within an input
+split; the salt additionally bounds the reduce-side row count per key
+between the two phases, and AQE's skew handling covers the join-back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.config import EngineConfig
+
+
+def duplicate_ids(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """DataFrame of (doc_id, dup_cnt) for every doc_id with count > 1."""
+    salt = F.pmod(
+        F.xxhash64(F.col("part_id"), F.monotonically_increasing_id()), F.lit(cfg.n_salts)
+    )
+    partial = (
+        df.select("doc_id", salt.alias("_salt"))
+        .groupBy("doc_id", "_salt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        partial.groupBy("doc_id")
+        .agg(F.sum("_cnt").alias("dup_cnt"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+def duplicate_violations(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Violation rows: every row whose doc_id is duplicated.
+
+    The duplicated-id set is small by construction (violation-rate ~2%),
+    so the join-back broadcasts — no shuffle of the fact side.
+    Output: (doc_id, part_id, check_id, payload).
+    """
+    dups = duplicate_ids(df, cfg).select("doc_id")
+    return (
+        df.join(F.broadcast(dups), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "part_id",
+            F.lit("dup_doc_id").alias("check_id"),
+        )
+        .withColumn(
+            "payload",
+            F.to_json(F.struct(F.col("check_id"), F.col("doc_id"), F.col("part_id"))),
+        )
+    )

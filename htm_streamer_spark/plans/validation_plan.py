@@ -1,0 +1,167 @@
+"""The validation plan — composes every check into few jobs over one scan.
+
+Batch lifecycle (reference analog: the 3-mode state machine
+sampling → initializing → running, /root/reference/htm_streamer/config/
+config.py:199-225 and pipeline/htm_stream.py:76-147):
+
+1. *sampling/initializing*: fit baseline histograms on the first K clean
+   partitions (≙ the reference accumulating ``features_samples`` then
+   deriving encoder ranges, config/config.py:178-196,64-79).
+2. *running*: per-partition stats + invariant counts (one fused agg),
+   violation rows (one explode pass + salted uniqueness + broadcast
+   referential), drift scores vs baseline, verdict assembly with the
+   hard-fail override (model/htm_model.py:385-392) and probation
+   (anomalylikelihood.py:440-442).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.config import EngineConfig, validate_input_schema
+from htm_streamer_spark.operators.drift import (
+    drift_scores,
+    ntok_histogram,
+    token_histogram,
+)
+from htm_streamer_spark.operators.invariants import row_check_flags, row_violations
+from htm_streamer_spark.operators.referential import dim_sources_df
+from htm_streamer_spark.operators.stats import partition_stats
+from htm_streamer_spark.operators.uniqueness import duplicate_violations
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame    # part_id, verdict, n_violations, psi, kl
+    violations: DataFrame  # doc_id, part_id, check_id, payload
+    stats: DataFrame       # per-partition fused stats
+
+
+def load_sequences(spark: SparkSession, path: str) -> DataFrame:
+    """Read the hive-partitioned sequences table and validate its schema
+    against the declared StructType (never inferred — reference analog:
+    htm_batch_runner.py:66-70)."""
+    df = spark.read.parquet(str(path))
+    # hive partition column comes back as int; normalize narrow types
+    df = df.withColumn("part_id", F.col("part_id").cast("int"))
+    validate_input_schema(df.schema)
+    return df.select("doc_id", "tokens", "n_tok", "source", "ts", "part_id")
+
+
+def baseline_part_ids(df: DataFrame, cfg: EngineConfig) -> list[int]:
+    """First K distinct part_ids in sort order (metadata-scale action)."""
+    rows = df.select("part_id").distinct().sort("part_id").limit(cfg.baseline_partitions).collect()
+    return [r[0] for r in rows]
+
+
+def compute_baseline(
+    df: DataFrame, cfg: EngineConfig, base_parts: list[int] | None = None
+) -> dict[str, DataFrame]:
+    """Baseline token + n_tok histograms over clean rows of the baseline
+    partitions. Returns {'tok': DF(bucket,cnt), 'ntok': DF(bucket,cnt),
+    'part_ids': list}."""
+    if base_parts is None:
+        base_parts = baseline_part_ids(df, cfg)
+    flagged = row_check_flags(df, cfg)
+    clean = flagged.filter(F.col("part_id").isin(base_parts) & ~F.col("any_violation"))
+    tok = (
+        token_histogram(clean, cfg)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ntok = ntok_histogram(clean, cfg).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    return {"tok": tok, "ntok": ntok, "part_ids": base_parts}
+
+
+def all_violations(df: DataFrame, cfg: EngineConfig, dim: DataFrame | None = None) -> DataFrame:
+    """Union of row-level + uniqueness violation rows (referential is a
+    row-level ``isin`` check by default; pass ``dim`` to source the
+    allowed set from a dimension table instead)."""
+    parts = [row_violations(df, cfg)]
+    if "dup_doc_id" in cfg.checks:
+        parts.append(duplicate_violations(df, cfg))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_validation_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: EngineConfig | None = None,
+    baseline: dict[str, DataFrame] | None = None,
+    persist: bool = True,
+) -> ValidationResult:
+    """Full-suite batch validation of ``df`` (the input_hint schema).
+
+    If ``baseline`` is None it is fitted from the first
+    ``cfg.baseline_partitions`` partitions of ``df`` itself (those
+    partitions receive verdict ``probation`` unless they contain
+    violations — the hard-fail override).
+    """
+    cfg = cfg or EngineConfig()
+    if persist:
+        df = df.persist()
+    base_parts: list[int]
+    if baseline is None:
+        baseline = compute_baseline(df, cfg)
+        base_parts = baseline["part_ids"]
+    else:
+        base_parts = baseline.get("part_ids", [])
+
+    viols = all_violations(df, cfg)
+    n_viol = viols.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_violations"))
+    stats = partition_stats(df, cfg)
+
+    if "drift" in cfg.checks:
+        flagged = row_check_flags(df, cfg)
+        clean = flagged.filter(~F.col("any_violation"))
+        nonbase = clean.filter(~F.col("part_id").isin(base_parts)) if base_parts else clean
+        tok_scores = drift_scores(
+            token_histogram(nonbase, cfg), baseline["tok"], cfg.tok_hist_buckets
+        ).withColumnsRenamed({"psi": "psi_tok", "kl": "kl_tok"})
+        ntok_scores = drift_scores(
+            ntok_histogram(nonbase, cfg), baseline["ntok"], cfg.ntok_hist_buckets
+        ).withColumnsRenamed({"psi": "psi_ntok", "kl": "kl_ntok"})
+        drift = tok_scores.join(ntok_scores, "part_id", "outer").select(
+            "part_id",
+            F.greatest(F.coalesce("psi_tok", F.lit(0.0)), F.coalesce("psi_ntok", F.lit(0.0))).alias("psi"),
+            F.greatest(F.coalesce("kl_tok", F.lit(0.0)), F.coalesce("kl_ntok", F.lit(0.0))).alias("kl"),
+        )
+    else:
+        drift = None
+
+    verdicts = stats.select("part_id").join(n_viol, "part_id", "left")
+    if drift is not None:
+        verdicts = verdicts.join(drift, "part_id", "left")
+    else:
+        verdicts = verdicts.withColumn("psi", F.lit(None).cast("double")).withColumn(
+            "kl", F.lit(None).cast("double")
+        )
+    is_base = F.col("part_id").isin(base_parts) if base_parts else F.lit(False)
+    nv = F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations")
+    psi = F.when(is_base, F.lit(0.0)).otherwise(F.coalesce(F.col("psi"), F.lit(0.0)))
+    kl = F.when(is_base, F.lit(0.0)).otherwise(F.coalesce(F.col("kl"), F.lit(0.0)))
+    drift_enabled = "drift" in cfg.checks
+    verdict = (
+        F.when(nv > 0, F.lit("fail"))
+        .when(is_base, F.lit("probation"))
+        .when(
+            F.lit(drift_enabled)
+            & ((psi > cfg.psi_threshold) | (kl > cfg.kl_threshold)),
+            F.lit("fail"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    verdicts = verdicts.select(
+        "part_id",
+        verdict.alias("verdict"),
+        nv.cast("long").alias("n_violations"),
+        psi.alias("psi"),
+        kl.alias("kl"),
+    )
+    return ValidationResult(verdicts=verdicts, violations=viols, stats=stats)
