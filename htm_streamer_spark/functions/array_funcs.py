@@ -96,31 +96,38 @@ def token_len_mismatch_udf():
     return len_mismatch
 
 
-def token_hist_rows(pdf_iter, buckets: int, vocab_size: int):
-    """mapInPandas kernel: per-batch token-bucket histogram rows
-    ``(part_id, bucket, cnt)`` — the histogram-of-arrays case where the
-    expression API can't pre-aggregate without exploding every token
-    through the shuffle. Emits <= n_partitions*buckets rows per batch, so
-    the shuffle moves histograms, not tokens (the scale path at 10^12
-    rows).
+def token_hist_kernel(buckets: int, vocab_size: int):
+    """Factory for the mapInPandas kernel: per-batch token-bucket
+    histogram rows ``(part_id, bucket, cnt)`` — the histogram-of-arrays
+    case where the expression API can't pre-aggregate without exploding
+    every token through the shuffle. Each Arrow batch emits at most
+    ``n_partitions × buckets`` rows, so the shuffle moves histograms,
+    not tokens (the scale path at 10^12 rows).
+
+    Defined as a closure (not a module-level function) so cloudpickle
+    serializes it by value — executors need no package on PYTHONPATH.
     """
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
-        lengths = pdf["tokens"].map(len).to_numpy(dtype=np.int64)
-        if lengths.sum() == 0:
-            continue
-        flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
-        b = np.clip((flat * buckets) // vocab_size, 0, buckets - 1)
-        pid = np.repeat(pdf["part_id"].to_numpy(dtype=np.int64), lengths)
-        # combined key → single bincount, vectorized
-        key = pid * buckets + b
-        cnt = np.bincount(key)
-        nz = np.flatnonzero(cnt)
-        yield pd.DataFrame(
-            {
-                "part_id": (nz // buckets).astype(np.int32),
-                "bucket": (nz % buckets).astype(np.int32),
-                "cnt": cnt[nz].astype(np.int64),
-            }
-        )
+
+    def kernel(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            lengths = pdf["tokens"].map(len).to_numpy(dtype=np.int64)
+            if lengths.sum() == 0:
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
+            b = np.clip((flat * buckets) // vocab_size, 0, buckets - 1)
+            pid = np.repeat(pdf["part_id"].to_numpy(dtype=np.int64), lengths)
+            # combined key → single bincount, vectorized
+            key = pid * buckets + b
+            cnt = np.bincount(key)
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "part_id": (nz // buckets).astype(np.int32),
+                    "bucket": (nz % buckets).astype(np.int32),
+                    "cnt": cnt[nz].astype(np.int64),
+                }
+            )
+
+    return kernel

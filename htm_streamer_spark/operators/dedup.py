@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers over the ``documents`` table (doc_id, text, ...):
+
+- exact:     hash-groupBy on a text digest (md5 — portable to the DuckDB
+             oracle), partial-merged count, then broadcast join-back.
+- minhash:   word-shingle → K minhashes → B bands → bucket join (LSH).
+             Candidate pairs = docs sharing any band signature.
+- simhash:   64-bit sign-of-weighted-sum fingerprint via a vectorized
+             Arrow pandas UDF; near-dup candidates share a 16-bit band.
+- ngram_jaccard: exact Jaccard over shingle sets for candidate pairs
+             (array_intersect/array_union — native, codegen).
+
+Scale notes (10^12 rows): every stage is shuffle-on-key with map-side
+partial aggregation; LSH bucket joins group only docs sharing a
+signature (no cross join anywhere); the band signature is a single
+64-bit hash so the shuffle rows are fixed-width. Skewed buckets (e.g.
+boilerplate shingles) are bounded by ``max_bucket`` — buckets above it
+are dropped and logged as a stat, the standard web-dedup guard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalized_text(col) -> F.Column:
+    """Lowercase, strip non-alphanumerics — the canonical form every
+    dedup tier hashes. Same expression is used in the DuckDB oracle."""
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: (digest, n_copies, doc_ids) for digests with >1 doc.
+
+    One shuffle on the digest; counts partial-merge map-side.
+    """
+    digest = F.md5(normalized_text(F.col(text_col))).alias("digest")
+    return (
+        df.select(digest, "doc_id")
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc: (doc_id, shingle). Tokenize on
+    whitespace after normalization; n-grams via slide over the word
+    array (native transform + slice)."""
+    words = F.split(normalized_text(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle")).filter(
+        F.length("shingle") > 0
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, sig array<long>): minhash over shingles with K seeded
+    xxhash64 permutations — all native aggregates, one shuffle on doc_id."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4, max_bucket: int = 64
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band signature.
+
+    Band signature = hash of the band's slice of the minhash signature.
+    Join happens per (band, signature) bucket only; buckets larger than
+    ``max_bucket`` are dropped (boilerplate guard against quadratic
+    blowup — the skew handling for this operator).
+    """
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bsig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.bsig")
+    buckets = (
+        banded.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))),
+                    )
+                ),
+                lambda p: p["doc_a"] < p["doc_b"],
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for the given candidate pairs:
+    (doc_a, doc_b, jaccard). Shingle arrays are joined in twice (small
+    candidate set → broadcast the pairs)."""
+    words = F.split(normalized_text(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    sets = df.select("doc_id", grams.alias("grams"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
+    bucket-join → exact-Jaccard confirm. Returns (doc_a, doc_b, jaccard)."""
+    sh = shingles(df, text_col, shingle_n)
+    sigs = minhash_signatures(sh, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return ngram_jaccard_pairs(df, pairs, text_col, shingle_n, jaccard_threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized Arrow UDF — the hashing-heavy path where numpy
+# beats expression trees)
+# ---------------------------------------------------------------------------
+
+
+def simhash_udf():
+    """pandas_udf: 64-bit simhash of normalized text. Per-batch numpy:
+    token hashes via a splitmix-style mix of python hash(), bit-matrix
+    majority vote. Defined as a closure for by-value pickling."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        import re
+
+        out = np.zeros(len(text), dtype=np.int64)
+        pat = re.compile(r"[a-z0-9]+")
+        mask64 = (1 << 64) - 1
+        for i, t in enumerate(text):
+            if not t:
+                continue
+            words = pat.findall(t.lower())
+            if not words:
+                continue
+            hs = np.array(
+                [hash_stable(w) for w in words], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out)
+
+    def hash_stable(w: str) -> int:
+        # FNV-1a 64-bit — deterministic across processes (unlike hash())
+        h = 0xCBF29CE484222325
+        for ch in w.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & ((1 << 64) - 1)
+        return h
+
+    return simhash
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", simhash_udf()(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(fp: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates sharing any of the 64/band_bits simhash bands
+    (docs within Hamming distance < 64/band_bits must share a band)."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bsig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.bsig")
+    buckets = (
+        banded.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= 64))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda a: F.transform(
+                                F.col("ids"), lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["doc_a"] < p["doc_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )

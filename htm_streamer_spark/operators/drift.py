@@ -28,7 +28,7 @@ from htm_streamer_spark.config import HIST_EPS, NTOK_MAX, EngineConfig
 from htm_streamer_spark.functions.array_funcs import (
     ntok_bucket_expr,
     token_bucket_expr,
-    token_hist_rows,
+    token_hist_kernel,
 )
 
 
@@ -43,7 +43,7 @@ def token_histogram(df: DataFrame, cfg: EngineConfig, impl: str = "native") -> D
     """
     if impl == "arrow":
         hist = df.select("part_id", "tokens").mapInPandas(
-            lambda it: token_hist_rows(it, cfg.tok_hist_buckets, cfg.vocab_size),
+            token_hist_kernel(cfg.tok_hist_buckets, cfg.vocab_size),
             schema="part_id int, bucket int, cnt long",
         )
         return hist.groupBy("part_id", "bucket").agg(F.sum("cnt").alias("cnt"))

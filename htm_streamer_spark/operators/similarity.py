@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. Query vectors are a
+  small broadcast side; the corpus scan is one pass; the dot product is
+  a native ``F.aggregate(F.zip_with(...))`` expression (codegen, no
+  Python). Top-k per query via window row_number.
+- LSH-bucketed (random hyperplane) ANN: the scale path. Each vector gets
+  a B-bit signature (sign of dot with B fixed pseudo-random hyperplanes);
+  candidates share a signature bucket, exact cosine re-ranks inside the
+  bucket. At 10^12 rows the bucket join replaces the full scan per query.
+
+Hyperplanes are generated deterministically from a seed via the same
+splitmix64 scheme as the fixtures, so signatures are reproducible across
+runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_expr(a, b):
+    """Native cosine similarity between two float-array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank). Queries are
+    broadcast (small by contract); one corpus scan total."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via splitmix64 → N(0,1)
+    (Box-Muller), reproducible everywhere."""
+    m = np.uint64(0xFFFFFFFFFFFFFFFF)
+    idx = np.arange(bits * dim * 2, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)) & m
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & m
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & m
+        x = x ^ (x >> np.uint64(31))
+    u = (x.astype(np.float64) + 0.5) / 2.0**64
+    u1, u2 = u[: bits * dim], u[bits * dim :]
+    z = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    return z.reshape(bits, dim)
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Signature bits packed into one long: bit b = sign(vec · plane_b).
+    Pure expression — each plane's dot is an F.aggregate over zip_with
+    against a literal array (folded by Catalyst)."""
+    bits = []
+    for b in range(planes.shape[0]):
+        lit_plane = F.array(*[F.lit(float(v)) for v in planes[b]])
+        d = _dot(vec_col, lit_plane)
+        bits.append(F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for x in bits[1:]:
+        sig = sig + x
+    return sig.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 12,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Corpus is bucketed by its ``bits``-bit signature (one scan, one
+    shuffle on the signature). Each query probes its own bucket plus all
+    buckets within ``probe_hamming`` bit flips (multi-probe — recall
+    knob). Exact cosine re-ranks candidates. Returns
+    (query_id, vec_id, cosine, rank)."""
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(id_col, vec_col, lsh_signature_col(F.col(vec_col), planes).alias("sig"))
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("_qvec"),
+        lsh_signature_col(F.col(vec_col), planes).alias("qsig"),
+    )
+    # multi-probe: expand each query to its probe signatures
+    probes = [F.col("qsig")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("qsig").bitwiseXOR(F.lit(1 << b)) for b in range(bits)
+        ]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("qsig").bitwiseXOR(F.lit((1 << b1) | (1 << b2)))
+            for b1 in range(bits)
+            for b2 in range(b1 + 1, bits)
+        ]
+    q_probed = q.select(
+        query_id_col, "_qvec", F.explode(F.array(*probes)).alias("sig")
+    )
+    cand = c.join(F.broadcast(q_probed), "sig")
+    scored = cand.select(
+        query_id_col, id_col, cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: bucket by LSH signature,
+    pair within buckets, keep cosine >= threshold. (doc pairs with
+    doc_a < doc_b). The all-pairs explosion is bounded per bucket."""
+    planes = _hyperplanes(dim, bits, seed)
+    sigs = df.select(id_col, vec_col, lsh_signature_col(F.col(vec_col), planes).alias("sig"))
+    buckets = (
+        sigs.groupBy("sig")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).alias(
+                "items"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "items",
+                        lambda a: F.transform(
+                            F.col("items"),
+                            lambda b: F.struct(
+                                a["id"].alias("id_a"),
+                                b["id"].alias("id_b"),
+                                a["v"].alias("va"),
+                                b["v"].alias("vb"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        cosine_expr(F.col("p.va"), F.col("p.vb")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).distinct()

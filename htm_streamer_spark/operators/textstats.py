@@ -1,0 +1,113 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All native expressions (codegen, zero Python in the hot path), designed
+so the same logic is expressible in ANSI SQL for the DuckDB oracle.
+Reference analog: the per-feature scalar transforms of the encoder layer
+(/root/reference/htm_streamer/data/feature.py:24-41) — here the "encoders"
+are text features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram heuristic langid):
+# chosen to be SQL-portable (plain LIKE/regexp counts)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " in "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " des "],
+    "es": [" el ", " de ", " que ", " los ", " en "],
+}
+
+
+def _count_marker(text, marker: str):
+    # occurrences of marker in text: (len(t) - len(replace(t, m, ''))) / len(m)
+    t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (F.length(t) - F.length(F.replace(t, F.lit(marker), F.lit("")))) / F.lit(
+        len(marker)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by marker-word frequency; (doc_id, lang_pred,
+    lang_score). Ties break by language name order (deterministic)."""
+    scores = [
+        F.struct(
+            sum(_count_marker(F.col(text_col), m) for m in markers).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scores)  # struct comparison: score first, then lang
+    return df.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["score"].cast("double").alias("lang_score"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_ish): whitespace token count plus a
+    BPE-ish count (words + digits + punctuation as separate tokens —
+    the standard ~"words and symbols" regex)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.size(
+        F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), F.lit(1))
+    )
+    return df.select(
+        "doc_id",
+        F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(ws).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_ish"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, punct_ratio, stopword_ratio, mean_word_len,
+    quality): length/punctuation/stopword heuristics combined into a
+    [0,1] score — the classic pre-training quality filter shape."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    words = F.split(F.trim(F.lower(t)), r"\s+")
+    n_words = F.size(words)
+    stop = sum(
+        (F.length(F.concat(F.lit(" "), F.lower(t), F.lit(" ")))
+         - F.length(F.replace(F.concat(F.lit(" "), F.lower(t), F.lit(" ")), F.lit(m), F.lit(""))))
+        / F.lit(len(m))
+        for m in LANG_MARKERS["en"]
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(n_words > 0, stop / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    # bounded score: long enough, some stopwords, sane punctuation,
+    # word lengths in natural-language range
+    quality = (
+        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stopword_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + F.when((punct_ratio > 0.001) & (punct_ratio < 0.2), F.lit(0.15)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len > 2.5) & (mean_word_len < 12.0), F.lit(0.15)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_computed"),
+        punct_ratio.cast("double").alias("punct_ratio"),
+        stopword_ratio.cast("double").alias("stopword_ratio"),
+        mean_word_len.cast("double").alias("mean_word_len"),
+        quality.cast("double").alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): deterministic document fingerprint = md5 of the
+    normalized text (rolling-hash analog, portable to the oracle)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.select("doc_id", F.md5(norm).alias("fp"))

@@ -25,18 +25,16 @@ from pyspark.sql import functions as F
 from htm_streamer_spark.config import EngineConfig
 
 
-def duplicate_ids(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """DataFrame of (doc_id, dup_cnt) for every doc_id with count > 1."""
-    salt = F.pmod(
-        F.xxhash64(F.col("part_id"), F.monotonically_increasing_id()), F.lit(cfg.n_salts)
-    )
+def duplicate_ids(df: DataFrame, cfg: EngineConfig, key_col: str = "doc_id") -> DataFrame:
+    """DataFrame of (key_col, dup_cnt) for every key with count > 1."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(cfg.n_salts))
     partial = (
-        df.select("doc_id", salt.alias("_salt"))
-        .groupBy("doc_id", "_salt")
+        df.select(key_col, salt.alias("_salt"))
+        .groupBy(key_col, "_salt")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     return (
-        partial.groupBy("doc_id")
+        partial.groupBy(key_col)
         .agg(F.sum("_cnt").alias("dup_cnt"))
         .filter(F.col("dup_cnt") > 1)
     )

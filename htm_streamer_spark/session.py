@@ -11,6 +11,7 @@ scheduler replaces it.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -36,6 +37,9 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # ship the package to python workers even when the driver added it to
+    # sys.path at runtime (on a cluster, spark-submit --py-files does this)
+    pkg_root = str(Path(__file__).resolve().parents[1])
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -49,6 +53,10 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            pkg_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

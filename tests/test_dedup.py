@@ -1,0 +1,82 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    shingles,
+    simhash_candidate_pairs,
+    simhash_fingerprints,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into "
+    "the deep green forest where tall trees grow beside the cold river"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("cold river", "cold stream")  # 2-word change
+    rows = [
+        (1, BASE),
+        (2, BASE),                               # exact dup of 1
+        (3, "The quick brown fox! " + BASE[20:]),  # near-exact (case/punct)
+        (4, near),                               # near dup of 1
+        (5, "completely different text about spark dataframes and shuffles "
+            "with partitions and executors running tasks in parallel stages"),
+        (6, "short"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_copies"] == 3  # 1, 2 and 3 normalize identically
+    assert got[0]["doc_ids"] == [1, 2, 3]
+
+
+def test_shingles_deterministic(docs):
+    sh = shingles(docs).filter(F.col("doc_id") == 1)
+    n_words = len(BASE.split())
+    assert sh.count() == len(set(
+        " ".join(BASE.split()[i : i + 3]) for i in range(n_words - 2)
+    ))
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # the exact dups and the near dup must surface; doc 5 must not pair
+    assert (1, 2) in found
+    assert (1, 4) in found or (2, 4) in found or (3, 4) in found
+    assert not any(5 in p for p in found)
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_similar_docs_close(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]  # identical text -> identical simhash
+    ham_near = bin((fp[1] ^ fp[4]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((fp[1] ^ fp[5]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_candidates(spark, docs):
+    fps = simhash_fingerprints(docs)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_candidate_pairs(fps).collect()}
+    assert (1, 2) in pairs
+
+
+def test_minhash_signature_width(docs):
+    sigs = minhash_signatures(shingles(docs), num_hashes=32)
+    row = sigs.filter(F.col("doc_id") == 1).collect()[0]
+    assert len(row["sig"]) == 32

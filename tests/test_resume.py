@@ -1,0 +1,86 @@
+"""Resume semantics (SURVEY.md §5.2 item 4): kill after K partitions,
+re-run, assert no partition re-validated and the union of results is
+identical to a single-shot run. Mirrors the reference's crash-resume
+(state saved every timestep, htm_stream.py:135-155)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from htm_streamer_spark.config import EngineConfig
+from htm_streamer_spark.sources.table_io import ManifestCatalog
+from htm_streamer_spark.streaming.incremental import CheckpointStore, run_incremental
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return ManifestCatalog(tmp_path / "ckpt")
+
+
+def _verdicts_pdf(spark, catalog):
+    df = CheckpointStore(catalog).verdicts(spark)
+    return (
+        df.select("part_id", "status", "metrics")
+        .toPandas()
+        .sort_values("part_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_split_run_equals_single_run(spark, tiny_dir, cfg, tmp_path):
+    cat1 = ManifestCatalog(tmp_path / "c1")
+    cat2 = ManifestCatalog(tmp_path / "c2")
+
+    # single shot
+    s = run_incremental(spark, tiny_dir, cat1, cfg)
+    assert s["mode"] == "sampling+initializing"
+    assert s["validated"] == list(range(10))
+
+    # "crash" after 6 partitions, then resume
+    r1 = run_incremental(spark, tiny_dir, cat2, cfg, max_partitions=6)
+    assert r1["validated"] == list(range(6))
+    r2 = run_incremental(spark, tiny_dir, cat2, cfg)
+    assert r2["validated"] == [6, 7, 8, 9]
+    assert r2["mode"] == "running"  # baseline already committed
+
+    pd.testing.assert_frame_equal(_verdicts_pdf(spark, cat1), _verdicts_pdf(spark, cat2))
+
+    v1 = CheckpointStore(cat1).violations(spark).drop("run_id").toPandas()
+    v2 = CheckpointStore(cat2).violations(spark).drop("run_id").toPandas()
+    key = ["part_id", "doc_id", "check_id"]
+    pd.testing.assert_frame_equal(
+        v1.sort_values(key).reset_index(drop=True),
+        v2.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_rerun_is_noop(spark, tiny_dir, cfg, catalog):
+    run_incremental(spark, tiny_dir, catalog, cfg)
+    before = catalog.version()
+    again = run_incremental(spark, tiny_dir, catalog, cfg)
+    assert again["mode"] == "noop"
+    assert again["validated"] == []
+    assert catalog.version() == before  # nothing committed
+
+
+def test_crash_before_commit_leaves_no_trace(spark, tiny_dir, cfg, catalog):
+    # simulate a crash between staging and commit: stage then abort
+    from htm_streamer_spark.plans.validation_plan import load_sequences
+
+    df = load_sequences(spark, tiny_dir)
+    catalog.stage_spark("verdicts", df.limit(1).selectExpr(
+        "'x' as run_id", "part_id", "'pass' as status", "'{}' as metrics", "0.0 as committed_at"
+    ))
+    catalog.abort()
+    assert CheckpointStore(catalog).done_partitions(spark) == set()
+    # a full run afterwards validates everything
+    s = run_incremental(spark, tiny_dir, catalog, cfg)
+    assert s["validated"] == list(range(10))
+
+
+def test_truncate_resets(spark, tiny_dir, cfg, catalog):
+    run_incremental(spark, tiny_dir, catalog, cfg)
+    catalog.truncate()
+    assert CheckpointStore(catalog).done_partitions(spark) == set()
+    assert CheckpointStore(catalog).baseline(spark, cfg) is None
