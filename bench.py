@@ -1,0 +1,132 @@
+"""Benchmark harness — the driver runs this per round.
+
+Times the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "validated_seqs_per_sec": ...}
+
+The headline metric is the full-constraint-suite validation throughput
+over a synthetic sequences table at the input_hint schema
+(BASELINE.json "validated sequences/sec"), generated deterministically
+(seed 42) and cached under .data/. Scale is tied to sf: sf0.1 → 1M
+sequences (100 partitions x 10k rows), sf0.01 → 100k, sf0.001 → 10k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_SCALES = {
+    "0.001": (10, 1_000),
+    "0.01": (20, 5_000),
+    "0.1": (100, 10_000),
+}
+
+
+def seq_table_path(sf: str) -> Path:
+    n_parts, rows = SF_SCALES.get(sf, (10, 1_000))
+    return Path(__file__).resolve().parent / ".data" / f"seq_bench_{n_parts}x{rows}"
+
+
+def ensure_seq_table(sf: str) -> tuple[Path, int]:
+    from htm_streamer_spark.fixtures.generator import write_sequences_parquet
+
+    n_parts, rows = SF_SCALES.get(sf, (10, 1_000))
+    out = seq_table_path(sf)
+    write_sequences_parquet(
+        out,
+        n_partitions=n_parts,
+        rows_per_partition=rows,
+        hot_key_copies=min(10_000, rows),
+        overwrite=False,
+    )
+    return out, n_parts * rows
+
+
+def run_bench(spark, sf_dir: str, sf: str) -> dict:
+    import __spark_entry__ as entry_mod
+    from htm_streamer_spark.config import EngineConfig
+    from htm_streamer_spark.plans.validation_plan import (
+        load_sequences,
+        run_validation_batch,
+    )
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # JVM/codegen/Arrow warmup so the first timed query isn't charged
+    # for session initialization
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # headline: full validation suite over the sequences table
+    seq_path, n_seq = ensure_seq_table(sf)
+    t0 = time.time()
+    df = load_sequences(spark, str(seq_path))
+    res = run_validation_batch(spark, df, EngineConfig())
+    n_verdicts = res.verdicts.count()
+    n_viol = res.violations.count()
+    df.unpersist()
+    timings["seq_validate"] = time.time() - t0
+    extra["seq_rows"] = n_seq
+    extra["seq_verdicts"] = n_verdicts
+    extra["seq_violations"] = n_viol
+    extra["validated_seqs_per_sec"] = round(n_seq / timings["seq_validate"], 1)
+
+    # representative operator queries from the driver contract
+    qs = entry_mod.queries()
+    for name in (
+        "likelihood_events",
+        "dup_users_events",
+        "pricing_summary",
+        "drift_psi_events",
+        "moving_average_events",
+        "violations_docs",
+        "minhash_pairs_docs",
+        "embed_topk",
+        "sessionize_events",
+    ):
+        t0 = time.time()
+        out = qs[name](spark, sf_dir)
+        out.write.format("noop").mode("overwrite").save()
+        timings[name] = time.time() - t0
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "full validation suite + headline operators wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": float(sf),
+        **extra,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = Path(sf_dir).name.replace("sf", "") or "0.1"
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from htm_streamer_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=max(cores, 16))
+    try:
+        result = run_bench(spark, sf_dir, sf)
+        result["cores"] = cores
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

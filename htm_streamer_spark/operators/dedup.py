@@ -54,13 +54,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles per doc: (doc_id, shingle). Tokenize on
     whitespace after normalization; n-grams via slide over the word
-    array (native transform + slice)."""
+    array (native transform + slice). Duplicates are NOT removed —
+    minhash's ``min`` is multiplicity-insensitive, and an explicit
+    ``array_distinct`` is O(grams^2) per row (measured 12.6s -> <1s on
+    5k docs of ~380 words)."""
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
-    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle")).filter(
+    return df.select("doc_id", F.explode(grams).alias("shingle")).filter(
         F.length("shingle") > 0
     )
 
@@ -141,12 +144,12 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over shingle sets for the given candidate pairs:
     (doc_a, doc_b, jaccard). Shingle arrays are joined in twice (small
     candidate set → broadcast the pairs)."""
+    # no array_distinct: array_intersect/array_union already have set
+    # semantics, and distinct-ing ~400-element string arrays is O(n^2)
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
     sets = df.select("doc_id", grams.alias("grams"))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))

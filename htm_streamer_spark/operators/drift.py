@@ -32,17 +32,21 @@ from htm_streamer_spark.functions.array_funcs import (
 )
 
 
-def token_histogram(df: DataFrame, cfg: EngineConfig, impl: str = "native") -> DataFrame:
+def token_histogram(df: DataFrame, cfg: EngineConfig, impl: str = "arrow") -> DataFrame:
     """Per-partition token-bucket histogram: (part_id, bucket, cnt).
 
+    ``impl='arrow'`` (default): mapInArrow pre-aggregation over the
+    zero-copy ListArray buffers — each Arrow batch emits at most
+    n_parts×buckets rows, bounding executor→shuffle traffic independent
+    of tokens-per-row, and numpy bincount replaces 280M exploded rows
+    through codegen (measured ~15x at sf0.1). The 100 TB path; also the
+    north star's histogram-of-arrays Arrow UDF.
     ``impl='native'``: transform tokens→buckets then explode + count
-    (codegen, partial agg). ``impl='arrow'``: mapInPandas pre-aggregation
-    — each Arrow batch emits at most n_parts×buckets rows, bounding
-    executor→shuffle traffic independent of tokens-per-row (the 100 TB
-    path; also the north star's histogram-of-arrays Arrow UDF).
+    (codegen, partial agg) — kept as the pure-JVM fallback and as the
+    cross-check in tests.
     """
     if impl == "arrow":
-        hist = df.select("part_id", "tokens").mapInPandas(
+        hist = df.select("part_id", "tokens").mapInArrow(
             token_hist_kernel(cfg.tok_hist_buckets, cfg.vocab_size),
             schema="part_id int, bucket int, cnt long",
         )

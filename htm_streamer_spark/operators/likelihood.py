@@ -117,25 +117,74 @@ def anomaly_likelihood_windowed(
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w_ord = Window.partitionBy(series_col).orderBy(*order_cols)
     w_ma = w_ord.rowsBetween(-(averaging_window - 1), 0)
-    w_hist = w_ord.rowsBetween(-historic_window, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
 
-    ma = F.avg(score_col).over(w_ma)
-    df = df.withColumn("ma", ma)
-
-    # trailing Gaussian over past MAs with the reference floors
-    mean_raw = F.avg("ma").over(w_hist)
-    var_raw = F.coalesce(F.var_pop("ma").over(w_hist), F.lit(0.0))
-    # flat-metric guard on the raw metric values (null distribution)
-    metric_var = F.coalesce(F.var_pop(value_col).over(w_hist), F.lit(0.0))
-    mean = F.greatest(mean_raw, F.lit(MEAN_FLOOR))
-    var = F.greatest(var_raw, F.lit(VAR_FLOOR))
-    is_flat = metric_var < F.lit(FLAT_VARIANCE_GUARD)
-    mean = F.when(is_flat, F.lit(0.5)).otherwise(mean)
-    stdev = F.when(is_flat, F.lit(1e3)).otherwise(F.sqrt(var))
-
-    rn = F.row_number().over(w_ord)
-    raw_tail = tail_probability_expr(F.col("ma"), mean, stdev)
-    lik = F.when(rn <= F.lit(probation), F.lit(0.5)).otherwise(F.lit(1.0) - raw_tail)
+    # O(n) trailing statistics: bounded sliding frames on AVG/VAR are
+    # O(n·w) in Spark's WindowExec (no retraction support — each row
+    # recomputes its frame), which melts at historic_window=8640. The
+    # running-sum identity sum[-w,-1] = lag(cumsum,1) - lag(cumsum,w+1)
+    # turns every trailing aggregate into two O(n) cumulative sums plus
+    # lags, all sharing ONE sort.
+    df = df.withColumn("ma", F.avg(score_col).over(w_ma)).withColumns(
+        {
+            "_rn": F.row_number().over(w_ord),
+            "_r1": F.sum("ma").over(w_run),
+            "_r2": F.sum(F.col("ma") * F.col("ma")).over(w_run),
+            "_v1": F.sum(value_col).over(w_run),
+            "_v2": F.sum(F.col(value_col) * F.col(value_col)).over(w_run),
+        }
+    )
+    h = historic_window
+    df = df.withColumns(
+        {
+            "_l1": F.lag("_r1", 1).over(w_ord),
+            "_lh1": F.lag("_r1", h + 1).over(w_ord),
+            "_l2": F.lag("_r2", 1).over(w_ord),
+            "_lh2": F.lag("_r2", h + 1).over(w_ord),
+            "_lv1": F.lag("_v1", 1).over(w_ord),
+            "_lvh1": F.lag("_v1", h + 1).over(w_ord),
+            "_lv2": F.lag("_v2", 1).over(w_ord),
+            "_lvh2": F.lag("_v2", h + 1).over(w_ord),
+        }
+    )
+    cnt = F.least(F.col("_rn") - 1, F.lit(h)).cast("double")
+    mean_raw = F.when(
+        cnt > 0, (F.col("_l1") - F.coalesce(F.col("_lh1"), F.lit(0.0))) / cnt
+    )
+    var_raw = F.coalesce(
+        F.when(
+            cnt > 0,
+            (F.col("_l2") - F.coalesce(F.col("_lh2"), F.lit(0.0))) / cnt
+            - mean_raw * mean_raw,
+        ),
+        F.lit(0.0),
+    )
+    vmean = F.when(
+        cnt > 0, (F.col("_lv1") - F.coalesce(F.col("_lvh1"), F.lit(0.0))) / cnt
+    )
+    metric_var = F.coalesce(
+        F.when(
+            cnt > 0,
+            (F.col("_lv2") - F.coalesce(F.col("_lvh2"), F.lit(0.0))) / cnt
+            - vmean * vmean,
+        ),
+        F.lit(0.0),
+    )
+    df = df.withColumns(
+        {"_mean_raw": mean_raw, "_var_raw": var_raw, "_metric_var": metric_var}
+    )
+    is_flat = F.col("_metric_var") < F.lit(FLAT_VARIANCE_GUARD)
+    mean = F.when(is_flat, F.lit(0.5)).otherwise(
+        F.greatest(F.col("_mean_raw"), F.lit(MEAN_FLOOR))
+    )
+    stdev = F.when(is_flat, F.lit(1e3)).otherwise(
+        F.sqrt(F.greatest(F.col("_var_raw"), F.lit(VAR_FLOOR)))
+    )
+    df = df.withColumns({"_mean": mean, "_stdev": stdev})
+    raw_tail = tail_probability_expr(F.col("ma"), F.col("_mean"), F.col("_stdev"))
+    lik = F.when(F.col("_rn") <= F.lit(probation), F.lit(0.5)).otherwise(
+        F.lit(1.0) - raw_tail
+    )
     df = df.withColumn("anomaly_likelihood_raw", lik)
 
     if apply_filter:
@@ -154,7 +203,12 @@ def anomaly_likelihood_windowed(
     return (
         df.withColumn("anomaly_likelihood", out)
         .withColumn("log_likelihood", log_likelihood_expr(F.col("anomaly_likelihood")))
-        .drop("anomaly_likelihood_raw")
+        .drop(
+            "anomaly_likelihood_raw",
+            "_mean_raw", "_var_raw", "_metric_var", "_rn", "_mean", "_stdev",
+            "_r1", "_r2", "_v1", "_v2",
+            "_l1", "_lh1", "_l2", "_lh2", "_lv1", "_lvh1", "_lv2", "_lvh2",
+        )
     )
 
 

@@ -107,25 +107,50 @@ def run_validation_batch(
     if persist:
         df = df.persist()
     base_parts: list[int]
-    if baseline is None:
-        baseline = compute_baseline(df, cfg)
-        base_parts = baseline["part_ids"]
+    fit_from_self = baseline is None
+    if fit_from_self:
+        base_parts = baseline_part_ids(df, cfg)
     else:
         base_parts = baseline.get("part_ids", [])
 
-    viols = all_violations(df, cfg)
+    # violations are ~2% of rows — persist so the verdict count and the
+    # returned violation rows share one computation
+    viols = all_violations(df, cfg).persist()
     n_viol = viols.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_violations"))
     stats = partition_stats(df, cfg)
 
     if "drift" in cfg.checks:
         flagged = row_check_flags(df, cfg)
         clean = flagged.filter(~F.col("any_violation"))
-        nonbase = clean.filter(~F.col("part_id").isin(base_parts)) if base_parts else clean
+        if fit_from_self:
+            # ONE histogram pass over all clean rows; the baseline is a
+            # tiny post-aggregation over the baseline partitions of the
+            # same per-partition histogram (halves the explode work vs
+            # a separate baseline scan)
+            tok_all = token_histogram(clean, cfg).persist()
+            ntok_all = ntok_histogram(clean, cfg).persist()
+            baseline = {
+                "tok": tok_all.filter(F.col("part_id").isin(base_parts))
+                .groupBy("bucket")
+                .agg(F.sum("cnt").alias("cnt")),
+                "ntok": ntok_all.filter(F.col("part_id").isin(base_parts))
+                .groupBy("bucket")
+                .agg(F.sum("cnt").alias("cnt")),
+                "part_ids": base_parts,
+            }
+            tok_nonbase = tok_all.filter(~F.col("part_id").isin(base_parts))
+            ntok_nonbase = ntok_all.filter(~F.col("part_id").isin(base_parts))
+        else:
+            nonbase = (
+                clean.filter(~F.col("part_id").isin(base_parts)) if base_parts else clean
+            )
+            tok_nonbase = token_histogram(nonbase, cfg)
+            ntok_nonbase = ntok_histogram(nonbase, cfg)
         tok_scores = drift_scores(
-            token_histogram(nonbase, cfg), baseline["tok"], cfg.tok_hist_buckets
+            tok_nonbase, baseline["tok"], cfg.tok_hist_buckets
         ).withColumnsRenamed({"psi": "psi_tok", "kl": "kl_tok"})
         ntok_scores = drift_scores(
-            ntok_histogram(nonbase, cfg), baseline["ntok"], cfg.ntok_hist_buckets
+            ntok_nonbase, baseline["ntok"], cfg.ntok_hist_buckets
         ).withColumnsRenamed({"psi": "psi_ntok", "kl": "kl_ntok"})
         drift = tok_scores.join(ntok_scores, "part_id", "outer").select(
             "part_id",

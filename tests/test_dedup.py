@@ -46,9 +46,7 @@ def test_exact_duplicates(docs):
 def test_shingles_deterministic(docs):
     sh = shingles(docs).filter(F.col("doc_id") == 1)
     n_words = len(BASE.split())
-    assert sh.count() == len(set(
-        " ".join(BASE.split()[i : i + 3]) for i in range(n_words - 2)
-    ))
+    assert sh.count() == n_words - 2  # one shingle per 3-gram position
 
 
 def test_minhash_near_duplicates(docs):

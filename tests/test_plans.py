@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4.2 claims
+must actually appear in the executed plan (pushdown, pruning, broadcast,
+partial aggregation, whole-stage codegen, single-shuffle windows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.config import EngineConfig
+from htm_streamer_spark.operators.referential import dim_sources_df, referential_violations
+from htm_streamer_spark.operators.stats import partition_stats
+from htm_streamer_spark.operators.uniqueness import duplicate_violations
+from htm_streamer_spark.plans.validation_plan import load_sequences
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def seq(spark, tiny_dir):
+    return load_sequences(spark, tiny_dir)
+
+
+def test_filter_pushdown_reaches_scan(spark, tiny_dir):
+    df = spark.read.parquet(tiny_dir).filter(F.col("n_tok") > 100).select("doc_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(n_tok), GreaterThan(n_tok,100)]" in plan, plan
+
+
+def test_partition_pruning_on_part_id(spark, tiny_dir):
+    df = spark.read.parquet(tiny_dir).filter(F.col("part_id") == 3)
+    plan = _plan(df)
+    # hive partition column filter becomes a PartitionFilters entry
+    assert "PartitionFilters" in plan and "part_id" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_column_pruning(spark, tiny_dir):
+    df = spark.read.parquet(tiny_dir).select("doc_id", "n_tok")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tokens" not in read_schema, read_schema
+
+
+def test_stats_single_shuffle_partial_agg(seq, cfg):
+    plan = _plan(partition_stats(seq, cfg))
+    # exactly one exchange: map-side partial agg merges before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+    # two HashAggregate levels (partial + final)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_referential_is_broadcast(spark, seq, cfg):
+    dim = dim_sources_df(spark, cfg)
+    plan = _plan(referential_violations(seq, dim))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_duplicate_joinback_is_broadcast(seq, cfg):
+    plan = _plan(duplicate_violations(seq, cfg))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_row_checks_whole_stage_codegen(seq, cfg):
+    from htm_streamer_spark.operators.invariants import row_violations
+
+    plan = _plan(row_violations(seq, cfg))
+    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert "*(" in plan, plan
+    # no python UDF in the hot path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_exists_not_fullscan_of_other_columns(seq, cfg):
+    """The violations projection must read only the columns it needs."""
+    from htm_streamer_spark.operators.invariants import row_violations
+
+    plan = _plan(row_violations(seq, cfg))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" not in read_schema, read_schema
