@@ -638,6 +638,162 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) 
 """
 
 
+def q_strict_zip_nation(spark, sf_dir):
+    """J2 strict keyed zip: full-outer join + missing-side check
+    (reference dict_zip raises on key mismatch, utils/general.py:36-51;
+    here mismatches become rows instead of an exception)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    j = per.join(
+        n.select(F.col("n_nationkey"), F.lit(True).alias("has_nation")),
+        per.c_nationkey == F.col("n_nationkey"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("c_nationkey"), F.col("n_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("has_nation"), F.lit(False)).alias("has_nation"),
+    )
+
+
+SQL_STRICT_ZIP = """
+WITH per AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1)
+SELECT coalesce(per.c_nationkey, n.n_nationkey) AS nationkey,
+       coalesce(per.n_customers, 0) AS n_customers,
+       n.n_nationkey IS NOT NULL AS has_nation
+FROM per FULL OUTER JOIN nation n ON per.c_nationkey = n.n_nationkey
+"""
+
+_WINDOWS = [
+    ("w1", "2024-01-03 00:00:00", "2024-01-06 00:00:00"),
+    ("w2", "2024-01-10 12:00:00", "2024-01-12 00:00:00"),
+    ("w3", "2024-01-20 00:00:00", "2024-01-28 00:00:00"),
+]
+
+
+def q_interval_join_events(spark, sf_dir):
+    """J1 label interval (range) join: events falling inside labeled
+    windows — broadcast theta join (reference: NAB anomaly windows,
+    driver.py:58-68)."""
+    e = _t(spark, sf_dir, "events")
+    win = spark.createDataFrame(_WINDOWS, "win_id string, start string, end string").select(
+        "win_id",
+        F.col("start").cast("timestamp_ntz").alias("start"),
+        F.col("end").cast("timestamp_ntz").alias("end"),
+    )
+    j = e.join(
+        F.broadcast(win),
+        (e.ts >= win.start) & (e.ts <= win.end),
+        "inner",
+    )
+    return j.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH win(win_id, start, "end") AS (
+  VALUES ('w1', TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-06 00:00:00'),
+         ('w2', TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-12 00:00:00'),
+         ('w3', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-28 00:00:00')
+)
+SELECT win_id, count(*) AS n_events, round(sum(value), 4)::DOUBLE AS sum_value
+FROM events e JOIN win w ON e.ts >= w.start AND e.ts <= w."end"
+GROUP BY win_id
+"""
+
+
+def q_lead_labels_events(spark, sf_dir):
+    """W5 multi-step lookahead: lead(value, 3) per series — the label-
+    construction shape of the reference's predictor
+    (model/htm_model.py:226-266)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lead = F.lead("value", 3).over(w)
+    return e.select(
+        "event_id",
+        F.round(lead - F.col("value"), 6).alias("delta_3ahead"),
+    ).filter(F.col("delta_3ahead").isNotNull())
+
+
+SQL_LEAD_LABELS = """
+SELECT event_id,
+       round(lead(value, 3) OVER (PARTITION BY event_type ORDER BY ts, event_id) - value,
+             6)::DOUBLE AS delta_3ahead
+FROM events QUALIFY delta_3ahead IS NOT NULL
+"""
+
+
+def q_argmax_orders(spark, sf_dir):
+    """O3 argmax: highest-value order per priority via max_by
+    (reference: np.argmax over the predictor pdf, htm_model.py:260)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+SQL_ARGMAX_ORDERS = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+       round(max(o_totalprice), 2)::DOUBLE AS top_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_resolution_docs(spark, sf_dir):
+    """A2 encoder-resolution derivation: (max-min+2·pad)/n_buckets with
+    20% padding and 130 buckets (config/config.py:64-79,150-175)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(
+            (F.max("n_chars") - F.min("n_chars") + 2 * 0.2 * (F.max("n_chars") - F.min("n_chars")))
+            / 130.0,
+            6,
+        ).alias("resolution"),
+    )
+
+
+SQL_RESOLUTION = """
+SELECT min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round((max(n_chars) - min(n_chars) + 2 * 0.2 * (max(n_chars) - min(n_chars))) / 130.0,
+             6)::DOUBLE AS resolution
+FROM documents
+"""
+
+
+def q_loglik_events(spark, sf_dir):
+    """F4 log-likelihood transform with the reference's exact constants
+    (anomalylikelihood.py:299-309)."""
+    e = _t(spark, sf_dir, "events")
+    x = F.pmod(F.col("event_id"), F.lit(1000)) / F.lit(1000.0)
+    ll = F.log(F.lit(1.0000000001) - x) / F.lit(-23.02585084720009)
+    return e.select("event_id", F.round(ll, 6).alias("log_likelihood"))
+
+
+SQL_LOGLIK = """
+SELECT event_id,
+       round(ln(1.0000000001 - (event_id % 1000) / 1000.0) / -23.02585084720009,
+             6)::DOUBLE AS log_likelihood
+FROM events
+"""
+
+
+def q_approx_distinct_docs(spark, sf_dir):
+    """A8 HLL sketch distinct — approx values are engine-specific, so
+    this is a rows-only check (no oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.approx_count_distinct("doc_id", 0.02).alias("approx_docs"),
+        F.approx_count_distinct("source", 0.02).alias("approx_sources"),
+    )
+
+
 # -- rows-only queries (non-SQL-expressible; driver does rows-only check) --
 
 
@@ -704,7 +860,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "drift_psi_events": q_drift_psi_events,
         "embed_topk": q_embed_topk,
+        "strict_zip_nation": q_strict_zip_nation,
+        "interval_join_events": q_interval_join_events,
+        "lead_labels_events": q_lead_labels_events,
+        "argmax_orders": q_argmax_orders,
+        "resolution_docs": q_resolution_docs,
+        "loglik_events": q_loglik_events,
         # rows-only (no oracle_sql): vectorized-UDF / LSH / engine-suite ops
+        "approx_distinct_docs": q_approx_distinct_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -736,4 +899,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": SQL_DEDUP_EXACT,
         "drift_psi_events": SQL_DRIFT_PSI,
         "embed_topk": SQL_EMBED_TOPK,
+        "strict_zip_nation": SQL_STRICT_ZIP,
+        "interval_join_events": SQL_INTERVAL_JOIN,
+        "lead_labels_events": SQL_LEAD_LABELS,
+        "argmax_orders": SQL_ARGMAX_ORDERS,
+        "resolution_docs": SQL_RESOLUTION,
+        "loglik_events": SQL_LOGLIK,
     }
