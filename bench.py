@@ -33,15 +33,26 @@ SF_SCALES = {
 }
 
 
+def _shape(sf: str) -> tuple[int, int]:
+    """(n_partitions, rows_per_partition) — sf-keyed, overridable via
+    SPARK_GRAFT_SEQ_SHAPE="100x40000" (used by the scaling evidence run,
+    which needs a compute-dominated input)."""
+    override = os.environ.get("SPARK_GRAFT_SEQ_SHAPE")
+    if override:
+        a, b = override.lower().split("x")
+        return int(a), int(b)
+    return SF_SCALES.get(sf, (10, 1_000))
+
+
 def seq_table_path(sf: str) -> Path:
-    n_parts, rows = SF_SCALES.get(sf, (10, 1_000))
+    n_parts, rows = _shape(sf)
     return Path(__file__).resolve().parent / ".data" / f"seq_bench_{n_parts}x{rows}"
 
 
 def ensure_seq_table(sf: str) -> tuple[Path, int]:
     from htm_streamer_spark.fixtures.generator import write_sequences_parquet
 
-    n_parts, rows = SF_SCALES.get(sf, (10, 1_000))
+    n_parts, rows = _shape(sf)
     out = seq_table_path(sf)
     write_sequences_parquet(
         out,

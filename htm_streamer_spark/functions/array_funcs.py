@@ -145,3 +145,69 @@ def token_hist_kernel(buckets: int, vocab_size: int):
             )
 
     return kernel
+
+
+def checked_token_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[str, ...]):
+    """``mapInArrow`` kernel that fuses the row-validity checks with the
+    token-bucket histogram: input batches carry (part_id, tokens, n_tok,
+    source); rows failing ANY check (null/len-mismatch/out-of-range/
+    empty/bad-source) are excluded from the histogram, all in vectorized
+    numpy over the zero-copy Arrow buffers. This makes the histogram the
+    ONLY pass that touches token bytes besides the featurize projection
+    — the validation suite decodes the token column exactly twice.
+    """
+
+    def kernel(batch_iter):
+        import pyarrow as pa
+
+        allowed = set(allowed_sources)
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            tokens = batch.column(batch.schema.get_field_index("tokens"))
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lengths = np.diff(offsets)
+            n_tok = batch.column(batch.schema.get_field_index("n_tok")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)  # NaN for nulls
+            source = np.asarray(
+                batch.column(batch.schema.get_field_index("source")).to_pylist(), dtype=object
+            )
+            part = batch.column(batch.schema.get_field_index("part_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+
+            bad_flat = (flat < 0) | (flat >= vocab_size)
+            ends = np.cumsum(lengths)
+            starts = ends - lengths
+            csum = np.concatenate([[0], np.cumsum(bad_flat)])
+            n_bad = csum[ends] - csum[starts]
+            src_ok = np.array([s in allowed for s in source])
+            clean = (
+                ~np.isnan(n_tok)
+                & (n_tok == lengths)
+                & (n_bad == 0)
+                & (lengths > 0)
+                & src_ok
+            )
+            if not clean.any():
+                continue
+            keep = np.repeat(clean, lengths)
+            flat_k = flat[keep]
+            pid_k = np.repeat(part, lengths)[keep]
+            b = np.clip((flat_k * buckets) // vocab_size, 0, buckets - 1)
+            key = pid_k * buckets + b
+            cnt = np.bincount(key)
+            nz = np.flatnonzero(cnt)
+            yield pa.record_batch(
+                {
+                    "part_id": pa.array((nz // buckets).astype(np.int32), type=pa.int32()),
+                    "bucket": pa.array((nz % buckets).astype(np.int32), type=pa.int32()),
+                    "cnt": pa.array(cnt[nz].astype(np.int64), type=pa.int64()),
+                }
+            )
+
+    return kernel

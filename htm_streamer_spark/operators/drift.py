@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from htm_streamer_spark.config import HIST_EPS, NTOK_MAX, EngineConfig
 from htm_streamer_spark.functions.array_funcs import (
+    checked_token_hist_kernel,
     ntok_bucket_expr,
     token_bucket_expr,
     token_hist_kernel,
@@ -61,6 +62,17 @@ def token_histogram(df: DataFrame, cfg: EngineConfig, impl: str = "arrow") -> Da
         ).alias("bucket"),
     )
     return bucketed.groupBy("part_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def token_histogram_checked(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Token-bucket histogram over CLEAN rows only, with the row checks
+    fused into the Arrow kernel (no separate flag pass over tokens).
+    Input: the raw sequences frame. Output: (part_id, bucket, cnt)."""
+    hist = df.select("part_id", "tokens", "n_tok", "source").mapInArrow(
+        checked_token_hist_kernel(cfg.tok_hist_buckets, cfg.vocab_size, cfg.allowed_sources),
+        schema="part_id int, bucket int, cnt long",
+    )
+    return hist.groupBy("part_id", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def ntok_histogram(df: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -26,8 +26,13 @@ from htm_streamer_spark.operators.drift import (
     drift_scores,
     ntok_histogram,
     token_histogram,
+    token_histogram_checked,
 )
-from htm_streamer_spark.operators.invariants import row_check_flags, row_violations
+from htm_streamer_spark.operators.invariants import (
+    featurize,
+    row_check_flags,
+    row_violations,
+)
 from htm_streamer_spark.operators.referential import dim_sources_df
 from htm_streamer_spark.operators.stats import partition_stats
 from htm_streamer_spark.operators.uniqueness import duplicate_violations
@@ -65,22 +70,26 @@ def compute_baseline(
     'part_ids': list}."""
     if base_parts is None:
         base_parts = baseline_part_ids(df, cfg)
-    flagged = row_check_flags(df, cfg)
-    clean = flagged.filter(F.col("part_id").isin(base_parts) & ~F.col("any_violation"))
+    sub = df.filter(F.col("part_id").isin(base_parts))
     tok = (
-        token_histogram(clean, cfg)
+        token_histogram_checked(sub, cfg)
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+    clean = row_check_flags(featurize(sub, cfg), cfg, featurized=True).filter(
+        ~F.col("any_violation")
     )
     ntok = ntok_histogram(clean, cfg).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     return {"tok": tok, "ntok": ntok, "part_ids": base_parts}
 
 
-def all_violations(df: DataFrame, cfg: EngineConfig, dim: DataFrame | None = None) -> DataFrame:
+def all_violations(
+    df: DataFrame, cfg: EngineConfig, featurized: bool = False
+) -> DataFrame:
     """Union of row-level + uniqueness violation rows (referential is a
-    row-level ``isin`` check by default; pass ``dim`` to source the
-    allowed set from a dimension table instead)."""
-    parts = [row_violations(df, cfg)]
+    row-level ``isin`` check by default; see operators/referential.py
+    for the dimension-table broadcast form)."""
+    parts = [row_violations(df, cfg, featurized)]
     if "dup_doc_id" in cfg.checks:
         parts.append(duplicate_violations(df, cfg))
     out = parts[0]
@@ -104,30 +113,35 @@ def run_validation_batch(
     violations — the hard-fail override).
     """
     cfg = cfg or EngineConfig()
+    # Narrow featurized frame: ONE projection touches the token arrays
+    # (size + range check); everything downstream runs on the ~1%-size
+    # result. Caching the wide frame (tokens are ~99% of the bytes) was
+    # the measured bottleneck — and at 10^12 rows it is impossible.
+    narrow = featurize(df, cfg)
     if persist:
-        df = df.persist()
+        narrow = narrow.persist()
     base_parts: list[int]
     fit_from_self = baseline is None
     if fit_from_self:
-        base_parts = baseline_part_ids(df, cfg)
+        base_parts = baseline_part_ids(narrow, cfg)
     else:
         base_parts = baseline.get("part_ids", [])
 
     # violations are ~2% of rows — persist so the verdict count and the
     # returned violation rows share one computation
-    viols = all_violations(df, cfg).persist()
+    viols = all_violations(narrow, cfg, featurized=True).persist()
     n_viol = viols.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_violations"))
-    stats = partition_stats(df, cfg)
+    stats = partition_stats(narrow, cfg, featurized=True)
 
     if "drift" in cfg.checks:
-        flagged = row_check_flags(df, cfg)
-        clean = flagged.filter(~F.col("any_violation"))
+        clean = row_check_flags(narrow, cfg, featurized=True).filter(
+            ~F.col("any_violation")
+        )
         if fit_from_self:
-            # ONE histogram pass over all clean rows; the baseline is a
-            # tiny post-aggregation over the baseline partitions of the
-            # same per-partition histogram (halves the explode work vs
-            # a separate baseline scan)
-            tok_all = token_histogram(clean, cfg).persist()
+            # the ONLY other pass over token bytes: row checks fused
+            # into the Arrow histogram kernel; the baseline is a tiny
+            # post-aggregation of the same per-partition histograms
+            tok_all = token_histogram_checked(df, cfg).persist()
             ntok_all = ntok_histogram(clean, cfg).persist()
             baseline = {
                 "tok": tok_all.filter(F.col("part_id").isin(base_parts))
@@ -141,11 +155,14 @@ def run_validation_batch(
             tok_nonbase = tok_all.filter(~F.col("part_id").isin(base_parts))
             ntok_nonbase = ntok_all.filter(~F.col("part_id").isin(base_parts))
         else:
-            nonbase = (
+            nonbase_raw = (
+                df.filter(~F.col("part_id").isin(base_parts)) if base_parts else df
+            )
+            tok_nonbase = token_histogram_checked(nonbase_raw, cfg)
+            nonbase_clean = (
                 clean.filter(~F.col("part_id").isin(base_parts)) if base_parts else clean
             )
-            tok_nonbase = token_histogram(nonbase, cfg)
-            ntok_nonbase = ntok_histogram(nonbase, cfg)
+            ntok_nonbase = ntok_histogram(nonbase_clean, cfg)
         tok_scores = drift_scores(
             tok_nonbase, baseline["tok"], cfg.tok_hist_buckets
         ).withColumnsRenamed({"psi": "psi_tok", "kl": "kl_tok"})

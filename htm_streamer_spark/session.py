@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split sizing: at sandbox data sizes (hundreds of MB) the 128MB
+        # default packs the whole table into a handful of scan splits and
+        # caps parallelism below the core count — size splits so the scan
+        # fans out to all cores. At real 100TB scale splits are abundant
+        # and these settings are irrelevant (but harmless).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config(
             "spark.executorEnv.PYTHONPATH",
             pkg_root + os.pathsep + os.environ.get("PYTHONPATH", ""),

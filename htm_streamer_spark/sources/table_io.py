@@ -64,6 +64,8 @@ class ManifestCatalog:
         """Atomically publish all staged files; returns new version."""
         m = self._manifest()
         m["version"] += 1
+        for e in self._staged:
+            e["version"] = m["version"]
         m["entries"].extend(self._staged)
         if props:
             m.setdefault("props", {}).update(props)
@@ -81,17 +83,23 @@ class ManifestCatalog:
 
     # -- read path ----------------------------------------------------
 
-    def files(self, table: str) -> list[str]:
-        return [
-            str(self.root / e["file"])
-            for e in self._manifest()["entries"]
-            if e["table"] == table
-        ]
+    def files(self, table: str, latest_only: bool = False) -> list[str]:
+        entries = [e for e in self._manifest()["entries"] if e["table"] == table]
+        if latest_only and entries:
+            top = max(e.get("version", 0) for e in entries)
+            entries = [e for e in entries if e.get("version", 0) == top]
+        return [str(self.root / e["file"]) for e in entries]
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, table: str, latest_only: bool = False
+    ) -> DataFrame | None:
         """DataFrame over the committed files of ``table`` (None if no
-        committed data)."""
-        files = self.files(table)
+        committed data). ``latest_only`` reads just the files from the
+        most recent commit touching the table — latest-wins semantics
+        for state tables like the baseline (reference analog: each
+        timestep's pickle fully replaces the previous,
+        utils/fs.py:92-130)."""
+        files = self.files(table, latest_only)
         if not files:
             return None
         return spark.read.parquet(*files)

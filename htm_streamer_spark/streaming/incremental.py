@@ -69,8 +69,10 @@ class CheckpointStore:
         return self.catalog.read(spark, VIOLATIONS_TABLE)
 
     def baseline(self, spark: SparkSession, cfg: EngineConfig) -> dict | None:
-        tok = self.catalog.read(spark, BASELINE_TOK)
-        ntok = self.catalog.read(spark, BASELINE_NTOK)
+        # latest-wins: a re-estimation commit fully replaces the baseline
+        # (W3, reference refit cadence anomalylikelihood.py:444-455)
+        tok = self.catalog.read(spark, BASELINE_TOK, latest_only=True)
+        ntok = self.catalog.read(spark, BASELINE_NTOK, latest_only=True)
         if tok is None or ntok is None:
             return None
         part_ids = json.loads(self.catalog.prop("baseline_part_ids", "[]"))
@@ -149,3 +151,47 @@ def run_incremental(
         "mode": mode,
         "snapshot_version": version,
     }
+
+
+def refresh_baseline(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint,
+    cfg: EngineConfig | None = None,
+    from_partitions: list[int] | None = None,
+) -> dict:
+    """Re-estimate the baseline histograms (W3 — the reference refits
+    its Gaussian every ``reestimationPeriod`` rows,
+    anomalylikelihood.py:444-455; here the analog is an explicit
+    baseline refresh from recent clean partitions).
+
+    Uses the most recent ``cfg.baseline_partitions`` partitions with a
+    non-fail status unless ``from_partitions`` is given. The commit is
+    atomic and latest-wins: the next run scores against the new
+    baseline; history stays in the catalog for audit.
+    """
+    cfg = validate_config(cfg or EngineConfig())
+    store = CheckpointStore(checkpoint)
+    if from_partitions is None:
+        verd = store.verdicts(spark)
+        if verd is None:
+            raise RuntimeError("no validated partitions yet — run run_incremental first")
+        ok = (
+            verd.filter(F.col("status") != "fail")
+            .select("part_id")
+            .distinct()
+            .sort(F.desc("part_id"))
+            .limit(cfg.baseline_partitions)
+            .collect()
+        )
+        from_partitions = sorted(r[0] for r in ok)
+        if not from_partitions:
+            raise RuntimeError("no non-fail partitions available for re-estimation")
+    from htm_streamer_spark.plans.validation_plan import compute_baseline
+
+    df = load_sequences(spark, table_path).filter(F.col("part_id").isin(from_partitions))
+    base = compute_baseline(df, cfg, from_partitions)
+    checkpoint.stage_spark(BASELINE_TOK, base["tok"])
+    checkpoint.stage_spark(BASELINE_NTOK, base["ntok"])
+    version = checkpoint.commit({"baseline_part_ids": json.dumps(from_partitions)})
+    return {"baseline_part_ids": from_partitions, "snapshot_version": version}

@@ -84,3 +84,21 @@ def test_truncate_resets(spark, tiny_dir, cfg, catalog):
     catalog.truncate()
     assert CheckpointStore(catalog).done_partitions(spark) == set()
     assert CheckpointStore(catalog).baseline(spark, cfg) is None
+
+
+def test_refresh_baseline_latest_wins(spark, clean_dir, cfg, catalog):
+    from htm_streamer_spark.streaming.incremental import refresh_baseline
+
+    run_incremental(spark, clean_dir, catalog, cfg)
+    store = CheckpointStore(catalog)
+    b0 = store.baseline(spark, cfg)
+    assert b0["part_ids"] == [0, 1, 2, 3]
+    out = refresh_baseline(spark, clean_dir, catalog, cfg)
+    assert len(out["baseline_part_ids"]) == cfg.baseline_partitions
+    b1 = store.baseline(spark, cfg)
+    # latest-wins: refreshed ids replace the originals, and the
+    # histogram is a single coherent copy (sum equals clean-row count)
+    assert b1["part_ids"] == out["baseline_part_ids"]
+    total0 = b0["ntok"].groupBy().sum("cnt").collect()[0][0]
+    total1 = b1["ntok"].groupBy().sum("cnt").collect()[0][0]
+    assert total1 == total0  # same rows/partition in the clean fixture
