@@ -784,6 +784,43 @@ FROM events
 """
 
 
+def q_tail_slice_events(spark, sf_dir):
+    """O4 tail slice: last-3 event ids per user in time order via
+    F.slice(..., -3, 3) (reference: last-windowSize likelihoods,
+    anomalylikelihood.py:626)."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id"))),
+        lambda s: s["event_id"],
+    )
+    per_user = e.groupBy("user_id").agg(
+        ordered.alias("ids"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_user.filter(F.col("n") >= 3)
+        .select("user_id", F.slice("ids", -3, 3).alias("last3"))
+        .select(
+            "user_id",
+            F.col("last3")[0].alias("id_3rd_last"),
+            F.col("last3")[1].alias("id_2nd_last"),
+            F.col("last3")[2].alias("id_last"),
+        )
+    )
+
+
+SQL_TAIL_SLICE = """
+WITH per AS (
+  SELECT user_id, list(event_id ORDER BY ts, event_id) AS ids, count(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       ids[-3] AS id_3rd_last,
+       ids[-2] AS id_2nd_last,
+       ids[-1] AS id_last
+FROM per WHERE n >= 3
+"""
+
+
 def q_approx_distinct_docs(spark, sf_dir):
     """A8 HLL sketch distinct — approx values are engine-specific, so
     this is a rows-only check (no oracle)."""
@@ -866,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_orders": q_argmax_orders,
         "resolution_docs": q_resolution_docs,
         "loglik_events": q_loglik_events,
+        "tail_slice_events": q_tail_slice_events,
         # rows-only (no oracle_sql): vectorized-UDF / LSH / engine-suite ops
         "approx_distinct_docs": q_approx_distinct_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -905,4 +943,5 @@ def oracle_sql() -> dict[str, str]:
         "argmax_orders": SQL_ARGMAX_ORDERS,
         "resolution_docs": SQL_RESOLUTION,
         "loglik_events": SQL_LOGLIK,
+        "tail_slice_events": SQL_TAIL_SLICE,
     }

@@ -128,6 +128,40 @@ _KNOWN_CHECKS = {
 }
 
 
+def config_from_yaml(path: str) -> EngineConfig:
+    """Load an EngineConfig from a user YAML file (reference analog: the
+    YAML config source, utils/fs.py:177-192 / config--user_modify.yaml).
+    Unknown keys are a hard error — fail-fast like the reference's
+    validation layer. List values coerce to the tuple fields expect."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    valid = {f.name for f in EngineConfig.__dataclass_fields__.values()}
+    unknown = set(raw) - valid
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    for key in ("allowed_sources", "checks"):
+        if key in raw and isinstance(raw[key], list):
+            raw[key] = tuple(raw[key])
+    return validate_config(EngineConfig(**raw))
+
+
+def config_to_yaml(cfg: EngineConfig, path: str) -> None:
+    """Persist an EngineConfig as YAML (reference analog: save_config,
+    utils/fs.py:195-213 — minus the per-timestep run state, which lives
+    in the checkpoint catalog instead)."""
+    import dataclasses
+
+    import yaml
+
+    d = dataclasses.asdict(cfg)
+    d["allowed_sources"] = list(d["allowed_sources"])
+    d["checks"] = list(d["checks"])
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f, sort_keys=True)
+
+
 def validate_config(cfg: EngineConfig) -> EngineConfig:
     """Fail-fast type + range validation.
 

@@ -53,3 +53,22 @@ def test_schema_type_mismatch():
     ]
     with pytest.raises(TypeError, match="n_tok"):
         validate_input_schema(T.StructType(fields))
+
+
+def test_yaml_roundtrip(tmp_path):
+    from htm_streamer_spark.config import config_from_yaml, config_to_yaml
+
+    cfg = EngineConfig(psi_threshold=0.3, checks=("null_n_tok", "drift"))
+    p = str(tmp_path / "cfg.yaml")
+    config_to_yaml(cfg, p)
+    back = config_from_yaml(p)
+    assert back == cfg
+
+
+def test_yaml_unknown_key(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("vocab_size: 100\nnot_a_key: 1\n")
+    from htm_streamer_spark.config import config_from_yaml
+
+    with pytest.raises(ValueError, match="not_a_key"):
+        config_from_yaml(str(p))
