@@ -147,6 +147,101 @@ def token_hist_kernel(buckets: int, vocab_size: int):
     return kernel
 
 
+def featurize_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[str, ...]):
+    """``mapInArrow`` kernel that produces BOTH outputs of the
+    validation suite's token pass in one decode:
+
+    - ``kind=0`` rows: the narrow per-row feature frame
+      (doc_id, part_id, n_tok, source, ts, tok_len, tok_oob);
+    - ``kind=1`` rows: the per-partition token-bucket histogram over
+      clean rows (part_id, bucket, cnt).
+
+    One pass over the token bytes feeds every downstream check — the
+    suite's total token decode count drops to ONE. All numpy over
+    zero-copy Arrow buffers; closure-defined for by-value pickling.
+    """
+
+    def kernel(batch_iter):
+        import pyarrow as pa
+
+        allowed = set(allowed_sources)
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            idx = batch.schema.get_field_index
+            tokens = batch.column(idx("tokens"))
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lengths = np.diff(offsets)
+            n_tok = batch.column(idx("n_tok")).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            source = np.asarray(batch.column(idx("source")).to_pylist(), dtype=object)
+            part = batch.column(idx("part_id")).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+
+            bad_flat = (flat < 0) | (flat >= vocab_size)
+            ends = np.cumsum(lengths)
+            starts = ends - lengths
+            csum = np.concatenate([[0], np.cumsum(bad_flat)])
+            n_bad = csum[ends] - csum[starts]
+            src_ok = np.array([s in allowed for s in source])
+            clean = (
+                ~np.isnan(n_tok)
+                & (n_tok == lengths)
+                & (n_bad == 0)
+                & (lengths > 0)
+                & src_ok
+            )
+
+            n = batch.num_rows
+            row_batch = pa.record_batch(
+                {
+                    "kind": pa.array(np.zeros(n, dtype=np.int8), type=pa.int8()),
+                    "doc_id": batch.column(idx("doc_id")),
+                    "part_id": pa.array(part.astype(np.int32), type=pa.int32()),
+                    "n_tok": batch.column(idx("n_tok")),
+                    "source": batch.column(idx("source")),
+                    "ts": batch.column(idx("ts")),
+                    "tok_len": pa.array(lengths.astype(np.int32), type=pa.int32()),
+                    "tok_oob": pa.array(n_bad > 0, type=pa.bool_()),
+                    "bucket": pa.array([None] * n, type=pa.int32()),
+                    "cnt": pa.array([None] * n, type=pa.int64()),
+                }
+            )
+            yield row_batch
+
+            if clean.any():
+                keep = np.repeat(clean, lengths)
+                flat_k = flat[keep]
+                if flat_k.size:
+                    pid_k = np.repeat(part, lengths)[keep]
+                    b = np.clip((flat_k * buckets) // vocab_size, 0, buckets - 1)
+                    key = pid_k * buckets + b
+                    cnt = np.bincount(key)
+                    nz = np.flatnonzero(cnt)
+                    m = len(nz)
+                    yield pa.record_batch(
+                        {
+                            "kind": pa.array(np.ones(m, dtype=np.int8), type=pa.int8()),
+                            "doc_id": pa.array([None] * m, type=pa.string()),
+                            "part_id": pa.array((nz // buckets).astype(np.int32), type=pa.int32()),
+                            "n_tok": pa.array([None] * m, type=pa.int32()),
+                            "source": pa.array([None] * m, type=pa.string()),
+                            "ts": pa.nulls(m, type=row_batch.column(5).type),
+                            "tok_len": pa.array([None] * m, type=pa.int32()),
+                            "tok_oob": pa.array([None] * m, type=pa.bool_()),
+                            "bucket": pa.array((nz % buckets).astype(np.int32), type=pa.int32()),
+                            "cnt": pa.array(cnt[nz].astype(np.int64), type=pa.int64()),
+                        }
+                    )
+
+    return kernel
+
+
 def checked_token_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[str, ...]):
     """``mapInArrow`` kernel that fuses the row-validity checks with the
     token-bucket histogram: input batches carry (part_id, tokens, n_tok,

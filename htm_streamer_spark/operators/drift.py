@@ -75,6 +75,35 @@ def token_histogram_checked(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     return hist.groupBy("part_id", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def featurize_and_token_histogram(
+    df: DataFrame, cfg: EngineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """ONE pass over the token bytes producing both the narrow per-row
+    feature frame and the per-partition clean-row token histogram (see
+    functions/array_funcs.py:featurize_hist_kernel). Returns
+    (narrow_df, tok_hist_df). The caller persists the combined output;
+    both returned frames are filters over it, so the token column is
+    decoded exactly once per suite run."""
+    from htm_streamer_spark.functions.array_funcs import featurize_hist_kernel
+
+    out = df.select("doc_id", "part_id", "n_tok", "source", "ts", "tokens").mapInArrow(
+        featurize_hist_kernel(cfg.tok_hist_buckets, cfg.vocab_size, cfg.allowed_sources),
+        schema=(
+            "kind tinyint, doc_id string, part_id int, n_tok int, source string, "
+            "ts timestamp, tok_len int, tok_oob boolean, bucket int, cnt long"
+        ),
+    ).persist()
+    narrow = out.filter(F.col("kind") == 0).select(
+        "doc_id", "part_id", "n_tok", "source", "ts", "tok_len", "tok_oob"
+    )
+    hist = (
+        out.filter(F.col("kind") == 1)
+        .groupBy("part_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return narrow, hist
+
+
 def ntok_histogram(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Per-partition n_tok histogram: (part_id, bucket, cnt). Null n_tok
     rows are excluded (they are violations, not distribution mass)."""

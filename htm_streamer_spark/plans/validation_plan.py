@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from htm_streamer_spark.config import EngineConfig, validate_input_schema
 from htm_streamer_spark.operators.drift import (
     drift_scores,
+    featurize_and_token_histogram,
     ntok_histogram,
     token_histogram,
     token_histogram_checked,
@@ -104,6 +105,7 @@ def run_validation_batch(
     cfg: EngineConfig | None = None,
     baseline: dict[str, DataFrame] | None = None,
     persist: bool = True,
+    fused: bool = True,
 ) -> ValidationResult:
     """Full-suite batch validation of ``df`` (the input_hint schema).
 
@@ -113,13 +115,25 @@ def run_validation_batch(
     violations — the hard-fail override).
     """
     cfg = cfg or EngineConfig()
-    # Narrow featurized frame: ONE projection touches the token arrays
-    # (size + range check); everything downstream runs on the ~1%-size
-    # result. Caching the wide frame (tokens are ~99% of the bytes) was
-    # the measured bottleneck — and at 10^12 rows it is impossible.
-    narrow = featurize(df, cfg)
-    if persist:
-        narrow = narrow.persist()
+    # ONE pass over the token bytes: a fused Arrow kernel emits both the
+    # narrow per-row feature frame (size + range check) and the
+    # clean-row token histogram; everything downstream runs on the
+    # ~1%-size result. Caching the wide frame (tokens are ~99% of the
+    # bytes) was the measured bottleneck — at 10^12 rows it is
+    # impossible.
+    drift_enabled = "drift" in cfg.checks
+    tok_all = None
+    if drift_enabled and fused:
+        # one token decode total; narrow rows ride the Arrow IPC
+        narrow, tok_all = featurize_and_token_histogram(df, cfg)
+    else:
+        # two token decodes (JVM featurize + Arrow histogram kernel);
+        # no per-row IPC — wins when rows are many and tokens short
+        narrow = featurize(df, cfg)
+        if persist:
+            narrow = narrow.persist()
+        if drift_enabled:
+            tok_all = token_histogram_checked(df, cfg).persist()
     base_parts: list[int]
     fit_from_self = baseline is None
     if fit_from_self:
@@ -133,16 +147,14 @@ def run_validation_batch(
     n_viol = viols.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_violations"))
     stats = partition_stats(narrow, cfg, featurized=True)
 
-    if "drift" in cfg.checks:
+    if drift_enabled:
         clean = row_check_flags(narrow, cfg, featurized=True).filter(
             ~F.col("any_violation")
         )
+        ntok_all = ntok_histogram(clean, cfg)
         if fit_from_self:
-            # the ONLY other pass over token bytes: row checks fused
-            # into the Arrow histogram kernel; the baseline is a tiny
-            # post-aggregation of the same per-partition histograms
-            tok_all = token_histogram_checked(df, cfg).persist()
-            ntok_all = ntok_histogram(clean, cfg).persist()
+            # the baseline is a tiny post-aggregation of the same
+            # per-partition histograms the fused kernel already produced
             baseline = {
                 "tok": tok_all.filter(F.col("part_id").isin(base_parts))
                 .groupBy("bucket")
@@ -152,17 +164,12 @@ def run_validation_batch(
                 .agg(F.sum("cnt").alias("cnt")),
                 "part_ids": base_parts,
             }
-            tok_nonbase = tok_all.filter(~F.col("part_id").isin(base_parts))
-            ntok_nonbase = ntok_all.filter(~F.col("part_id").isin(base_parts))
-        else:
-            nonbase_raw = (
-                df.filter(~F.col("part_id").isin(base_parts)) if base_parts else df
-            )
-            tok_nonbase = token_histogram_checked(nonbase_raw, cfg)
-            nonbase_clean = (
-                clean.filter(~F.col("part_id").isin(base_parts)) if base_parts else clean
-            )
-            ntok_nonbase = ntok_histogram(nonbase_clean, cfg)
+        tok_nonbase = (
+            tok_all.filter(~F.col("part_id").isin(base_parts)) if base_parts else tok_all
+        )
+        ntok_nonbase = (
+            ntok_all.filter(~F.col("part_id").isin(base_parts)) if base_parts else ntok_all
+        )
         tok_scores = drift_scores(
             tok_nonbase, baseline["tok"], cfg.tok_hist_buckets
         ).withColumnsRenamed({"psi": "psi_tok", "kl": "kl_tok"})
