@@ -101,8 +101,8 @@ SELECT source,
        count(*) AS n_rows,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars,
-       round(avg(n_chars), 6)::DOUBLE AS avg_chars,
-       round(avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END), 6)::DOUBLE AS null_rate
+       round(avg(n_chars), 6)::DOUBLE + 0.0 AS avg_chars,
+       round(avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END), 6)::DOUBLE + 0.0 AS null_rate
 FROM documents GROUP BY source
 """
 
@@ -285,11 +285,11 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)::DOUBLE AS sum_qty,
-       round(sum(l_extendedprice), 2)::DOUBLE AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_disc_price,
-       round(avg(l_quantity), 4)::DOUBLE AS avg_qty,
-       round(avg(l_discount), 4)::DOUBLE AS avg_disc,
+       round(sum(l_quantity), 2)::DOUBLE + 0.0 AS sum_qty,
+       round(sum(l_extendedprice), 2)::DOUBLE + 0.0 AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE + 0.0 AS sum_disc_price,
+       round(avg(l_quantity), 4)::DOUBLE + 0.0 AS avg_qty,
+       round(avg(l_discount), 4)::DOUBLE + 0.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -312,7 +312,7 @@ def q_moving_average_events(spark, sf_dir):
 SQL_MOVING_AVERAGE = """
 SELECT event_type, event_id,
        round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)::DOUBLE AS ma
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)::DOUBLE + 0.0 AS ma
 FROM events
 """
 
@@ -386,7 +386,7 @@ WITH base AS (
                  THEN 1.0 - (1.0 - 0.999) ELSE lik_raw END AS lik
   FROM w7
 )
-SELECT event_type, event_id, round(lik, 6)::DOUBLE AS anomaly_likelihood FROM w8
+SELECT event_type, event_id, round(lik, 6)::DOUBLE + 0.0 AS anomaly_likelihood FROM w8
 """
 
 
@@ -520,7 +520,7 @@ SELECT doc_id,
          + least(stopword_ratio * 5.0, 1.0) * 0.3
          + CASE WHEN punct_ratio > 0.001 AND punct_ratio < 0.2 THEN 0.15 ELSE 0.0 END
          + CASE WHEN mean_word_len > 2.5 AND mean_word_len < 12.0 THEN 0.15 ELSE 0.0 END,
-       6)::DOUBLE AS quality
+       6)::DOUBLE + 0.0 AS quality
 FROM q2
 """
 
@@ -608,8 +608,8 @@ WITH b AS (
   CROSS JOIN qt
 )
 SELECT event_type,
-       round(sum((p - q) * ln(p / q)), 6)::DOUBLE AS psi,
-       round(sum(p * ln(p / q)), 6)::DOUBLE AS kl
+       round(sum((p - q) * ln(p / q)), 6)::DOUBLE + 0.0 AS psi,
+       round(sum(p * ln(p / q)), 6)::DOUBLE + 0.0 AS kl
 FROM j GROUP BY event_type
 """
 
@@ -629,10 +629,10 @@ WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5
 ), scored AS (
   SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)::DOUBLE AS cos_raw
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)::DOUBLE + 0.0 AS cos_raw
   FROM embeddings e CROSS JOIN q
 )
-SELECT query_id, vec_id, round(cos_raw, 4)::DOUBLE AS cosine
+SELECT query_id, vec_id, round(cos_raw, 4)::DOUBLE + 0.0 AS cosine
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) <= 5
 """
@@ -699,7 +699,7 @@ WITH win(win_id, start, "end") AS (
          ('w2', TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-12 00:00:00'),
          ('w3', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-28 00:00:00')
 )
-SELECT win_id, count(*) AS n_events, round(sum(value), 4)::DOUBLE AS sum_value
+SELECT win_id, count(*) AS n_events, round(sum(value), 4)::DOUBLE + 0.0 AS sum_value
 FROM events e JOIN win w ON e.ts >= w.start AND e.ts <= w."end"
 GROUP BY win_id
 """
@@ -721,7 +721,7 @@ def q_lead_labels_events(spark, sf_dir):
 SQL_LEAD_LABELS = """
 SELECT event_id,
        round(lead(value, 3) OVER (PARTITION BY event_type ORDER BY ts, event_id) - value,
-             6)::DOUBLE AS delta_3ahead
+             6)::DOUBLE + 0.0 AS delta_3ahead
 FROM events QUALIFY delta_3ahead IS NOT NULL
 """
 
@@ -739,7 +739,7 @@ def q_argmax_orders(spark, sf_dir):
 SQL_ARGMAX_ORDERS = """
 SELECT o_orderpriority,
        arg_max(o_orderkey, o_totalprice) AS top_orderkey,
-       round(max(o_totalprice), 2)::DOUBLE AS top_price
+       round(max(o_totalprice), 2)::DOUBLE + 0.0 AS top_price
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -762,7 +762,7 @@ def q_resolution_docs(spark, sf_dir):
 SQL_RESOLUTION = """
 SELECT min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        round((max(n_chars) - min(n_chars) + 2 * 0.2 * (max(n_chars) - min(n_chars))) / 130.0,
-             6)::DOUBLE AS resolution
+             6)::DOUBLE + 0.0 AS resolution
 FROM documents
 """
 
@@ -779,7 +779,7 @@ def q_loglik_events(spark, sf_dir):
 SQL_LOGLIK = """
 SELECT event_id,
        round(ln(1.0000000001 - (event_id % 1000) / 1000.0) / -23.02585084720009,
-             6)::DOUBLE AS log_likelihood
+             6)::DOUBLE + 0.0 AS log_likelihood
 FROM events
 """
 

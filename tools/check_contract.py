@@ -44,6 +44,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _bitwise_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    """Bitwise value equality (floats compared by their IEEE bytes, so
+    -0.0 != +0.0 and NaN == NaN), matching the driver's value-hash."""
+    if a.shape != b.shape:
+        return False
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_float_dtype(x) and pd.api.types.is_float_dtype(y):
+            if x.astype("float64").to_numpy().tobytes() != y.astype("float64").to_numpy().tobytes():
+                return False
+        else:
+            eq = (x == y) | (x.isna() & y.isna())
+            if not eq.all():
+                return False
+    return True
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -79,6 +96,10 @@ def main() -> int:
             detail = f"spark={sorted(sdf.columns)} duck={sorted(odf.columns)}"
         else:
             a, b = normalize(sdf), normalize(odf)
+            # Driver-style bitwise check first: value-hash distinguishes
+            # -0.0 from +0.0 and any ULP-level drift atol hides.
+            if not _bitwise_equal(a, b):
+                status = "HASH-MISMATCH"
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             except AssertionError as ex:
