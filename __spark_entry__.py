@@ -854,23 +854,194 @@ def q_lsh_topk_embeddings(spark, sf_dir):
 
 
 def q_validation_verdicts(spark, sf_dir):
+    """Flagship: the FULL validation suite (row checks, salted
+    uniqueness, drift PSI/KL vs a 2-partition baseline, hard-fail
+    override, probation) over a sequences-shaped table derived from
+    documents. Tokens are md5-based word hashes — chosen over xxhash64
+    ONLY because DuckDB can reproduce md5 bit-for-bit, so the driver's
+    independent oracle can verify the whole suite end-to-end.
+    allowed_sources covers src0..15, so src16..19 rows fire bad_source
+    and exercise the hard-fail override."""
     docs = _t(spark, sf_dir, "documents")
+    tok = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), F.lit(50257)
+    ).cast("int")
     seq = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.transform(
-            F.split(F.col("text"), r"\s+"),
-            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
-        ).alias("tokens"),
+        F.transform(F.split(F.col("text"), r"\s+"), tok).alias("tokens"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("int").alias("n_tok"),
+        F.col("source"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part_id"),
+    )
+    cfg = EngineConfig(baseline_partitions=2, allowed_sources=tuple(ALLOWED_SOURCES))
+    v = run_validation_batch(spark, seq, cfg).verdicts
+    # round the drift doubles for the cross-engine hash: Spark and DuckDB
+    # sum the 128-term PSI/KL series in different orders (~1e-15 drift)
+    return v.select(
+        "part_id",
+        "verdict",
+        "n_violations",
+        F.round("psi", 6).alias("psi"),
+        F.round("kl", 6).alias("kl"),
+    )
+
+
+SQL_VALIDATION_VERDICTS = """
+WITH seq AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         (doc_id % 8)::INT AS part_id,
+         source,
+         list_transform(regexp_split_to_array(text, '\\s+'),
+             w -> (('0x' || substr(md5(w), 1, 15))::BIGINT % 50257)::INT) AS tokens,
+         len(regexp_split_to_array(text, '\\s+'))::INT AS n_tok
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, part_id, source, n_tok,
+         len(tokens) AS tok_len,
+         coalesce(len(list_filter(tokens, t -> t < 0 OR t >= 50257)) > 0, FALSE) AS tok_oob,
+         coalesce(source IN ('src0','src1','src2','src3','src4','src5','src6','src7',
+                             'src8','src9','src10','src11','src12','src13','src14','src15'),
+                  FALSE) AS src_ok,
+         tokens
+  FROM seq
+),
+flags AS (
+  SELECT *,
+         (n_tok IS NULL) AS f_null,
+         coalesce(n_tok IS NOT NULL AND tok_len != n_tok, FALSE) AS f_len,
+         tok_oob AS f_range,
+         coalesce(tok_len = 0, TRUE) AS f_empty,
+         NOT src_ok AS f_badsrc
+  FROM feat
+),
+dupids AS (
+  SELECT doc_id FROM seq GROUP BY doc_id HAVING count(*) > 1
+),
+viol AS (
+  SELECT f.part_id,
+         sum(f_null::INT + f_len::INT + f_range::INT + f_empty::INT + f_badsrc::INT
+             + (f.doc_id IN (SELECT doc_id FROM dupids))::INT) AS n_violations
+  FROM flags f GROUP BY f.part_id
+),
+clean AS (
+  SELECT * FROM flags
+  WHERE NOT (f_null OR f_len OR f_range OR f_empty OR f_badsrc)
+),
+tok_hist AS (
+  SELECT part_id,
+         least(greatest((t.tok * 128) // 50257, 0), 127)::INT AS bucket,
+         count(*) AS cnt
+  FROM clean, unnest(clean.tokens) AS t(tok)
+  GROUP BY 1, 2
+),
+ntok_hist AS (
+  SELECT part_id,
+         ((least(greatest(n_tok, 0), 512)::BIGINT * 32) // 513)::INT AS bucket,
+         count(*) AS cnt
+  FROM clean WHERE n_tok IS NOT NULL
+  GROUP BY 1, 2
+),
+base_tok AS (SELECT bucket, sum(cnt) AS cnt FROM tok_hist  WHERE part_id IN (0, 1) GROUP BY bucket),
+base_ntok AS (SELECT bucket, sum(cnt) AS cnt FROM ntok_hist WHERE part_id IN (0, 1) GROUP BY bucket),
+nb_tok  AS (SELECT * FROM tok_hist  WHERE part_id NOT IN (0, 1)),
+nb_ntok AS (SELECT * FROM ntok_hist WHERE part_id NOT IN (0, 1)),
+grid_tok AS (
+  SELECT p.part_id, b.range::INT AS bucket
+  FROM (SELECT DISTINCT part_id FROM nb_tok) p CROSS JOIN range(128) b
+),
+grid_ntok AS (
+  SELECT p.part_id, b.range::INT AS bucket
+  FROM (SELECT DISTINCT part_id FROM nb_ntok) p CROSS JOIN range(32) b
+),
+pq_tok AS (
+  SELECT g.part_id,
+         greatest(coalesce(h.cnt, 0) / greatest(pt.p_total, 1.0), 1e-6) AS p,
+         greatest(coalesce(b.cnt, 0) / greatest(qt.q_total, 1.0), 1e-6) AS q
+  FROM grid_tok g
+  LEFT JOIN nb_tok h USING (part_id, bucket)
+  LEFT JOIN base_tok b USING (bucket)
+  LEFT JOIN (SELECT part_id, sum(cnt) AS p_total FROM nb_tok GROUP BY part_id) pt USING (part_id)
+  CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS q_total FROM base_tok) qt
+),
+pq_ntok AS (
+  SELECT g.part_id,
+         greatest(coalesce(h.cnt, 0) / greatest(pt.p_total, 1.0), 1e-6) AS p,
+         greatest(coalesce(b.cnt, 0) / greatest(qt.q_total, 1.0), 1e-6) AS q
+  FROM grid_ntok g
+  LEFT JOIN nb_ntok h USING (part_id, bucket)
+  LEFT JOIN base_ntok b USING (bucket)
+  LEFT JOIN (SELECT part_id, sum(cnt) AS p_total FROM nb_ntok GROUP BY part_id) pt USING (part_id)
+  CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS q_total FROM base_ntok) qt
+),
+sc_tok AS (
+  SELECT part_id, sum((p - q) * ln(p / q)) AS psi_tok, sum(p * ln(p / q)) AS kl_tok
+  FROM pq_tok GROUP BY part_id
+),
+sc_ntok AS (
+  SELECT part_id, sum((p - q) * ln(p / q)) AS psi_ntok, sum(p * ln(p / q)) AS kl_ntok
+  FROM pq_ntok GROUP BY part_id
+),
+drift AS (
+  SELECT coalesce(t.part_id, n.part_id) AS part_id,
+         greatest(coalesce(psi_tok, 0.0), coalesce(psi_ntok, 0.0)) AS psi,
+         greatest(coalesce(kl_tok, 0.0), coalesce(kl_ntok, 0.0)) AS kl
+  FROM sc_tok t FULL OUTER JOIN sc_ntok n USING (part_id)
+),
+parts AS (SELECT DISTINCT part_id FROM seq)
+SELECT p.part_id,
+       CASE WHEN coalesce(v.n_violations, 0) > 0 THEN 'fail'
+            WHEN p.part_id IN (0, 1) THEN 'probation'
+            WHEN coalesce(d.psi, 0.0) > 0.2 OR coalesce(d.kl, 0.0) > 0.5 THEN 'fail'
+            ELSE 'pass' END AS verdict,
+       coalesce(v.n_violations, 0)::BIGINT AS n_violations,
+       round(CASE WHEN p.part_id IN (0, 1) THEN 0.0 ELSE coalesce(d.psi, 0.0) END, 6)::DOUBLE + 0.0 AS psi,
+       round(CASE WHEN p.part_id IN (0, 1) THEN 0.0 ELSE coalesce(d.kl, 0.0) END, 6)::DOUBLE + 0.0 AS kl
+FROM parts p
+LEFT JOIN viol v USING (part_id)
+LEFT JOIN drift d USING (part_id)
+"""
+
+
+def q_validation_verdicts_drift(spark, sf_dir):
+    """The flagship suite with ALL 20 sources allowed: no row violations
+    fire, so the verdict path exercised is probation (baseline parts) /
+    pass / drift-fail — the branches the hard-fail override masks in
+    q_validation_verdicts."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), F.lit(50257)
+    ).cast("int")
+    seq = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.split(F.col("text"), r"\s+"), tok).alias("tokens"),
         F.size(F.split(F.col("text"), r"\s+")).cast("int").alias("n_tok"),
         F.col("source"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
         F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part_id"),
     )
     cfg = EngineConfig(
-        allowed_sources=tuple(f"src{i}" for i in range(20)),
         baseline_partitions=2,
+        allowed_sources=tuple(f"src{i}" for i in range(20)),
     )
-    return run_validation_batch(spark, seq, cfg).verdicts
+    v = run_validation_batch(spark, seq, cfg).verdicts
+    return v.select(
+        "part_id",
+        "verdict",
+        "n_violations",
+        F.round("psi", 6).alias("psi"),
+        F.round("kl", 6).alias("kl"),
+    )
+
+
+_ALL20 = ",".join(f"'src{i}'" for i in range(20))
+SQL_VALIDATION_VERDICTS_DRIFT = SQL_VALIDATION_VERDICTS.replace(
+    """source IN ('src0','src1','src2','src3','src4','src5','src6','src7',
+                             'src8','src9','src10','src11','src12','src13','src14','src15')""",
+    f"source IN ({_ALL20})",
+)
+assert SQL_VALIDATION_VERDICTS_DRIFT != SQL_VALIDATION_VERDICTS
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -910,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "validation_verdicts": q_validation_verdicts,
+        "validation_verdicts_drift": q_validation_verdicts_drift,
     }
 
 
@@ -944,4 +1116,6 @@ def oracle_sql() -> dict[str, str]:
         "resolution_docs": SQL_RESOLUTION,
         "loglik_events": SQL_LOGLIK,
         "tail_slice_events": SQL_TAIL_SLICE,
+        "validation_verdicts": SQL_VALIDATION_VERDICTS,
+        "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
     }

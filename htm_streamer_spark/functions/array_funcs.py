@@ -147,7 +147,44 @@ def token_hist_kernel(buckets: int, vocab_size: int):
     return kernel
 
 
-def featurize_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[str, ...]):
+ROW_CHECKS_ALL = ("null_n_tok", "len_mismatch", "token_range", "empty_tokens", "bad_source")
+
+
+def _clean_mask(
+    checks: tuple[str, ...],
+    n_tok: np.ndarray,       # float64, NaN where null
+    lengths: np.ndarray,     # int64, 0 for null lists
+    tok_valid: np.ndarray,   # bool, False where tokens column is null
+    n_bad: np.ndarray,       # int64 out-of-range count per row
+    src_ok: np.ndarray,      # bool
+) -> np.ndarray:
+    """Row-is-clean mask from the ENABLED checks only, with exactly the
+    native three-valued-logic outcome of ``filter(~any_violation)``: a
+    row is clean iff every enabled flag evaluates to exactly False
+    (null flags exclude the row, as in Spark)."""
+    clean = np.ones(len(lengths), dtype=bool)
+    nn = ~np.isnan(n_tok)
+    if "null_n_tok" in checks:
+        clean &= nn
+    if "len_mismatch" in checks:
+        # flag False iff n_tok null OR (tok_len non-null AND equal)
+        clean &= ~nn | (tok_valid & (n_tok == lengths))
+    if "token_range" in checks:
+        clean &= n_bad == 0
+    if "empty_tokens" in checks:
+        # flag = coalesce(tok_len == 0, True): null tok_len is a violation
+        clean &= tok_valid & (lengths > 0)
+    if "bad_source" in checks:
+        clean &= src_ok
+    return clean
+
+
+def featurize_hist_kernel(
+    buckets: int,
+    vocab_size: int,
+    allowed_sources: tuple[str, ...],
+    checks: tuple[str, ...] = ROW_CHECKS_ALL,
+):
     """``mapInArrow`` kernel that produces BOTH outputs of the
     validation suite's token pass in one decode:
 
@@ -175,6 +212,7 @@ def featurize_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[
             flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             lengths = np.diff(offsets)
+            tok_valid = tokens.is_valid().to_numpy(zero_copy_only=False)
             n_tok = batch.column(idx("n_tok")).to_numpy(zero_copy_only=False).astype(
                 np.float64
             )
@@ -189,13 +227,7 @@ def featurize_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[
             csum = np.concatenate([[0], np.cumsum(bad_flat)])
             n_bad = csum[ends] - csum[starts]
             src_ok = np.array([s in allowed for s in source])
-            clean = (
-                ~np.isnan(n_tok)
-                & (n_tok == lengths)
-                & (n_bad == 0)
-                & (lengths > 0)
-                & src_ok
-            )
+            clean = _clean_mask(checks, n_tok, lengths, tok_valid, n_bad, src_ok)
 
             n = batch.num_rows
             row_batch = pa.record_batch(
@@ -206,7 +238,9 @@ def featurize_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[
                     "n_tok": batch.column(idx("n_tok")),
                     "source": batch.column(idx("source")),
                     "ts": batch.column(idx("ts")),
-                    "tok_len": pa.array(lengths.astype(np.int32), type=pa.int32()),
+                    # null (not 0) where the tokens column is null, matching
+                    # the native F.size(NULL) → NULL of featurize()
+                    "tok_len": pa.array(lengths.astype(np.int32), mask=~tok_valid, type=pa.int32()),
                     "tok_oob": pa.array(n_bad > 0, type=pa.bool_()),
                     "bucket": pa.array([None] * n, type=pa.int32()),
                     "cnt": pa.array([None] * n, type=pa.int64()),
@@ -242,7 +276,12 @@ def featurize_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[
     return kernel
 
 
-def checked_token_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tuple[str, ...]):
+def checked_token_hist_kernel(
+    buckets: int,
+    vocab_size: int,
+    allowed_sources: tuple[str, ...],
+    checks: tuple[str, ...] = ROW_CHECKS_ALL,
+):
     """``mapInArrow`` kernel that fuses the row-validity checks with the
     token-bucket histogram: input batches carry (part_id, tokens, n_tok,
     source); rows failing ANY check (null/len-mismatch/out-of-range/
@@ -265,6 +304,7 @@ def checked_token_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tu
             flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             lengths = np.diff(offsets)
+            tok_valid = tokens.is_valid().to_numpy(zero_copy_only=False)
             n_tok = batch.column(batch.schema.get_field_index("n_tok")).to_numpy(
                 zero_copy_only=False
             ).astype(np.float64)  # NaN for nulls
@@ -281,13 +321,7 @@ def checked_token_hist_kernel(buckets: int, vocab_size: int, allowed_sources: tu
             csum = np.concatenate([[0], np.cumsum(bad_flat)])
             n_bad = csum[ends] - csum[starts]
             src_ok = np.array([s in allowed for s in source])
-            clean = (
-                ~np.isnan(n_tok)
-                & (n_tok == lengths)
-                & (n_bad == 0)
-                & (lengths > 0)
-                & src_ok
-            )
+            clean = _clean_mask(checks, n_tok, lengths, tok_valid, n_bad, src_ok)
             if not clean.any():
                 continue
             keep = np.repeat(clean, lengths)

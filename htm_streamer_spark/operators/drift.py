@@ -69,7 +69,9 @@ def token_histogram_checked(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     fused into the Arrow kernel (no separate flag pass over tokens).
     Input: the raw sequences frame. Output: (part_id, bucket, cnt)."""
     hist = df.select("part_id", "tokens", "n_tok", "source").mapInArrow(
-        checked_token_hist_kernel(cfg.tok_hist_buckets, cfg.vocab_size, cfg.allowed_sources),
+        checked_token_hist_kernel(
+            cfg.tok_hist_buckets, cfg.vocab_size, cfg.allowed_sources, cfg.checks
+        ),
         schema="part_id int, bucket int, cnt long",
     )
     return hist.groupBy("part_id", "bucket").agg(F.sum("cnt").alias("cnt"))
@@ -87,7 +89,9 @@ def featurize_and_token_histogram(
     from htm_streamer_spark.functions.array_funcs import featurize_hist_kernel
 
     out = df.select("doc_id", "part_id", "n_tok", "source", "ts", "tokens").mapInArrow(
-        featurize_hist_kernel(cfg.tok_hist_buckets, cfg.vocab_size, cfg.allowed_sources),
+        featurize_hist_kernel(
+            cfg.tok_hist_buckets, cfg.vocab_size, cfg.allowed_sources, cfg.checks
+        ),
         schema=(
             "kind tinyint, doc_id string, part_id int, n_tok int, source string, "
             "ts timestamp, tok_len int, tok_oob boolean, bucket int, cnt long"
