@@ -840,8 +840,34 @@ def q_minhash_pairs_docs(spark, sf_dir):
 
 
 def q_simhash_docs(spark, sf_dir):
+    """60-bit simhash: md5-based word hashes computed JVM-side, majority
+    vote in one numpy mapInArrow kernel — now fully DuckDB-verifiable."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_fingerprints(d)
+    return simhash_fingerprints(d, method="md5")
+
+
+SQL_SIMHASH = """
+WITH words AS (
+  SELECT doc_id, ('0x' || substr(md5(t.w), 1, 15))::BIGINT AS h
+  FROM documents,
+       unnest(regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                    '\\s+')) AS t(w)
+  WHERE length(t.w) > 0
+),
+votes AS (
+  SELECT doc_id, b.range AS b,
+         sum(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM words CROSS JOIN range(60) b
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sigs s USING (doc_id)
+"""
 
 
 def q_lsh_topk_embeddings(spark, sf_dir):
@@ -1116,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "resolution_docs": SQL_RESOLUTION,
         "loglik_events": SQL_LOGLIK,
         "tail_slice_events": SQL_TAIL_SLICE,
+        "simhash_docs": SQL_SIMHASH,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
     }

@@ -34,18 +34,39 @@ def normalized_text(col) -> F.Column:
     return F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup: (digest, n_copies, doc_ids) for digests with >1 doc.
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", sample_ids: int = 8, n_salts: int = 64
+) -> DataFrame:
+    """Exact dedup: (digest, n_copies, sample_doc_ids) for digests with
+    >1 doc, where sample_doc_ids is the ``sample_ids`` LEXICALLY SMALLEST
+    doc_ids of the group (a bounded, deterministic sample — never the
+    full member list: one boilerplate digest with 10^7 copies must not
+    materialize a 10^7-element array on one reducer).
 
-    One shuffle on the digest; counts partial-merge map-side.
+    Two salted phases bound every intermediate: phase 1 groups by
+    (digest, salt) so a hot digest spreads over ``n_salts`` reducers and
+    each collects at most its shard before slicing to ``sample_ids``;
+    phase 2 merges ≤ n_salts bounded arrays per digest. Counts
+    partial-merge map-side in both phases. Full membership, when needed,
+    is recovered by joining df back on the digest.
     """
     digest = F.md5(normalized_text(F.col(text_col))).alias("digest")
-    return (
-        df.select(digest, "doc_id")
-        .groupBy("digest")
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).alias("_salt")
+    p1 = (
+        df.select(digest, salt, "doc_id")
+        .groupBy("digest", "_salt")
         .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count(F.lit(1)).alias("_cnt"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, sample_ids).alias("_ids"),
+        )
+    )
+    return (
+        p1.groupBy("digest")
+        .agg(
+            F.sum("_cnt").alias("n_copies"),
+            F.slice(F.sort_array(F.flatten(F.collect_list("_ids"))), 1, sample_ids).alias(
+                "sample_doc_ids"
+            ),
         )
         .filter(F.col("n_copies") > 1)
     )
@@ -191,61 +212,90 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized Arrow UDF — the hashing-heavy path where numpy
-# beats expression trees)
+# SimHash — JVM-side word hashing + a numpy bit-vote mapInArrow kernel.
+# No per-row Python anywhere: the word hashes are native expressions
+# (whole-stage codegen) and the majority vote runs as 60 vectorized numpy
+# passes over the flattened Arrow ListArray buffers.
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 → 60 bits, same both engines
 
-def simhash_udf():
-    """pandas_udf: 64-bit simhash of normalized text. Per-batch numpy:
-    token hashes via a splitmix-style mix of python hash(), bit-matrix
-    majority vote. Defined as a closure for by-value pickling."""
 
-    @F.pandas_udf(T.LongType())
-    def simhash(text: pd.Series) -> pd.Series:
-        import re
+def word_hash_array(text_col, method: str = "md5") -> F.Column:
+    """array<long> of 60-bit word hashes of the normalized text.
 
-        out = np.zeros(len(text), dtype=np.int64)
-        pat = re.compile(r"[a-z0-9]+")
-        mask64 = (1 << 64) - 1
-        for i, t in enumerate(text):
-            if not t:
+    ``method='md5'``: first 15 hex chars of md5 — bit-for-bit
+    reproducible in the DuckDB oracle. ``method='xxhash64'``: masked
+    xxhash64, ~5x cheaper, the production default at scale.
+    """
+    words = F.filter(
+        F.split(normalized_text(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    if method == "md5":
+        h = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")  # noqa: E731
+    elif method == "xxhash64":
+        mask = (1 << SIMHASH_BITS) - 1
+        h = lambda w: F.xxhash64(w).bitwiseAND(F.lit(mask))  # noqa: E731
+    else:
+        raise ValueError(f"unknown word-hash method {method!r}")
+    return F.transform(words, h)
+
+
+def simhash_vote_kernel(bits: int = SIMHASH_BITS):
+    """mapInArrow kernel: (doc_id, hashes array<long>) → (doc_id,
+    simhash long). The per-bit majority vote is a running-sum segment
+    reduction per bit — 60 vectorized passes over the flat values
+    buffer, never a Python loop over rows. Closure for by-value
+    pickling."""
+
+    def kernel(batch_iter):
+        import pyarrow as pa
+
+        for batch in batch_iter:
+            if batch.num_rows == 0:
                 continue
-            words = pat.findall(t.lower())
-            if not words:
-                continue
-            hs = np.array(
-                [hash_stable(w) for w in words], dtype=np.uint64
+            hashes = batch.column(batch.schema.get_field_index("hashes"))
+            if isinstance(hashes, pa.ChunkedArray):
+                hashes = hashes.combine_chunks()
+            flat = hashes.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            offsets = hashes.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lengths = np.diff(offsets)
+            ends = np.cumsum(lengths)
+            starts = ends - lengths
+            sig = np.zeros(batch.num_rows, dtype=np.uint64)
+            for b in range(bits):
+                contrib = (((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2) - 1
+                csum = np.concatenate([[0], np.cumsum(contrib)])
+                votes = csum[ends] - csum[starts]
+                sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+            yield pa.record_batch(
+                {
+                    "doc_id": batch.column(batch.schema.get_field_index("doc_id")),
+                    "simhash": pa.array(sig.astype(np.int64), type=pa.int64()),
+                }
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= 1 << b
-            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        return pd.Series(out)
 
-    def hash_stable(w: str) -> int:
-        # FNV-1a 64-bit — deterministic across processes (unlike hash())
-        h = 0xCBF29CE484222325
-        for ch in w.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & ((1 << 64) - 1)
-        return h
-
-    return simhash
+    return kernel
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.select("doc_id", simhash_udf()(F.col(text_col)).alias("simhash"))
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", method: str = "md5"
+) -> DataFrame:
+    """(doc_id, simhash): 60-bit simhash per doc; 0 for wordless docs.
+    doc_id type is preserved from the input."""
+    doc_id_type = df.schema["doc_id"].dataType.simpleString()
+    hashed = df.select("doc_id", word_hash_array(F.col(text_col), method).alias("hashes"))
+    sigs = hashed.mapInArrow(
+        simhash_vote_kernel(),
+        schema=f"doc_id {doc_id_type}, simhash long",
+    )
+    return sigs
 
 
-def simhash_candidate_pairs(fp: DataFrame, band_bits: int = 16) -> DataFrame:
-    """Near-dup candidates sharing any of the 64/band_bits simhash bands
-    (docs within Hamming distance < 64/band_bits must share a band)."""
-    n_bands = 64 // band_bits
+def simhash_candidate_pairs(fp: DataFrame, band_bits: int = 15) -> DataFrame:
+    """Near-dup candidates sharing any of the 60/band_bits simhash bands
+    (docs within Hamming distance < 60/band_bits must share a band)."""
+    n_bands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(
         "doc_id",

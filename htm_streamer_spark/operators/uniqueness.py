@@ -43,13 +43,16 @@ def duplicate_ids(df: DataFrame, cfg: EngineConfig, key_col: str = "doc_id") -> 
 def duplicate_violations(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Violation rows: every row whose doc_id is duplicated.
 
-    The duplicated-id set is small by construction (violation-rate ~2%),
-    so the join-back broadcasts — no shuffle of the fact side.
+    The join-back strategy is left to AQE: the duplicated-id set is
+    usually small (~2% violation rate) and AQE picks a broadcast join at
+    runtime from the ACTUAL size — but 2% of 10^12 rows is 2×10^10 ids,
+    so a forced broadcast hint would OOM the driver at scale. AQE's
+    skew-join handling also covers a hot duplicated key here.
     Output: (doc_id, part_id, check_id, payload).
     """
     dups = duplicate_ids(df, cfg).select("doc_id")
     return (
-        df.join(F.broadcast(dups), "doc_id", "left_semi")
+        df.join(dups, "doc_id", "left_semi")
         .select(
             "doc_id",
             "part_id",

@@ -40,7 +40,22 @@ def test_exact_duplicates(docs):
     got = exact_duplicates(docs).collect()
     assert len(got) == 1
     assert got[0]["n_copies"] == 3  # 1, 2 and 3 normalize identically
-    assert got[0]["doc_ids"] == [1, 2, 3]
+    assert got[0]["sample_doc_ids"] == [1, 2, 3]
+
+
+def test_exact_duplicates_sample_is_bounded_and_deterministic(spark):
+    """Hot digest: the member array is capped at sample_ids (never the
+    full 10^5-style member list) and the sample is the lexically
+    smallest ids regardless of partitioning."""
+    n = 5000
+    rows = [(i, "the same boilerplate text") for i in range(n)] + [
+        (n, "a unique document about something else entirely")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    got = exact_duplicates(df, sample_ids=8).collect()
+    assert len(got) == 1
+    assert got[0]["n_copies"] == n
+    assert got[0]["sample_doc_ids"] == list(range(8))
 
 
 def test_shingles_deterministic(docs):
@@ -78,3 +93,20 @@ def test_minhash_signature_width(docs):
     sigs = minhash_signatures(shingles(docs), num_hashes=32)
     row = sigs.filter(F.col("doc_id") == 1).collect()[0]
     assert len(row["sig"]) == 32
+
+
+def test_simhash_plan_single_arrow_stage_no_python_udf(docs):
+    """The only Python in the simhash plan is ONE mapInArrow vote kernel
+    — word hashing stays JVM-side (no per-row Python, per input_hint)."""
+    df = simhash_fingerprints(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("MapInArrow") == 1, plan
+
+
+def test_simhash_xxhash_method_same_shape(docs):
+    """The production (xxhash64) hash path produces valid 60-bit sigs
+    with the same grouping behavior: identical docs collide."""
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs, method="xxhash64").collect()}
+    assert fp[1] == fp[2]
+    assert all(0 <= v < (1 << 60) for v in fp.values())
