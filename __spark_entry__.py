@@ -835,8 +835,78 @@ def q_approx_distinct_docs(spark, sf_dir):
 
 
 def q_minhash_pairs_docs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with the md5-based base hash: the
+    whole pipeline (shingle → affine minwise sigs → band buckets →
+    exact-Jaccard confirm) is recomputed independently by the DuckDB
+    oracle below with the same affine constants."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, jaccard_threshold=0.5)
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5, method="md5")
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_minhash() -> str:
+    from htm_streamer_spark.operators.dedup import MINHASH_P, minhash_constants
+
+    K, BANDS, R = 32, 8, 4
+    A, B = minhash_constants(K)
+    hs = ",\n         ".join(
+        f"min(({A[k]}*base + {B[k]}) % {MINHASH_P}) AS h{k}" for k in range(K)
+    )
+    bands_sql = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bsig FROM sigs".format(
+            b=b, cols=", ".join(f"h{R * b + r}" for r in range(R))
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                                i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS grams
+  FROM norm
+),
+sh AS (
+  SELECT doc_id, ('0x'||substr(md5(t.g),1,8))::BIGINT % {MINHASH_P} AS base
+  FROM grams, unnest(grams.grams) AS t(g)
+  WHERE length(t.g) > 0
+),
+sigs AS (
+  SELECT doc_id, {hs}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {bands_sql}
+),
+buckets AS (
+  SELECT band, bsig, list_sort(list(doc_id)) AS ids
+  FROM banded GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT x.a AS doc_a, y.b AS doc_b
+  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+  WHERE x.a < y.b
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) > 0
+              THEN len(list_distinct(list_intersect(ga.grams, gb.grams)))::DOUBLE
+                   / len(list_distinct(list_concat(ga.grams, gb.grams)))
+              ELSE 0.0 END AS jac
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jac, 6)::DOUBLE + 0.0 AS jaccard
+FROM scored WHERE jac >= 0.5
+"""
+
+
+SQL_MINHASH_PAIRS = _sql_minhash()
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -871,12 +941,60 @@ FROM documents d LEFT JOIN sigs s USING (doc_id)
 
 
 def q_lsh_topk_embeddings(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    """LSH multi-probe ANN top-k. Embeddings are cast to double so the
+    hyperplane dots and cosines agree with the DuckDB oracle to ~1e-15
+    (float32 arithmetic differs at ~1e-7, enough to flip bucket signs)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = len(emb.first()["embedding"])
-    return lsh_topk(emb, queries, dim=dim, k=5, bits=8, probe_hamming=2)
+    out = lsh_topk(emb, queries, dim=64, k=5, bits=8, probe_hamming=2)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _sql_lsh_topk() -> str:
+    from htm_streamer_spark.operators.similarity import _hyperplanes
+
+    bits, dim, k = 8, 64, 5
+    planes = _hyperplanes(dim, bits, seed=42)
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(emb, [{w}]) > 0 THEN {v} ELSE 0 END)".format(
+            w=", ".join(repr(float(x)) for x in planes[b]), v=1 << b
+        )
+        for b in range(bits)
+    )
+    masks = [0] + [1 << b for b in range(bits)] + [
+        (1 << b1) | (1 << b2) for b1 in range(bits) for b2 in range(b1 + 1, bits)
+    ]
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, emb, ({sig_terms})::BIGINT AS sig FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qvec, sig AS qsig FROM sigs WHERE vec_id < 5
+),
+probed AS (
+  SELECT query_id, qvec, xor(qsig, m.mask) AS sig
+  FROM q, unnest({masks}) AS m(mask)
+),
+cand AS (
+  SELECT p.query_id, s.vec_id,
+         list_cosine_similarity(s.emb, p.qvec) AS cos_raw
+  FROM sigs s JOIN probed p USING (sig)
+)
+SELECT query_id, vec_id, round(cos_raw, 6)::DOUBLE + 0.0 AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+FROM cand
+QUALIFY rank <= {k}
+"""
+
+
+SQL_LSH_TOPK = _sql_lsh_topk()
 
 
 def q_validation_verdicts(spark, sf_dir):
@@ -1142,7 +1260,9 @@ def oracle_sql() -> dict[str, str]:
         "resolution_docs": SQL_RESOLUTION,
         "loglik_events": SQL_LOGLIK,
         "tail_slice_events": SQL_TAIL_SLICE,
+        "minhash_pairs_docs": SQL_MINHASH_PAIRS,
         "simhash_docs": SQL_SIMHASH,
+        "lsh_topk_embeddings": SQL_LSH_TOPK,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
     }

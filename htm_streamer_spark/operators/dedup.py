@@ -103,18 +103,55 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 32
-) -> DataFrame:
-    """(doc_id, sig array<long>): minhash over shingles with K seeded
-    xxhash64 permutations — all native aggregates, one shuffle on doc_id."""
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
+MINHASH_P = 2147483647  # 2^31 - 1, the classic universal-hash prime
+
+
+def minhash_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine coefficients (A_k, B_k) for the K minwise
+    permutations h_k(x) = (A_k·x + B_k) mod p, derived from md5 so the
+    exact same literals appear in the DuckDB oracle."""
+    import hashlib
+
+    A = [
+        1 + int(hashlib.md5(f"a{k}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1)
+        for k in range(num_hashes)
     ]
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    B = [
+        int(hashlib.md5(f"b{k}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        for k in range(num_hashes)
+    ]
+    return A, B
+
+
+def shingle_base_hash(shingle, method: str = "md5") -> F.Column:
+    """31-bit base hash of a shingle. ``md5``: DuckDB-reproducible;
+    ``xxhash64``: cheaper, the at-scale default."""
+    if method == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long"),
+            F.lit(MINHASH_P),
+        )
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(shingle), F.lit(MINHASH_P))
+    raise ValueError(f"unknown base-hash method {method!r}")
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32, method: str = "md5"
+) -> DataFrame:
+    """(doc_id, sig array<long>): minwise signatures via ONE base hash
+    per shingle + K affine permutations (A_k·x + B_k) mod p — K cheap
+    integer ops replace K full string hashes per shingle, all native
+    aggregates, one shuffle on doc_id with map-side partial min."""
+    A, B = minhash_constants(num_hashes)
+    base = shingle_base_hash(F.col("shingle"), method).alias("_base")
+    aggs = [
+        F.min((F.lit(A[k]) * F.col("_base") + F.lit(B[k])) % F.lit(MINHASH_P)).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    per_doc = sh.select("doc_id", base).groupBy("doc_id").agg(*aggs)
     return per_doc.select(
-        "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+        "doc_id", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
     )
 
 
@@ -135,14 +172,14 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
+                    # the band's min values joined as a string — grouping
+                    # key directly, no extra hash (and DuckDB-identical)
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
                     ).alias("bsig"),
                 ),
             )
@@ -202,11 +239,12 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    method: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
     bucket-join → exact-Jaccard confirm. Returns (doc_a, doc_b, jaccard)."""
     sh = shingles(df, text_col, shingle_n)
-    sigs = minhash_signatures(sh, num_hashes)
+    sigs = minhash_signatures(sh, num_hashes, method)
     pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return ngram_jaccard_pairs(df, pairs, text_col, shingle_n, jaccard_threshold)
 

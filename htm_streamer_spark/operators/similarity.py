@@ -84,7 +84,11 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 def lsh_signature_col(vec_col, planes: np.ndarray):
     """Signature bits packed into one long: bit b = sign(vec · plane_b).
     Pure expression — each plane's dot is an F.aggregate over zip_with
-    against a literal array (folded by Catalyst)."""
+    against a literal array (folded by Catalyst).
+
+    Use only for SMALL bits×dim (≲2048 literals): the expression tree
+    carries bits×dim literals through codegen. At real embedding dims
+    (768×12 ≈ 9k literals) use :func:`lsh_signatures_arrow` instead."""
     bits = []
     for b in range(planes.shape[0]):
         lit_plane = F.array(*[F.lit(float(v)) for v in planes[b]])
@@ -94,6 +98,53 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
     for x in bits[1:]:
         sig = sig + x
     return sig.cast("long")
+
+
+# expression-tree literal budget above which signatures switch to the
+# Arrow matmul kernel (bits × dim literals through codegen is a
+# compile-time bomb at real embedding dims)
+LSH_EXPR_MAX_LITERALS = 2048
+
+
+def lsh_signatures_arrow(
+    df: DataFrame,
+    planes: np.ndarray,
+    passthrough_cols: list[str],
+    vec_col: str = "embedding",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(passthrough_cols..., vec_col, sig_col): signatures via ONE numpy
+    matmul per Arrow batch — (rows × dim) · (dim × bits) — instead of a
+    bits×dim-literal expression tree. The scale path for dim ≥ ~256.
+    No per-row Python: rows reshape zero-copy from the flattened
+    ListArray values buffer (fixed dim per batch)."""
+    bits, dim = planes.shape
+    pt = np.ascontiguousarray(planes.T)  # dim × bits
+    weights = (1 << np.arange(bits, dtype=np.uint64)).astype(np.float64)
+    in_cols = [*passthrough_cols, vec_col]
+    in_schema = df.select(*in_cols).schema
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields
+    )
+
+    def kernel(batch_iter):
+        import pyarrow as pa
+
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            vecs = batch.column(batch.schema.get_field_index(vec_col))
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(batch.num_rows, dim)
+            dots = mat @ pt  # rows × bits
+            sig = ((dots > 0).astype(np.float64) @ weights).astype(np.int64)
+            cols = {name: batch.column(batch.schema.get_field_index(name)) for name in in_cols}
+            cols[sig_col] = pa.array(sig, type=pa.int64())
+            yield pa.record_batch(cols)
+
+    return df.select(*in_cols).mapInArrow(kernel, schema=f"{out_fields}, {sig_col} long")
 
 
 def lsh_topk(
@@ -116,12 +167,18 @@ def lsh_topk(
     knob). Exact cosine re-ranks candidates. Returns
     (query_id, vec_id, cosine, rank)."""
     planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(id_col, vec_col, lsh_signature_col(F.col(vec_col), planes).alias("sig"))
-    q = queries.select(
-        query_id_col,
-        F.col(vec_col).alias("_qvec"),
-        lsh_signature_col(F.col(vec_col), planes).alias("qsig"),
-    )
+    if bits * dim > LSH_EXPR_MAX_LITERALS:
+        c = lsh_signatures_arrow(corpus, planes, [id_col], vec_col, "sig")
+        q = lsh_signatures_arrow(queries, planes, [query_id_col], vec_col, "qsig").select(
+            query_id_col, F.col(vec_col).alias("_qvec"), "qsig"
+        )
+    else:
+        c = corpus.select(id_col, vec_col, lsh_signature_col(F.col(vec_col), planes).alias("sig"))
+        q = queries.select(
+            query_id_col,
+            F.col(vec_col).alias("_qvec"),
+            lsh_signature_col(F.col(vec_col), planes).alias("qsig"),
+        )
     # multi-probe: expand each query to its probe signatures
     probes = [F.col("qsig")]
     if probe_hamming >= 1:
@@ -159,7 +216,10 @@ def embedding_near_duplicates(
     pair within buckets, keep cosine >= threshold. (doc pairs with
     doc_a < doc_b). The all-pairs explosion is bounded per bucket."""
     planes = _hyperplanes(dim, bits, seed)
-    sigs = df.select(id_col, vec_col, lsh_signature_col(F.col(vec_col), planes).alias("sig"))
+    if bits * dim > LSH_EXPR_MAX_LITERALS:
+        sigs = lsh_signatures_arrow(df, planes, [id_col], vec_col, "sig")
+    else:
+        sigs = df.select(id_col, vec_col, lsh_signature_col(F.col(vec_col), planes).alias("sig"))
     buckets = (
         sigs.groupBy("sig")
         .agg(

@@ -85,3 +85,57 @@ def test_embedding_near_duplicates_finds_planted(spark, emb):
     ids = {(r["id_a"], r["id_b"]) for r in pairs}
     orig = emb.first()["vec_id"]
     assert (orig, orig + 1_000_000) in ids
+
+
+def test_arrow_signatures_match_expression_and_plan(spark):
+    """At dim>=256 the signature path must be ONE mapInArrow matmul (no
+    bits*dim-literal codegen tree), and for well-separated vectors it
+    must agree bit-for-bit with the expression form."""
+    from htm_streamer_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature_col,
+        lsh_signatures_arrow,
+    )
+
+    dim, bits = 256, 12
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    planes = _hyperplanes(dim, bits, seed=42)
+    arrow = lsh_signatures_arrow(df, planes, ["vec_id"], "embedding", "sig")
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    got = {r["vec_id"]: r["sig"] for r in arrow.collect()}
+    want = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", lsh_signature_col(F.col("embedding"), planes).alias("sig")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_lsh_topk_auto_selects_arrow_at_high_dim(spark):
+    """bits*dim above the literal budget routes both corpus and query
+    signatures through the Arrow kernel; results keep the ANN contract
+    (self is top-1)."""
+    dim, bits = 512, 8
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(corpus, queries, dim=dim, k=3, bits=bits, probe_hamming=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 2, plan
+    top1 = {r["query_id"]: r["vec_id"] for r in out.filter(F.col("rank") == 1).collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}
