@@ -115,8 +115,10 @@ def anomaly_likelihood_series(
 ) -> np.ndarray:
     """Sequential likelihoods for one ordered series — mirrors
     AnomalyLikelihood.anomalyProbability's per-record loop
-    (anomalylikelihood.py:424-467). Returns reported likelihood in [0,1]
-    (closer to 1 = more anomalous)."""
+    (anomalylikelihood.py:424-467), INCLUDING the _filterLikelihoods
+    step the reference applies before returning (updateAnomalyLikelihoods
+    filters, anomalyProbability returns 1 - filtered[-1]). Returns
+    reported likelihood in [0,1] (closer to 1 = more anomalous)."""
     probation = learning_period + estimation_samples
     hist: deque = deque(maxlen=historic_window_size)
     ma_hist: deque = deque(maxlen=averaging_window)
@@ -136,7 +138,7 @@ def anomaly_likelihood_series(
             out[i] = 1.0 - tail_probability(ma, dist[0], dist[2])
         hist.append((i, float(values[i]), float(scores[i])))
         ma_hist.append(float(scores[i]))
-    return out
+    return filter_likelihoods(out)
 
 
 def filter_likelihoods(

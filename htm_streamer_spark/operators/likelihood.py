@@ -287,6 +287,14 @@ def _exact_kernel(
             flipped = np.where(seg < mean, 2 * mean - seg, seg)
             z = (flipped - mean) / stdev
             out[r:seg_end] = 1.0 - 0.5 * _erfc(z / 1.4142)
+        # _filterLikelihoods (anomalylikelihood.py:651-680): the reference's
+        # anomalyProbability returns 1 - FILTERED likelihood — a red-zone
+        # raw tail probability whose predecessor was already red clamps to
+        # yellow. Depends only on the raw sequence, so it vectorizes.
+        red_t, yellow_t = 1.0 - 0.99999, 1.0 - 0.999
+        raw = 1.0 - out
+        prev = np.concatenate([[1.0], raw[:-1]])
+        out = 1.0 - np.where((raw <= red_t) & (prev <= red_t), yellow_t, raw)
         pdf["anomaly_likelihood"] = out
         return pdf[["series_id", "ts", "value", "score", "anomaly_likelihood"]]
 

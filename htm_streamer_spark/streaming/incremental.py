@@ -102,8 +102,16 @@ def run_incremental(
     done = store.done_partitions(spark)
     avail = sorted(r[0] for r in df.select("part_id").distinct().collect())
     todo = [p for p in avail if p not in done]
+    baseline = store.baseline(spark, cfg)
     if max_partitions is not None:
-        todo = todo[:max_partitions]
+        limit = max_partitions
+        if baseline is None:
+            # before the baseline commit, a batch smaller than
+            # cfg.baseline_partitions would fit + freeze an undersized
+            # baseline and split runs would diverge from a single-shot
+            # run — clamp the first batch up to the baseline width
+            limit = max(limit, cfg.baseline_partitions)
+        todo = todo[:limit]
     if not todo:
         return {"run_id": run_id, "validated": [], "mode": "noop"}
 
@@ -118,7 +126,6 @@ def run_incremental(
     # partition pruning: the isin filter prunes hive partitions at scan
     batch = df.filter(F.col("part_id").isin(todo))
 
-    baseline = store.baseline(spark, cfg)
     mode = "running"
     if baseline is None:
         mode = "sampling+initializing"

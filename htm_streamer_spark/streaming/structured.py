@@ -75,9 +75,18 @@ def validate_stream(
 
         from pyspark.sql import functions as F
 
+        # idempotent replay guard: if the catalog commit succeeded but the
+        # Spark streaming checkpoint write did not, the micro-batch is
+        # replayed with the SAME epoch_id — a second commit would duplicate
+        # verdict/violation rows. Epoch ids are monotone per checkpoint, so
+        # no-op when this epoch is already recorded as committed.
+        last = int(catalog.prop("last_committed_epoch", "-1"))
+        if epoch_id <= last:
+            return
+
         baseline = store.baseline(spark, cfg)
         run_id = f"stream-epoch-{epoch_id}"
-        props = {}
+        props = {"last_committed_epoch": str(int(epoch_id))}
         if baseline is None:
             # first micro-batch: fit + commit the baseline (ST2/ST6 —
             # sampling → initializing; frozen afterwards)

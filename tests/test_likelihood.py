@@ -141,3 +141,36 @@ def test_windowed_single_shuffle(series_sdf):
     physical plan should contain exactly one Exchange for the windows."""
     plan = anomaly_likelihood_windowed(series_sdf)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_exact_operator_applies_filter_clamp(spark):
+    """ADVICE regression: consecutive red-zone anomalies must clamp to
+    the yellow likelihood (0.999) like the reference's _filterLikelihoods
+    — not report >0.99999 forever."""
+    import pandas as pd
+
+    n = 600
+    scores = np.full(n, 0.05)
+    scores[500:520] = 0.99  # a sustained red-zone burst
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "ts": pd.date_range("2026-01-01", periods=n, freq="min"),
+            "value": np.linspace(0, 50, n) + np.tile([0, 3, -2, 5, 1], n // 5),
+            "score": scores,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        anomaly_likelihood_exact(
+            sdf, learning_period=288, estimation_samples=100,
+            historic_window=8640, reestimation_period=100, averaging_window=10,
+        )
+        .orderBy("ts")
+        .toPandas()["anomaly_likelihood"]
+        .to_numpy()
+    )
+    burst = got[505:515]  # deep inside the burst: predecessors are red
+    # the clamp writes the yellow likelihood EXACTLY (1 - 1e-3)
+    np.testing.assert_allclose(burst, 0.999, rtol=0, atol=1e-12)
+    assert got[500] > 0.99999  # the burst's FIRST red row is not clamped

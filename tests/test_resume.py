@@ -102,3 +102,21 @@ def test_refresh_baseline_latest_wins(spark, clean_dir, cfg, catalog):
     total0 = b0["ntok"].groupBy().sum("cnt").collect()[0][0]
     total1 = b1["ntok"].groupBy().sum("cnt").collect()[0][0]
     assert total1 == total0  # same rows/partition in the clean fixture
+
+
+def test_undersized_first_batch_clamps_to_baseline_width(spark, tiny_dir, cfg, tmp_path):
+    """ADVICE regression: a first run with max_partitions < K must NOT
+    freeze an undersized baseline — the first batch clamps up to
+    cfg.baseline_partitions so split runs still equal a single shot."""
+    cat1 = ManifestCatalog(tmp_path / "c1")
+    cat2 = ManifestCatalog(tmp_path / "c2")
+    run_incremental(spark, tiny_dir, cat1, cfg)  # single shot, K=4 baseline
+
+    r1 = run_incremental(spark, tiny_dir, cat2, cfg, max_partitions=2)
+    assert r1["validated"] == list(range(cfg.baseline_partitions))  # clamped
+    r2 = run_incremental(spark, tiny_dir, cat2, cfg)
+    assert r2["mode"] == "running"
+
+    store1, store2 = CheckpointStore(cat1), CheckpointStore(cat2)
+    assert store1.baseline(spark, cfg)["part_ids"] == store2.baseline(spark, cfg)["part_ids"]
+    pd.testing.assert_frame_equal(_verdicts_pdf(spark, cat1), _verdicts_pdf(spark, cat2))

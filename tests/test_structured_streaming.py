@@ -30,3 +30,62 @@ def test_stream_available_now_validates_all(spark, tiny_dir, cfg, tmp_path):
     assert set(verdicts["part_id"]) == set(range(10))
     viol = store.violations(spark)
     assert viol.count() > 0
+
+
+def test_replayed_epoch_is_noop(spark, tiny_dir, cfg, tmp_path):
+    """ADVICE regression: if the catalog commit lands but the streaming
+    checkpoint write does not, Spark replays the micro-batch with the
+    same epoch_id — the second commit must be a no-op, not duplicate
+    verdict/violation rows."""
+    from htm_streamer_spark.plans.validation_plan import load_sequences
+    from htm_streamer_spark.streaming import structured
+
+    catalog = ManifestCatalog(tmp_path / "replay_ckpt")
+    batch = load_sequences(spark, tiny_dir)
+    store = CheckpointStore(catalog)
+
+    # capture validate_stream's foreachBatch callback without starting a
+    # real query, then drive it directly as Spark would
+    def make_cb():
+        holder = {}
+
+        class FakeWriter:
+            def foreachBatch(self, fn):
+                holder["fn"] = fn
+                return self
+
+            def outputMode(self, *_):
+                return self
+
+            def option(self, *_):
+                return self
+
+            def trigger(self, **_):
+                return self
+
+            def start(self):
+                return None
+
+        class FakeStream:
+            @property
+            def writeStream(self):
+                return FakeWriter()
+
+        import unittest.mock as mock
+
+        with mock.patch.object(structured, "read_sequences_stream", return_value=FakeStream()):
+            structured.validate_stream(spark, tiny_dir, catalog, cfg)
+        return holder["fn"]
+
+    cb = make_cb()
+    cb(batch, 0)
+    v_after_first = store.verdicts(spark).count()
+    version_after_first = catalog.version()
+    assert v_after_first > 0
+
+    cb(batch, 0)  # replay of the SAME epoch → must no-op
+    assert store.verdicts(spark).count() == v_after_first
+    assert catalog.version() == version_after_first
+
+    cb(batch, 1)  # a NEW epoch still commits
+    assert catalog.version() != version_after_first
