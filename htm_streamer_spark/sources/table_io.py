@@ -26,6 +26,34 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def list_hive_partitions(spark: SparkSession, path: str | Path, col: str = "part_id") -> list[int]:
+    """Partition ids of a hive-layout table from a FILESYSTEM LISTING —
+    one metadata call, no Spark job. The distinct-scan alternative reads
+    a column of every file, which at 10^12 rows is a full-table job just
+    to learn the partition list (reference analog: dataset discovery is
+    a directory walk, /root/reference/driver.py:42-55).
+
+    Uses the Hadoop FileSystem API so the same call works on HDFS/S3A,
+    not just local paths. Returns [] when the layout is not
+    hive-partitioned (callers fall back to a scan).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(str(path))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    prefix = f"{col}="
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            try:
+                out.append(int(name[len(prefix):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 class ManifestCatalog:
     """Multi-table catalog under one directory with atomic multi-table
     commits (one manifest swap publishes every staged file — the analog
@@ -118,4 +146,131 @@ class ManifestCatalog:
             self._manifest_path.unlink()
         shutil.rmtree(self.root / "data", ignore_errors=True)
         (self.root / "data").mkdir(exist_ok=True)
+        self._staged = []
+
+
+def iceberg_available(spark: SparkSession, catalog_name: str) -> bool:
+    """True if an Iceberg catalog of that name is configured AND the
+    Iceberg runtime classes are on the classpath."""
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog_name}", None)
+    if not impl:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergCatalog:
+    """The production binding: same interface as :class:`ManifestCatalog`
+    (``stage_spark`` / ``commit`` / ``read`` / ``prop`` / ``version`` /
+    ``truncate``) over real Iceberg tables — ``writeTo(...).append()``
+    per table, snapshot commits, properties via TBLPROPERTIES.
+
+    Deliberate semantics difference, documented: Iceberg commits are
+    atomic PER TABLE, not across tables (multi-table transactions need
+    REST-catalog support). ``commit`` therefore appends the violations
+    and baseline tables FIRST and the verdicts table LAST, with the
+    props on the verdicts table — ``done_partitions`` is derived from
+    verdicts, so a crash mid-commit leaves orphaned (invisible to the
+    engine) violation rows at worst, never a partition marked validated
+    without its violations. Requires the iceberg-spark-runtime jar and a
+    configured catalog; constructor raises when absent (tests skip).
+    """
+
+    ENGINE_TABLES = ("violations", "baseline_tok", "baseline_ntok", "verdicts")
+
+    def __init__(self, spark: SparkSession, catalog_name: str, namespace: str):
+        if not iceberg_available(spark, catalog_name):
+            raise RuntimeError(
+                f"Iceberg catalog {catalog_name!r} is not configured or the "
+                "iceberg-spark-runtime jar is missing"
+            )
+        self.spark = spark
+        self.catalog_name = catalog_name
+        self.namespace = namespace
+        self._staged: list[tuple[str, DataFrame]] = []
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog_name}.{namespace}")
+
+    def _fqn(self, table: str) -> str:
+        return f"{self.catalog_name}.{self.namespace}.{table}"
+
+    def _exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._fqn(table))
+
+    # -- write path ---------------------------------------------------
+
+    def stage_spark(self, table: str, df: DataFrame) -> None:
+        self._staged.append((table, df))
+
+    def commit(self, props: dict | None = None) -> int:
+        # order: auxiliary tables first, verdicts (the lineage anchor) last
+        order = {t: i for i, t in enumerate(self.ENGINE_TABLES)}
+        staged = sorted(self._staged, key=lambda kv: order.get(kv[0], -1))
+        for table, df in staged:
+            fqn = self._fqn(table)
+            if self._exists(table):
+                df.writeTo(fqn).append()
+            else:
+                df.writeTo(fqn).using("iceberg").create()
+        self._staged = []
+        if props:
+            anchor = self._fqn("verdicts")
+            if self._exists("verdicts"):
+                kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+                self.spark.sql(f"ALTER TABLE {anchor} SET TBLPROPERTIES ({kv})")
+        return self.version()
+
+    def abort(self) -> None:
+        self._staged = []
+
+    # -- read path ----------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, table: str, latest_only: bool = False
+    ) -> DataFrame | None:
+        if not self._exists(table):
+            return None
+        fqn = self._fqn(table)
+        if latest_only:
+            # latest-wins state tables: only the files added by the most
+            # recent snapshot (the engine fully replaces baselines)
+            snap = spark.sql(
+                f"SELECT snapshot_id FROM {fqn}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            if not snap:
+                return None
+            prev = spark.sql(
+                f"SELECT snapshot_id FROM {fqn}.snapshots ORDER BY committed_at DESC LIMIT 1 OFFSET 1"
+            ).collect()
+            if prev:
+                return spark.read.format("iceberg").option(
+                    "start-snapshot-id", prev[0][0]
+                ).option("end-snapshot-id", snap[0][0]).load(fqn)
+            return spark.read.table(fqn)
+        return spark.read.table(fqn)
+
+    def prop(self, key: str, default=None):
+        if not self._exists("verdicts"):
+            return default
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self._fqn('verdicts')}"
+        ).collect()
+        for r in rows:
+            if r["key"] == key:
+                return r["value"]
+        return default
+
+    def version(self) -> int:
+        if not self._exists("verdicts"):
+            return 0
+        snaps = self.spark.sql(
+            f"SELECT count(*) FROM {self._fqn('verdicts')}.snapshots"
+        ).collect()
+        return int(snaps[0][0])
+
+    def truncate(self) -> None:
+        for t in self.ENGINE_TABLES:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(t)}")
         self._staged = []

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from htm_streamer_spark.config import EngineConfig, validate_config
+from htm_streamer_spark.sources.table_io import list_hive_partitions
 from htm_streamer_spark.plans.validation_plan import (
     compute_baseline,
     load_sequences,
@@ -100,7 +101,12 @@ def run_incremental(
 
     df = load_sequences(spark, table_path)
     done = store.done_partitions(spark)
-    avail = sorted(r[0] for r in df.select("part_id").distinct().collect())
+    # partition discovery is a filesystem/catalog LISTING, not a Spark
+    # job — a distinct-scan would read a column of every file at 10^12
+    # rows. Fallback to the scan only for non-hive layouts.
+    avail = list_hive_partitions(spark, table_path)
+    if not avail:
+        avail = sorted(r[0] for r in df.select("part_id").distinct().collect())
     todo = [p for p in avail if p not in done]
     baseline = store.baseline(spark, cfg)
     if max_partitions is not None:

@@ -1,0 +1,91 @@
+"""Partition discovery must be a filesystem listing, not a table scan;
+Iceberg binding smoke-tests (skip cleanly when the jar is absent)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from htm_streamer_spark.sources.table_io import (
+    IcebergCatalog,
+    iceberg_available,
+    list_hive_partitions,
+)
+
+
+def test_listing_matches_layout(spark, tiny_dir):
+    got = list_hive_partitions(spark, tiny_dir)
+    assert got == list(range(10))
+
+
+def test_listing_is_metadata_only_no_scan(spark, tmp_path):
+    """An EMPTY part_id directory (no parquet inside) is still
+    discovered — a column scan could never see it, proving discovery
+    never reads data files."""
+    root = tmp_path / "tbl"
+    for p in (3, 7, 11):
+        (root / f"part_id={p}").mkdir(parents=True)
+    assert list_hive_partitions(spark, root) == [3, 7, 11]
+
+
+def test_listing_non_hive_layout_returns_empty(spark, tmp_path):
+    root = tmp_path / "flat"
+    root.mkdir()
+    (root / "whatever.parquet").write_bytes(b"")
+    assert list_hive_partitions(spark, root) == []
+    assert list_hive_partitions(spark, tmp_path / "missing") == []
+
+
+def test_incremental_uses_listing(spark, tiny_dir, cfg, tmp_path, monkeypatch):
+    """run_incremental discovers partitions via the listing (the scan is
+    only the non-hive fallback)."""
+    from htm_streamer_spark.sources.table_io import ManifestCatalog
+    from htm_streamer_spark.streaming import incremental
+
+    calls = {"n": 0}
+    orig = incremental.list_hive_partitions
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(incremental, "list_hive_partitions", spy)
+    out = incremental.run_incremental(
+        spark, tiny_dir, ManifestCatalog(tmp_path / "c"), cfg, max_partitions=4
+    )
+    assert calls["n"] == 1
+    assert out["validated"] == [0, 1, 2, 3]
+
+
+ICEBERG_CATALOG = os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG", "local_iceberg")
+
+
+def test_iceberg_binding_roundtrip(spark, tmp_path):
+    """Full catalog-interface roundtrip over real Iceberg tables. Skips
+    cleanly when the iceberg-spark-runtime jar / catalog conf is absent
+    (SURVEY.md §7.3.6 — not shipped in this sandbox)."""
+    if not iceberg_available(spark, ICEBERG_CATALOG):
+        pytest.skip("iceberg runtime/catalog not configured")
+    cat = IcebergCatalog(spark, ICEBERG_CATALOG, "htm_streamer_test")
+    cat.truncate()
+    df = spark.range(3).selectExpr(
+        "'r1' AS run_id", "CAST(id AS INT) AS part_id", "'pass' AS status",
+        "'{}' AS metrics", "0.0 AS committed_at"
+    )
+    cat.stage_spark("verdicts", df)
+    v1 = cat.commit({"baseline_part_ids": "[0,1]"})
+    assert v1 == 1
+    assert cat.read(spark, "verdicts").count() == 3
+    assert cat.prop("baseline_part_ids") == "[0,1]"
+    cat.stage_spark("verdicts", df)
+    assert cat.commit() == 2
+    assert cat.read(spark, "verdicts").count() == 6
+    cat.truncate()
+
+
+def test_iceberg_constructor_raises_without_runtime(spark):
+    if iceberg_available(spark, "definitely_not_configured_catalog"):
+        pytest.skip("unexpectedly configured")
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        IcebergCatalog(spark, "definitely_not_configured_catalog", "ns")
