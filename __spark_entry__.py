@@ -997,6 +997,47 @@ QUALIFY rank <= {k}
 SQL_LSH_TOPK = _sql_lsh_topk()
 
 
+def q_embed_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets (one shuffle on
+    the 8-bit signature, pairs only within bounded buckets). Double-cast
+    for cross-engine float parity, as in lsh_topk."""
+    from htm_streamer_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_near_duplicates(emb, dim=64, threshold=0.3, bits=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_embed_near_dups() -> str:
+    from htm_streamer_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(emb, [{w}]) > 0 THEN {v} ELSE 0 END)".format(
+            w=", ".join(repr(float(x)) for x in planes[b]), v=1 << b
+        )
+        for b in range(8)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sigs AS (SELECT vec_id, emb, ({sig_terms})::BIGINT AS sig FROM e),
+keep AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) > 1 AND count(*) <= 256),
+b AS (SELECT s.* FROM sigs s SEMI JOIN keep USING (sig)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         list_cosine_similarity(a.emb, b2.emb) AS cos_raw
+  FROM b a JOIN b b2 USING (sig) WHERE a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, round(cos_raw, 6)::DOUBLE + 0.0 AS cosine
+FROM pairs WHERE cos_raw >= 0.3
+"""
+
+
+SQL_EMBED_NEAR_DUPS = _sql_embed_near_dups()
+
+
 def q_validation_verdicts(spark, sf_dir):
     """Flagship: the FULL validation suite (row checks, salted
     uniqueness, drift PSI/KL vs a 2-partition baseline, hard-fail
@@ -1224,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "embed_near_dups": q_embed_near_dups,
         "validation_verdicts": q_validation_verdicts,
         "validation_verdicts_drift": q_validation_verdicts_drift,
     }
@@ -1263,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_docs": SQL_MINHASH_PAIRS,
         "simhash_docs": SQL_SIMHASH,
         "lsh_topk_embeddings": SQL_LSH_TOPK,
+        "embed_near_dups": SQL_EMBED_NEAR_DUPS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
     }

@@ -185,10 +185,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.bsig")
-    buckets = (
+    # count FIRST, collect only qualifying buckets: filtering after a
+    # collect_list would still materialize a boilerplate mega-bucket on
+    # one reducer before dropping it. The counts pass partial-merges
+    # map-side; the semi-join back bounds every collected array at
+    # max_bucket.
+    keep = (
         banded.groupBy("band", "bsig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bsig")
+    )
+    buckets = (
+        banded.join(keep, ["band", "bsig"], "left_semi")
+        .groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
     pairs = buckets.select(
         F.explode(
@@ -351,10 +362,16 @@ def simhash_candidate_pairs(fp: DataFrame, band_bits: int = 15) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.bsig")
-    buckets = (
+    keep = (
         banded.groupBy("band", "bsig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .filter((F.col("n") > 1) & (F.col("n") <= 64))
+        .select("band", "bsig")
+    )
+    buckets = (
+        banded.join(keep, ["band", "bsig"], "left_semi")
+        .groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
     return (
         buckets.select(

@@ -220,15 +220,23 @@ def embedding_near_duplicates(
         sigs = lsh_signatures_arrow(df, planes, [id_col], vec_col, "sig")
     else:
         sigs = df.select(id_col, vec_col, lsh_signature_col(F.col(vec_col), planes).alias("sig"))
-    buckets = (
+    # count first, then collect only qualifying buckets — a post-collect
+    # filter would still materialize an oversized bucket (vectors are
+    # heavy) on one reducer before dropping it
+    keep = (
         sigs.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("sig")
+    )
+    buckets = (
+        sigs.join(keep, "sig", "left_semi")
+        .groupBy("sig")
         .agg(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).alias(
                 "items"
-            ),
-            F.count(F.lit(1)).alias("n"),
+            )
         )
-        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
     )
     pairs = buckets.select(
         F.explode(

@@ -110,3 +110,17 @@ def test_simhash_xxhash_method_same_shape(docs):
     fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs, method="xxhash64").collect()}
     assert fp[1] == fp[2]
     assert all(0 <= v < (1 << 60) for v in fp.values())
+
+
+def test_lsh_mega_bucket_dropped_before_collect(spark):
+    """Boilerplate guard: a bucket holding thousands of identical docs
+    must be excluded by the count-first pass (never collected), while
+    small legitimate buckets still pair."""
+    boiler = "identical boilerplate text repeated across the corpus " * 8
+    rows = [(i, boiler) for i in range(2000)]
+    rows += [(9001, BASE), (9002, BASE)]  # one small legit dup bucket
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    pairs = minhash_near_duplicates(df, jaccard_threshold=0.9).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (9001, 9002) in found
+    assert not any(a < 9000 and b < 9000 for a, b in found)  # mega-bucket dropped
