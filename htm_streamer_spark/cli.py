@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--config", help="engine config YAML")
     pv.add_argument("--max-partitions", type=int, default=None)
     pv.add_argument("--run-id", default=None)
+    pv.add_argument(
+        "--repartition",
+        type=int,
+        default=None,
+        metavar="WIDTH",
+        help="explicit repartition(WIDTH, hash(doc_id)) of the batch "
+        "before validation — use when input files are skewed/oversized",
+    )
 
     pr = sub.add_parser("refresh-baseline", help="re-estimate the drift baseline")
     pr.add_argument("--table", required=True)
@@ -85,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
             cfg,
             run_id=args.run_id,
             max_partitions=args.max_partitions,
+            repartition_width=args.repartition,
         )
         print(json.dumps(summary))
         return 0

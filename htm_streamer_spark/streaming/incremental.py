@@ -87,6 +87,7 @@ def run_incremental(
     cfg: EngineConfig | None = None,
     run_id: str | None = None,
     max_partitions: int | None = None,
+    repartition_width: int | None = None,
 ) -> dict:
     """One engine invocation: validate all not-yet-checkpointed
     partitions of ``table_path``. Returns a summary dict.
@@ -94,6 +95,16 @@ def run_incremental(
     ``max_partitions`` bounds the batch (reference analog: the prefix
     limit ``timesteps_stop``, htm_batch_runner.py:89) and is how resume
     tests simulate a partial run/crash.
+
+    ``repartition_width`` — the north rule's explicit
+    hash(doc_id) repartitioning: when set, the batch is
+    ``repartition(width, doc_id)`` before validation. Use on a cluster
+    when the input arrives in skewed/oversized files (task granularity
+    then follows the hash, not the file layout). Leave None when the
+    scan's own splits are healthy — the suite's aggregations shuffle on
+    their own keys anyway, and an extra full shuffle of the token bytes
+    is never free. (The doc_id uniqueness check ALWAYS hash-partitions
+    on (doc_id, salt) then doc_id — that shuffle is inherent to it.)
     """
     cfg = validate_config(cfg or EngineConfig())
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -131,6 +142,8 @@ def run_incremental(
 
     # partition pruning: the isin filter prunes hive partitions at scan
     batch = df.filter(F.col("part_id").isin(todo))
+    if repartition_width is not None:
+        batch = batch.repartition(repartition_width, F.col("doc_id"))
 
     mode = "running"
     if baseline is None:

@@ -120,3 +120,13 @@ def test_undersized_first_batch_clamps_to_baseline_width(spark, tiny_dir, cfg, t
     store1, store2 = CheckpointStore(cat1), CheckpointStore(cat2)
     assert store1.baseline(spark, cfg)["part_ids"] == store2.baseline(spark, cfg)["part_ids"]
     pd.testing.assert_frame_equal(_verdicts_pdf(spark, cat1), _verdicts_pdf(spark, cat2))
+
+
+def test_repartition_width_same_results(spark, tiny_dir, cfg, tmp_path):
+    """Explicit repartition(width, hash(doc_id)) must not change any
+    verdict/violation — it only re-shapes task granularity."""
+    cat1 = ManifestCatalog(tmp_path / "r1")
+    cat2 = ManifestCatalog(tmp_path / "r2")
+    run_incremental(spark, tiny_dir, cat1, cfg)
+    run_incremental(spark, tiny_dir, cat2, cfg, repartition_width=16)
+    pd.testing.assert_frame_equal(_verdicts_pdf(spark, cat1), _verdicts_pdf(spark, cat2))
