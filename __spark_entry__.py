@@ -940,6 +940,55 @@ FROM documents d LEFT JOIN sigs s USING (doc_id)
 """
 
 
+def q_simhash_pairs_docs(spark, sf_dir):
+    """Simhash near-dup candidate pairs: 4 bands × 15 bits over the
+    60-bit fingerprints; the oracle recomputes fingerprints, banding,
+    the 2..64 bucket bound, and the pair expansion in SQL."""
+    from htm_streamer_spark.operators.dedup import simhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d, method="md5")
+    return simhash_candidate_pairs(fp, band_bits=15)
+
+
+SQL_SIMHASH_PAIRS = """
+WITH words AS (
+  SELECT doc_id, ('0x' || substr(md5(t.w), 1, 15))::BIGINT AS h
+  FROM documents,
+       unnest(regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                    '\\s+')) AS t(w)
+  WHERE length(t.w) > 0
+),
+votes AS (
+  SELECT doc_id, b.range AS b,
+         sum(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM words CROSS JOIN range(60) b
+  GROUP BY 1, 2
+),
+sigs0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+),
+banded AS (
+  SELECT doc_id, b.range::INT AS band,
+         (simhash >> (b.range * 15)) & 32767 AS bsig
+  FROM sigs CROSS JOIN range(4) b
+),
+buckets AS (
+  SELECT band, bsig, list_sort(list(doc_id)) AS ids
+  FROM banded GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 64
+)
+SELECT DISTINCT x.a AS doc_a, y.b AS doc_b
+FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+WHERE x.a < y.b
+"""
+
+
 def q_lsh_topk_embeddings(spark, sf_dir):
     """LSH multi-probe ANN top-k. Embeddings are cast to double so the
     hyperplane dots and cosines agree with the DuckDB oracle to ~1e-15
@@ -1265,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
         "embed_near_dups": q_embed_near_dups,
         "validation_verdicts": q_validation_verdicts,
         "validation_verdicts_drift": q_validation_verdicts_drift,
@@ -1304,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "tail_slice_events": SQL_TAIL_SLICE,
         "minhash_pairs_docs": SQL_MINHASH_PAIRS,
         "simhash_docs": SQL_SIMHASH,
+        "simhash_pairs_docs": SQL_SIMHASH_PAIRS,
         "lsh_topk_embeddings": SQL_LSH_TOPK,
         "embed_near_dups": SQL_EMBED_NEAR_DUPS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,

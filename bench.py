@@ -111,7 +111,9 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "moving_average_events",
         "violations_docs",
         "minhash_pairs_docs",
+        "simhash_docs",
         "embed_topk",
+        "lsh_topk_embeddings",
         "sessionize_events",
     ):
         t0 = time.time()
