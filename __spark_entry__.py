@@ -940,6 +940,37 @@ FROM documents d LEFT JOIN sigs s USING (doc_id)
 """
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the driver contract (rows-only: the
+    decode is a declared stub — no media libs in this container — so
+    there is nothing DuckDB could recompute). Exercises the real Spark
+    machinery: binary columns, size-band repartition for decode skew,
+    mapInPandas Arrow batches, blob dropped before any shuffle."""
+    from htm_streamer_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=64, seed=42)
+    feats = extract_features(media, fake=True)
+    frames = frame_sample_plan(media).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias(
+                "feat_sum"
+            ),
+        )
+    )
+
+
 def q_simhash_pairs_docs(spark, sf_dir):
     """Simhash near-dup candidate pairs: 4 bands × 15 bits over the
     60-bit fingerprints; the oracle recomputes fingerprints, banding,
@@ -1316,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "embed_near_dups": q_embed_near_dups,
+        # rows-only by design: decode is a declared stub (no media libs)
+        "multimodal_features": q_multimodal_features,
         "validation_verdicts": q_validation_verdicts,
         "validation_verdicts_drift": q_validation_verdicts_drift,
     }
