@@ -248,12 +248,14 @@ def _exact_kernel(
         return np.where(sign < 0, 2.0 - res, res)
 
     def _mov_avg(scores: np.ndarray, window: int) -> np.ndarray:
-        out = np.empty(len(scores), dtype=np.float64)
+        # trailing mean incl. current, vectorized (same arithmetic order
+        # as the plain-Python oracle: csum difference then divide)
+        n = len(scores)
         csum = np.cumsum(scores)
-        for i in range(len(scores)):
-            lo = max(0, i - window + 1)
-            out[i] = (csum[i] - (csum[lo - 1] if lo > 0 else 0.0)) / (i - lo + 1)
-        return out
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - window + 1)
+        prev = np.where(lo > 0, csum[np.maximum(lo - 1, 0)], 0.0)
+        return (csum - prev) / (idx - lo + 1)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)

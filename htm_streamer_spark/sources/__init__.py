@@ -1,3 +1,13 @@
-from htm_streamer_spark.sources.table_io import ManifestCatalog
+from htm_streamer_spark.sources.table_io import (
+    IcebergCatalog,
+    ManifestCatalog,
+    iceberg_available,
+    list_hive_partitions,
+)
 
-__all__ = ["ManifestCatalog"]
+__all__ = [
+    "IcebergCatalog",
+    "ManifestCatalog",
+    "iceberg_available",
+    "list_hive_partitions",
+]
