@@ -405,9 +405,12 @@ def q_sessionize_events(spark, sf_dir):
 
 SQL_SESSIONIZE = """
 WITH g AS (
+  -- epoch seconds TRUNCATED like Spark's timestamp->long cast
+  -- (epoch(ts)::BIGINT would ROUND fractional seconds and shift
+  -- gap==3600 boundaries)
   SELECT user_id,
-         CASE WHEN lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+         CASE WHEN lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000)
                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 3600
               THEN 1 ELSE 0 END AS ns
   FROM events
@@ -488,8 +491,13 @@ FROM s
 
 
 def q_quality_docs(spark, sf_dir):
+    """The +1e-9 nudge (identical on both engines) keeps the rounded
+    value off exact decimal halves, where Spark's BigDecimal HALF_UP and
+    DuckDB's double rounding disagree (seen at sf0.1: 0.5123125)."""
     d = _t(spark, sf_dir, "documents")
-    return quality_score(d).select("doc_id", F.round("quality", 6).alias("quality"))
+    return quality_score(d).select(
+        "doc_id", F.round(F.col("quality") + F.lit(1e-9), 6).alias("quality")
+    )
 
 
 _EN_STOP_SQL = " + ".join(
@@ -519,7 +527,8 @@ SELECT doc_id,
          least(n_chars / 500.0, 1.0) * 0.4
          + least(stopword_ratio * 5.0, 1.0) * 0.3
          + CASE WHEN punct_ratio > 0.001 AND punct_ratio < 0.2 THEN 0.15 ELSE 0.0 END
-         + CASE WHEN mean_word_len > 2.5 AND mean_word_len < 12.0 THEN 0.15 ELSE 0.0 END,
+         + CASE WHEN mean_word_len > 2.5 AND mean_word_len < 12.0 THEN 0.15 ELSE 0.0 END
+         + 1e-9,
        6)::DOUBLE + 0.0 AS quality
 FROM q2
 """

@@ -88,14 +88,61 @@ def validate_stream(
         run_id = f"stream-epoch-{epoch_id}"
         props = {"last_committed_epoch": str(int(epoch_id))}
         if baseline is None:
-            # first micro-batch: fit + commit the baseline (ST2/ST6 —
-            # sampling → initializing; frozen afterwards)
-            from htm_streamer_spark.plans.validation_plan import compute_baseline
+            # SAMPLING MODE ACROSS MICRO-BATCHES (ST2: sampling →
+            # initializing → running). A micro-batch may carry fewer
+            # partitions than cfg.baseline_partitions — freezing a
+            # baseline from it would undersize the fit (the streaming
+            # analog of run_incremental's max_partitions clamp). Instead
+            # stage each pre-baseline batch's per-partition histograms
+            # into pending tables; commit the baseline only once K
+            # distinct partitions have accumulated, summing the FIRST K
+            # — identical to what a single batch run would have fitted.
+            # Until then every seen partition is probation (the
+            # reference's sampling-phase flat 0.5). Assumes one hive
+            # partition is not split across micro-batches (one file per
+            # partition dir, or compacted input).
+            from htm_streamer_spark.operators.drift import (
+                ntok_histogram,
+                token_histogram_checked,
+            )
+            from htm_streamer_spark.operators.invariants import featurize, row_check_flags
 
-            baseline = compute_baseline(batch_df, cfg)
-            catalog.stage_spark(BASELINE_TOK, baseline["tok"])
-            catalog.stage_spark(BASELINE_NTOK, baseline["ntok"])
-            props["baseline_part_ids"] = _json.dumps(baseline["part_ids"])
+            pend = _json.loads(catalog.prop("pending_baseline_parts", "[]"))
+            batch_parts = sorted(
+                r[0] for r in batch_df.select("part_id").distinct().collect()
+            )
+            tok_b = token_histogram_checked(batch_df, cfg)
+            clean_b = row_check_flags(featurize(batch_df, cfg), cfg, featurized=True).filter(
+                ~F.col("any_violation")
+            )
+            ntok_b = ntok_histogram(clean_b, cfg)
+            all_parts = sorted(set(pend) | set(batch_parts))
+            if len(all_parts) >= cfg.baseline_partitions:
+                base_parts = all_parts[: cfg.baseline_partitions]
+                prev_tok = store.catalog.read(spark, "pending_baseline_tok")
+                prev_ntok = store.catalog.read(spark, "pending_baseline_ntok")
+                tok_all = tok_b if prev_tok is None else prev_tok.unionByName(tok_b)
+                ntok_all = ntok_b if prev_ntok is None else prev_ntok.unionByName(ntok_b)
+                baseline = {
+                    "tok": tok_all.filter(F.col("part_id").isin(base_parts))
+                    .groupBy("bucket")
+                    .agg(F.sum("cnt").alias("cnt")),
+                    "ntok": ntok_all.filter(F.col("part_id").isin(base_parts))
+                    .groupBy("bucket")
+                    .agg(F.sum("cnt").alias("cnt")),
+                    "part_ids": base_parts,
+                }
+                catalog.stage_spark(BASELINE_TOK, baseline["tok"])
+                catalog.stage_spark(BASELINE_NTOK, baseline["ntok"])
+                props["baseline_part_ids"] = _json.dumps(base_parts)
+            else:
+                # still sampling: stage this batch's histograms, score the
+                # batch with every partition in probation (no drift yet)
+                catalog.stage_spark("pending_baseline_tok", tok_b)
+                catalog.stage_spark("pending_baseline_ntok", ntok_b)
+                props["pending_baseline_parts"] = _json.dumps(all_parts)
+                empty_hist = spark.createDataFrame([], "bucket int, cnt long")
+                baseline = {"tok": empty_hist, "ntok": empty_hist, "part_ids": batch_parts}
         result = run_validation_batch(spark, batch_df, cfg, baseline=baseline)
         catalog.stage_spark(
             VIOLATIONS_TABLE, result.violations.withColumn("run_id", F.lit(run_id))

@@ -89,3 +89,74 @@ def test_replayed_epoch_is_noop(spark, tiny_dir, cfg, tmp_path):
 
     cb(batch, 1)  # a NEW epoch still commits
     assert catalog.version() != version_after_first
+
+
+def test_sampling_mode_spans_micro_batches(spark, tiny_dir, cfg, tmp_path):
+    """A first micro-batch smaller than cfg.baseline_partitions must NOT
+    freeze an undersized baseline: pending histograms accumulate across
+    batches and the committed baseline equals the one a single batch run
+    over the same first K partitions would fit."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from htm_streamer_spark.plans.validation_plan import compute_baseline, load_sequences
+    from htm_streamer_spark.streaming import structured
+
+    catalog = ManifestCatalog(tmp_path / "sampling_ckpt")
+    full = load_sequences(spark, tiny_dir)
+
+    def make_cb():
+        holder = {}
+
+        class FakeWriter:
+            def foreachBatch(self, fn):
+                holder["fn"] = fn
+                return self
+
+            def outputMode(self, *_):
+                return self
+
+            def option(self, *_):
+                return self
+
+            def trigger(self, **_):
+                return self
+
+            def start(self):
+                return None
+
+        class FakeStream:
+            @property
+            def writeStream(self):
+                return FakeWriter()
+
+        import unittest.mock as mock
+
+        with mock.patch.object(structured, "read_sequences_stream", return_value=FakeStream()):
+            structured.validate_stream(spark, tiny_dir, catalog, cfg)
+        return holder["fn"]
+
+    cb = make_cb()
+    store = CheckpointStore(catalog)
+    # micro-batches of 2 partitions each; K = 4
+    cb(full.filter(F.col("part_id").isin([0, 1])), 0)
+    assert store.baseline(spark, cfg) is None  # still sampling
+    assert json.loads(catalog.prop("pending_baseline_parts")) == [0, 1]
+    v = store.verdicts(spark).toPandas()
+    assert set(v["status"]) <= {"probation", "fail"}  # no drift verdicts yet
+
+    cb(full.filter(F.col("part_id").isin([2, 3])), 1)
+    base = store.baseline(spark, cfg)
+    assert base is not None and base["part_ids"] == [0, 1, 2, 3]
+
+    # committed baseline == single-shot fit over partitions 0..3
+    want = compute_baseline(full.filter(F.col("part_id").isin([0, 1, 2, 3])), cfg, [0, 1, 2, 3])
+    got_tok = {(r["bucket"]): r["cnt"] for r in base["tok"].collect()}
+    want_tok = {(r["bucket"]): r["cnt"] for r in want["tok"].collect()}
+    assert got_tok == want_tok
+
+    # a later batch runs in 'running' mode against the frozen baseline
+    cb(full.filter(F.col("part_id").isin([4, 5, 6, 7, 8, 9])), 2)
+    v = store.verdicts(spark).toPandas()
+    assert set(v["part_id"]) == set(range(10))
