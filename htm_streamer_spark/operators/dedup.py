@@ -230,6 +230,16 @@ def ngram_jaccard_pairs(
     # no array_distinct: array_intersect/array_union already have set
     # semantics, and distinct-ing ~400-element string arrays is O(n^2)
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
+    # build gram arrays ONLY for docs that appear in a candidate pair —
+    # Catalyst does not push a join below an expensive projection, so
+    # without the semi-join every corpus row pays the gram construction
+    # even when candidates are a millionth of it
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    df = df.join(cand_ids, "doc_id", "left_semi")
     sets = df.select("doc_id", _gram_array(words, n).alias("grams"))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
