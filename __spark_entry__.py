@@ -949,6 +949,28 @@ FROM documents d LEFT JOIN sigs s USING (doc_id)
 """
 
 
+def q_quantiles_docs(spark, sf_dir):
+    """A1 depth: EXACT per-source percentiles (Spark F.percentile and
+    DuckDB quantile_cont share the linear-interpolation definition, so
+    they agree bitwise). The approximate tier (percentile_approx /
+    approx_count_distinct) stays rows-only by design."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.percentile("n_chars", 0.5), 6).alias("p50"),
+        F.round(F.percentile("n_chars", 0.95), 6).alias("p95"),
+        F.round(F.percentile("n_chars", 0.99), 6).alias("p99"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 6)::DOUBLE + 0.0 AS p50,
+       round(quantile_cont(n_chars, 0.95), 6)::DOUBLE + 0.0 AS p95,
+       round(quantile_cont(n_chars, 0.99), 6)::DOUBLE + 0.0 AS p99
+FROM documents GROUP BY source
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through the driver contract (rows-only: the
     decode is a declared stub — no media libs in this container — so
@@ -1356,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "embed_near_dups": q_embed_near_dups,
+        "quantiles_docs": q_quantiles_docs,
         # rows-only by design: decode is a declared stub (no media libs)
         "multimodal_features": q_multimodal_features,
         "validation_verdicts": q_validation_verdicts,
@@ -1399,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_docs": SQL_SIMHASH_PAIRS,
         "lsh_topk_embeddings": SQL_LSH_TOPK,
         "embed_near_dups": SQL_EMBED_NEAR_DUPS,
+        "quantiles_docs": SQL_QUANTILES,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
     }
