@@ -949,6 +949,47 @@ FROM documents d LEFT JOIN sigs s USING (doc_id)
 """
 
 
+def q_winnow_docs(spark, sf_dir):
+    """MOSS winnowing fingerprints (rolling-hash document fingerprinting):
+    distinct per-window minima of md5-based 31-bit gram hashes."""
+    from htm_streamer_spark.operators.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, gram_n=3, window=8)
+
+
+SQL_WINNOW = """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                                i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS grams
+  FROM norm
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(grams, g -> ('0x'||substr(md5(g),1,8))::BIGINT % 2147483647) AS hs
+  FROM grams
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN []
+              WHEN len(hs) < 8 THEN [list_min(hs)]
+              ELSE list_transform(generate_series(1, len(hs)-7),
+                                  i -> list_min(hs[i:i+7]))
+         END AS fps
+  FROM hs
+)
+SELECT DISTINCT doc_id, t.fp
+FROM fps, unnest(fps.fps) AS t(fp)
+WHERE t.fp IS NOT NULL
+"""
+
+
 def q_quantiles_docs(spark, sf_dir):
     """A1 depth: EXACT per-source percentiles (Spark F.percentile and
     DuckDB quantile_cont share the linear-interpolation definition, so
@@ -1379,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "embed_near_dups": q_embed_near_dups,
         "quantiles_docs": q_quantiles_docs,
+        "winnow_docs": q_winnow_docs,
         # rows-only by design: decode is a declared stub (no media libs)
         "multimodal_features": q_multimodal_features,
         "validation_verdicts": q_validation_verdicts,
@@ -1423,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": SQL_LSH_TOPK,
         "embed_near_dups": SQL_EMBED_NEAR_DUPS,
         "quantiles_docs": SQL_QUANTILES,
+        "winnow_docs": SQL_WINNOW,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
     }

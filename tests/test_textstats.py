@@ -75,3 +75,40 @@ def test_on_real_documents(docs):
     n = docs.count()
     assert lang_id(docs).count() == n
     assert token_count(docs).filter(F.col("n_ws_tokens") <= 0).count() == 0
+
+
+def test_winnow_shared_substring_shares_fingerprints(spark):
+    """Winnowing guarantee: documents sharing a long substring share
+    fingerprints regardless of position; unrelated docs (almost surely)
+    don't collide."""
+    from htm_streamer_spark.operators.textstats import winnow_fingerprints
+
+    common = "the quick brown fox jumps over the lazy dog near the river bank " * 3
+    rows = [
+        (1, "intro text before anything. " + common),
+        (2, common + " completely different trailing content follows here"),
+        (3, "spark shuffles partitions executors tasks stages metrics "
+            "catalyst tungsten codegen arrow pandas numpy columns rows"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df)
+    import collections
+
+    by_doc = collections.defaultdict(set)
+    for r in fp.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert len(by_doc[1] & by_doc[2]) > 0  # shared substring -> shared fps
+    assert len(by_doc[1] & by_doc[3]) == 0
+    assert len(by_doc[2] & by_doc[3]) == 0
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from htm_streamer_spark.operators.textstats import winnow_fingerprints
+
+    rows = [(1, "just four little words"), (2, ""), (3, "a b"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"] for r in winnow_fingerprints(df).collect()}
+    assert 1 in got          # short doc -> exactly one fingerprint
+    assert 2 not in got      # no grams -> no rows
+    assert 3 not in got
+    assert 4 not in got
