@@ -1012,6 +1012,19 @@ FROM documents GROUP BY source
 """
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: the k-means training is not
+    reproducible in DuckDB; recall vs brute force is pinned in
+    tests/test_similarity.py instead)."""
+    from htm_streamer_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, dim=64, k=5, n_lists=8, nprobe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through the driver contract (rows-only: the
     decode is a declared stub — no media libs in this container — so
@@ -1423,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_docs": q_winnow_docs,
         # rows-only by design: decode is a declared stub (no media libs)
         "multimodal_features": q_multimodal_features,
+        # rows-only by design: k-means training isn't DuckDB-reproducible
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "validation_verdicts": q_validation_verdicts,
         "validation_verdicts_drift": q_validation_verdicts_drift,
     }

@@ -264,3 +264,110 @@ def embedding_near_duplicates(
         cosine_expr(F.col("p.va"), F.col("p.vb")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold).distinct()
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_fit(sample: np.ndarray, n_lists: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-side SAMPLE (the standard IVF
+    training recipe — coarse quantizers train offline on a bounded
+    sample, never the full corpus). Returns (n_lists, dim) centroids."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cents = sample[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d = sample @ cents.T  # cosine-ish assignment on normalized input
+        assign = np.argmax(d, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
+def ivf_assign_arrow(df: DataFrame, centroids: np.ndarray, passthrough_cols: list[str],
+                     vec_col: str = "embedding", list_col: str = "list_id") -> DataFrame:
+    """Assign every vector to its nearest centroid with ONE numpy matmul
+    per Arrow batch (rows × dim · dim × n_lists → argmax). No per-row
+    Python; the centroid matrix ships in the closure (tiny)."""
+    n_lists, dim = centroids.shape
+    cT = np.ascontiguousarray(centroids.T)
+    in_cols = [*passthrough_cols, vec_col]
+    in_schema = df.select(*in_cols).schema
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
+
+    def kernel(batch_iter):
+        import pyarrow as pa
+
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            vecs = batch.column(batch.schema.get_field_index(vec_col))
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(batch.num_rows, dim)
+            assign = np.argmax(mat @ cT, axis=1).astype(np.int32)
+            cols = {name: batch.column(batch.schema.get_field_index(name)) for name in in_cols}
+            cols[list_col] = pa.array(assign, type=pa.int32())
+            yield pa.record_batch(cols)
+
+    return df.select(*in_cols).mapInArrow(kernel, schema=f"{out_fields}, {list_col} int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: train a coarse quantizer on a bounded
+    sample, bucket the corpus by nearest centroid (one scan, one numpy
+    matmul pass), probe each query's ``nprobe`` nearest lists, exact
+    cosine re-rank inside the probed lists.
+
+    Scale shape: corpus assignment is a single mapInArrow pass + shuffle
+    on list_id; queries broadcast; per-query work is corpus/n_lists ×
+    nprobe instead of the full scan. Returns (query_id, vec_id, cosine,
+    rank).
+    """
+    sample_rows = corpus.select(vec_col).limit(train_sample).collect()
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _kmeans_fit(sample / norms, n_lists, seed)
+
+    c = ivf_assign_arrow(corpus, cents, [id_col], vec_col, "list_id")
+    # query probes: nprobe nearest centroids, driver-side (queries small)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        nv = np.linalg.norm(v)
+        d = cents @ (v / nv if nv > 0 else v)
+        for li in np.argsort(-d)[:nprobe]:
+            probe_rows.append((r[0], [float(x) for x in r[1]], int(li)))
+    q_probed = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, _qvec array<double>, list_id int"
+    )
+    cand = c.join(F.broadcast(q_probed), "list_id")
+    scored = cand.select(
+        query_id_col, id_col,
+        cosine_expr(F.col(vec_col).cast("array<double>"), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -139,3 +139,37 @@ def test_lsh_topk_auto_selects_arrow_at_high_dim(spark):
     assert plan.count("MapInArrow") == 2, plan
     top1 = {r["query_id"]: r["vec_id"] for r in out.filter(F.col("rank") == 1).collect()}
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb, queries):
+    """IVF with nprobe=4 of 8 lists must recover most of the exact top-5
+    and always rank each query's own vector first."""
+    from htm_streamer_spark.operators.similarity import ivf_topk
+
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, dim=64, k=5, n_lists=8, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+    top1 = {r["query_id"]: r["vec_id"] for r in approx.filter(F.col("rank") == 1).collect()}
+    assert top1 == {q: q for q in top1}
+
+
+def test_ivf_assignment_is_single_arrow_pass(spark, emb):
+    """Corpus assignment must be ONE mapInArrow matmul — no per-row
+    Python, no crossJoin against centroids."""
+    import numpy as np
+
+    from htm_streamer_spark.operators.similarity import _kmeans_fit, ivf_assign_arrow
+
+    sample = np.array([r["embedding"] for r in emb.limit(200).collect()], dtype=np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = _kmeans_fit(sample, 8)
+    assigned = ivf_assign_arrow(emb, cents, ["vec_id"])
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    rows = assigned.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r["list_id"] < 8 for r in rows)
