@@ -89,3 +89,66 @@ def test_iceberg_constructor_raises_without_runtime(spark):
         pytest.skip("unexpectedly configured")
     with pytest.raises(RuntimeError, match="Iceberg"):
         IcebergCatalog(spark, "definitely_not_configured_catalog", "ns")
+
+
+def test_iceberg_commit_orders_verdicts_last(monkeypatch):
+    """The lineage anchor (verdicts) must commit LAST so a crash
+    mid-commit can orphan auxiliary rows but never mark a partition
+    validated without them. Exercised with stubs since the Iceberg jar
+    is absent in CI."""
+    from htm_streamer_spark.sources import table_io
+
+    events = []
+
+    class FakeWriter:
+        def __init__(self, table):
+            self.table = table
+
+        def append(self):
+            events.append(("append", self.table))
+
+        def using(self, fmt):
+            return self
+
+        def create(self):
+            events.append(("create", self.table))
+
+    class FakeDF:
+        def __init__(self, name):
+            self.name = name
+
+        def writeTo(self, fqn):
+            return FakeWriter(fqn)
+
+    class FakeCatalogAPI:
+        def tableExists(self, fqn):
+            return "verdicts" in fqn  # verdicts exists, others don't
+
+    class FakeSpark:
+        catalog = FakeCatalogAPI()
+
+        def sql(self, q):
+            events.append(("sql", q.split("(")[0].strip()))
+
+            class R:
+                @staticmethod
+                def collect():
+                    return [[1]]
+
+            return R()
+
+    monkeypatch.setattr(table_io, "iceberg_available", lambda *a: True)
+    cat = table_io.IcebergCatalog(FakeSpark(), "ice", "ns")
+    # stage out of order on purpose
+    cat.stage_spark("verdicts", FakeDF("verdicts"))
+    cat.stage_spark("violations", FakeDF("violations"))
+    cat.stage_spark("baseline_tok", FakeDF("baseline_tok"))
+    cat.commit({"k": "v"})
+
+    writes = [e for e in events if e[0] in ("append", "create")]
+    assert writes[-1] == ("append", "ice.ns.verdicts")  # anchor last
+    assert ("create", "ice.ns.violations") in writes
+    assert ("create", "ice.ns.baseline_tok") in writes
+    # props go on the verdicts table
+    assert any("ALTER TABLE ice.ns.verdicts SET TBLPROPERTIES" in e[1] for e in events if e[0] == "sql")
+    assert cat._staged == []
