@@ -43,22 +43,30 @@ def exact_duplicates(
     full member list: one boilerplate digest with 10^7 copies must not
     materialize a 10^7-element array on one reducer).
 
-    Two salted phases bound every intermediate: phase 1 groups by
-    (digest, salt) so a hot digest spreads over ``n_salts`` reducers and
-    each collects at most its shard before slicing to ``sample_ids``;
-    phase 2 merges ≤ n_salts bounded arrays per digest. Counts
-    partial-merge map-side in both phases. Full membership, when needed,
-    is recovered by joining df back on the digest.
+    Two salted phases bound every intermediate: phase 1 hash-partitions
+    on (digest, salt) so a hot digest spreads over ``n_salts`` reducers;
+    within a shard a window ``row_number`` (external sort — spillable,
+    never an in-memory array) selects the ``sample_ids`` smallest
+    doc_ids BEFORE any ``collect_list``, so no intermediate array ever
+    exceeds ``sample_ids`` even for a 10^9-copy digest. Phase 2 merges
+    ≤ n_salts bounded arrays per digest. Counts partial-merge map-side.
+    Full membership, when needed, is recovered by joining df back on the
+    digest.
     """
+    from pyspark.sql import Window
+
     digest = F.md5(normalized_text(F.col(text_col))).alias("digest")
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).alias("_salt")
-    p1 = (
-        df.select(digest, salt, "doc_id")
-        .groupBy("digest", "_salt")
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, sample_ids).alias("_ids"),
-        )
+    w = Window.partitionBy("digest", "_salt").orderBy("doc_id")
+    ranked = df.select(digest, salt, "doc_id").withColumn("_rn", F.row_number().over(w))
+    # collect_list skips nulls → at most sample_ids elements per shard;
+    # the count still covers every row (same shuffle partitioning as the
+    # window, so the groupBy adds no second exchange)
+    p1 = ranked.groupBy("digest", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= sample_ids, F.col("doc_id")))
+        ).alias("_ids"),
     )
     return (
         p1.groupBy("digest")

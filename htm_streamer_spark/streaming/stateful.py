@@ -20,11 +20,18 @@ averaging window); series hash-partition across executors; inside a
 group the math is the same segment-vectorized numpy as the batch
 kernel — per-segment, never per-row Python.
 
-Ordering contract: rows are sorted by ts WITHIN each micro-batch, but
-the operator assumes micro-batches arrive in time order per series
-(true for file/kafka-per-key sources in arrival order). Out-of-order
-arrivals across batches need an upstream watermark + sort, as with any
-order-dependent stateful operator.
+Ordering contract: a group's micro-batch rows are MATERIALIZED and
+sorted by ts once per micro-batch (applyInPandasWithState hands the
+group's rows as multiple Arrow chunks in arbitrary shuffle order —
+sorting each chunk independently, as an earlier version did, silently
+mis-orders any series wider than one Arrow batch). Across micro-batches
+the operator enforces monotone time per series: a batch whose earliest
+ts precedes the state's last scored ts raises ValueError (the defined
+behavior for out-of-order arrival — route through an upstream watermark
++ sort if the source can deliver late data, as with any order-dependent
+stateful operator). Memory note: materializing one group's micro-batch
+is bounded by (rows per series per trigger), not by the series history —
+state stays bounded by historic_window regardless.
 """
 
 from __future__ import annotations
@@ -41,7 +48,7 @@ from htm_streamer_spark.config import (
 STATE_SCHEMA = (
     "n_seen long, ma_tail array<double>, hist_scores array<double>, "
     "hist_values array<double>, mean double, stdev double, has_dist boolean, "
-    "prev_raw double"
+    "prev_raw double, last_ts_us long"
 )
 OUTPUT_SCHEMA = "series_id string, ts timestamp, score double, anomaly_likelihood double"
 
@@ -96,20 +103,42 @@ def likelihood_state_fn(
 
     def fn(key, pdf_iter, state):
         if state.exists:
-            n_seen, ma_tail, hist_s, hist_v, mean, stdev, has_dist, prev_raw = state.get
+            st = state.get
+            n_seen, ma_tail, hist_s, hist_v, mean, stdev, has_dist, prev_raw = st[:8]
+            last_ts_us = st[8] if len(st) > 8 and st[8] is not None and st[8] >= 0 else None
             ma_tail = np.asarray(ma_tail, dtype=np.float64)
             hist_s = np.asarray(hist_s, dtype=np.float64)
             hist_v = np.asarray(hist_v, dtype=np.float64)
         else:
             n_seen, mean, stdev, has_dist, prev_raw = 0, 0.5, 1e3, False, 1.0
+            last_ts_us = None
             ma_tail = np.empty(0)
             hist_s = np.empty(0)
             hist_v = np.empty(0)
 
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("ts").reset_index(drop=True)
+        # applyInPandasWithState may hand one group's micro-batch as
+        # SEVERAL Arrow chunks in arbitrary order; state carries across
+        # chunks, so sorting per-chunk would mis-order the series.
+        # Materialize the whole group batch (bounded by rows-per-trigger
+        # for this series) and sort by ts exactly once.
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        batch = (
+            pd.concat(parts, ignore_index=True) if len(parts) != 1 else parts[0]
+        ) if parts else None
+
+        for pdf in ([batch] if batch is not None else []):
+            pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+            # monotone-time guard across micro-batches: silently scoring
+            # late rows would diverge from the batch kernel with no error
+            batch_min_us = int(pdf["ts"].iloc[0].value) // 1000
+            if last_ts_us is not None and batch_min_us < last_ts_us:
+                raise ValueError(
+                    f"out-of-order micro-batch for series {key[0]!r}: "
+                    f"batch min ts {pdf['ts'].iloc[0]} precedes last scored ts "
+                    f"{pd.Timestamp(last_ts_us * 1000)}; add an upstream "
+                    "watermark + sort before the stateful operator"
+                )
+            last_ts_us = int(pdf["ts"].iloc[-1].value) // 1000
             scores = pdf["score"].to_numpy(dtype=np.float64)
             values = pdf["value"].to_numpy(dtype=np.float64)
             n = len(pdf)
@@ -181,6 +210,7 @@ def likelihood_state_fn(
                 float(stdev),
                 bool(has_dist),
                 float(prev_raw),
+                int(last_ts_us) if last_ts_us is not None else -1,
             )
         )
 

@@ -86,6 +86,53 @@ def test_state_is_bounded(spark):
     assert len(ma_tail) == PARAMS["averaging_window"] - 1
 
 
+def test_multichunk_micro_batch_scored_in_order(spark):
+    """ADVICE regression: applyInPandasWithState splits a group's
+    micro-batch into multiple Arrow chunks in ARBITRARY shuffle order.
+    The state fn must materialize + sort the whole batch once — sorting
+    each chunk independently silently mis-orders the series."""
+    pdf = _series(n=400)
+    want = (
+        anomaly_likelihood_exact(spark.createDataFrame(pdf), **PARAMS)
+        .orderBy("ts")
+        .toPandas()["anomaly_likelihood"]
+        .to_numpy()
+    )
+
+    fn = likelihood_state_fn(**PARAMS)
+    state = FakeState()
+    # one micro-batch delivered as 5 chunks in scrambled order
+    chunks = np.array_split(pdf, 5)
+    scrambled = [chunks[i].reset_index(drop=True) for i in (3, 0, 4, 2, 1)]
+    outs = list(fn(("s0",), iter(scrambled), state))
+    got = pd.concat(outs).sort_values("ts")["anomaly_likelihood"].to_numpy()
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_out_of_order_micro_batch_raises(spark):
+    """Monotone-time guard: a micro-batch whose earliest ts precedes the
+    state's last scored ts must raise, not silently produce wrong
+    likelihoods."""
+    pdf = _series(n=100)
+    fn = likelihood_state_fn(**PARAMS)
+    state = FakeState()
+    first, second = pdf.iloc[50:], pdf.iloc[:50]  # later half first
+    list(fn(("s0",), iter([first.reset_index(drop=True)]), state))
+    with pytest.raises(ValueError, match="out-of-order micro-batch"):
+        list(fn(("s0",), iter([second.reset_index(drop=True)]), state))
+
+
+def test_empty_micro_batch_keeps_state(spark):
+    fn = likelihood_state_fn(**PARAMS)
+    state = FakeState()
+    pdf = _series(n=50)
+    list(fn(("s0",), iter([pdf]), state))
+    before = state.get
+    list(fn(("s0",), iter([pdf.iloc[0:0]]), state))  # empty batch
+    assert state.get == before
+
+
 @pytest.mark.slow
 def test_real_streaming_query_matches_batch(spark, tmp_path):
     """End-to-end through a real Structured Streaming query: file source
