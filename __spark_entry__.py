@@ -46,6 +46,19 @@ from htm_streamer_spark.plans.validation_plan import run_validation_batch
 
 ALLOWED_SOURCES = [f"src{i}" for i in range(16)]  # src16..19 → violations
 
+# Golden-file oracles (tools/make_goldens.py): for queries that are
+# bit-deterministic but not recomputable in DuckDB SQL, the oracle is an
+# exact golden parquet captured at the driver's correctness scale
+# (sf0.01) and read back via read_parquet — the driver's rows + schema +
+# value-hash compare applies unchanged.
+GOLDEN_DIR = Path(__file__).resolve().parent / "tests" / "golden"
+SQL_IVF_GOLDEN = (
+    f"SELECT * FROM read_parquet('{GOLDEN_DIR}/ivf_topk_embeddings.sf0.01.parquet')"
+)
+SQL_MULTIMODAL_GOLDEN = (
+    f"SELECT * FROM read_parquet('{GOLDEN_DIR}/multimodal_features.sf0.01.parquet')"
+)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -1013,9 +1026,11 @@ FROM documents GROUP BY source
 
 
 def q_ivf_topk_embeddings(spark, sf_dir):
-    """IVF coarse-quantizer ANN (rows-only: the k-means training is not
-    reproducible in DuckDB; recall vs brute force is pinned in
-    tests/test_similarity.py instead)."""
+    """IVF coarse-quantizer ANN. Oracle = golden parquet (seeded k-means
+    over a content-hash uniform sample is bit-deterministic but not
+    DuckDB-recomputable; tools/make_goldens.py captures the expected
+    output at sf0.01 and tests/test_similarity.py pins recall vs brute
+    force)."""
     from htm_streamer_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1026,11 +1041,12 @@ def q_ivf_topk_embeddings(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing through the driver contract (rows-only: the
-    decode is a declared stub — no media libs in this container — so
-    there is nothing DuckDB could recompute). Exercises the real Spark
-    machinery: binary columns, size-band repartition for decode skew,
-    mapInPandas Arrow batches, blob dropped before any shuffle."""
+    """Multimodal plumbing through the driver contract. The decode is a
+    declared stub (no media libs in this container) with a deterministic
+    fake path, so the oracle is a golden parquet of the seeded output
+    (tools/make_goldens.py). Exercises the real Spark machinery: binary
+    columns, size-band repartition for decode skew, mapInPandas Arrow
+    batches, blob dropped before any shuffle."""
     from htm_streamer_spark.operators.multimodal import (
         extract_features,
         frame_sample_plan,
@@ -1160,6 +1176,97 @@ QUALIFY rank <= {k}
 
 
 SQL_LSH_TOPK = _sql_lsh_topk()
+
+
+WIDE_DIM, WIDE_BITS, WIDE_K = 256, 12, 5
+WIDE_SCALE = float(1 << 60)
+
+
+def _wide_embedding_col():
+    """Deterministic dim-256 DOUBLE embedding derived from vec_id:
+    e_j = (md5_60bit("vec_id:j") / 2^60) * 2 - 1. md5 (not xxhash64) so
+    the exact same values are computable in the DuckDB oracle; /2^60 and
+    *2-1 are the same IEEE ops on both engines → bit-identical."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(WIDE_DIM - 1)),
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("vec_id").cast("string"), j.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(WIDE_SCALE)
+        )
+        * 2
+        - 1,
+    )
+
+
+def q_lsh_topk_wide_embeddings(spark, sf_dir):
+    """LSH ANN at production dimensionality: dim=256 × bits=12 = 3072
+    literals exceeds LSH_EXPR_MAX_LITERALS, so both corpus and query
+    signatures route through the Arrow matmul kernel
+    (lsh_signatures_arrow) — the code path that actually runs at real
+    embedding dims, now under the driver's correctness gate
+    (VERDICT r2 item 6). Plan-asserted in tests/test_plans.py."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _wide_embedding_col().alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(
+        emb, queries, dim=WIDE_DIM, k=WIDE_K, bits=WIDE_BITS, probe_hamming=1
+    )
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _sql_lsh_topk_wide() -> str:
+    from htm_streamer_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(WIDE_DIM, WIDE_BITS, seed=42)
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(emb, [{w}]) > 0 THEN {v} ELSE 0 END)".format(
+            w=", ".join(repr(float(x)) for x in planes[b]), v=1 << b
+        )
+        for b in range(WIDE_BITS)
+    )
+    masks = [0] + [1 << b for b in range(WIDE_BITS)]
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(range({WIDE_DIM}), j ->
+           (('0x' || substr(md5(vec_id::VARCHAR || ':' || (j)::VARCHAR), 1, 15))::BIGINT
+            / {WIDE_SCALE!r}) * 2 - 1) AS emb
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, emb, ({sig_terms})::BIGINT AS sig FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qvec, sig AS qsig FROM sigs WHERE vec_id < 5
+),
+probed AS (
+  SELECT query_id, qvec, xor(qsig, m.mask) AS sig
+  FROM q, unnest({masks}) AS m(mask)
+),
+cand AS (
+  SELECT p.query_id, s.vec_id,
+         list_cosine_similarity(s.emb, p.qvec) AS cos_raw
+  FROM sigs s JOIN probed p USING (sig)
+)
+SELECT query_id, vec_id, round(cos_raw, 6)::DOUBLE + 0.0 AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+FROM cand
+QUALIFY rank <= {WIDE_K}
+"""
+
+
+SQL_LSH_TOPK_WIDE = _sql_lsh_topk_wide()
 
 
 def q_embed_near_dups(spark, sf_dir):
@@ -1430,13 +1537,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_docs": q_simhash_docs,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "lsh_topk_wide_embeddings": q_lsh_topk_wide_embeddings,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "embed_near_dups": q_embed_near_dups,
         "quantiles_docs": q_quantiles_docs,
         "winnow_docs": q_winnow_docs,
-        # rows-only by design: decode is a declared stub (no media libs)
+        # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
-        # rows-only by design: k-means training isn't DuckDB-reproducible
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "validation_verdicts": q_validation_verdicts,
         "validation_verdicts_drift": q_validation_verdicts_drift,
@@ -1478,9 +1585,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": SQL_SIMHASH,
         "simhash_pairs_docs": SQL_SIMHASH_PAIRS,
         "lsh_topk_embeddings": SQL_LSH_TOPK,
+        "lsh_topk_wide_embeddings": SQL_LSH_TOPK_WIDE,
         "embed_near_dups": SQL_EMBED_NEAR_DUPS,
         "quantiles_docs": SQL_QUANTILES,
         "winnow_docs": SQL_WINNOW,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
+        # golden-parquet oracles — valid at the driver's correctness
+        # scale (sf0.01); regenerate with tools/make_goldens.py
+        "ivf_topk_embeddings": SQL_IVF_GOLDEN,
+        "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     }

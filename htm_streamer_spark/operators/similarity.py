@@ -343,9 +343,30 @@ def ivf_topk(
     on list_id; queries broadcast; per-query work is corpus/n_lists ×
     nprobe instead of the full scan. Returns (query_id, vec_id, cosine,
     rank).
+
+    The k-means training sample is a seeded UNIFORM hash-sample of the
+    corpus (``md5(id) % D < D·fraction``), not a first-files prefix — a
+    ``limit(...)`` sample is whatever partition the scan returns first,
+    which at scale trains centroids on one source slice and silently
+    degrades recall everywhere else. Vectors come back via Arrow
+    (``toPandas`` of the vector column only), never a row-collect, and
+    the sample is ordered by the same hash so centroid seeding is
+    partition-layout independent.
     """
-    sample_rows = corpus.select(vec_col).limit(train_sample).collect()
-    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    n_corpus = corpus.count()  # parquet metadata count, not a data scan
+    # deterministic content-hash in [0, 2^60): md5 keeps the sample
+    # reproducible across engines/partitionings (xxhash64 is Spark-only)
+    hash_col = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sampled = corpus.select(F.col(vec_col), hash_col.alias("_h"))
+    if n_corpus > train_sample:
+        # oversample 2x by hash-threshold, then take the smallest hashes
+        # (TakeOrderedAndProject — a top-k, not a full sort shuffle)
+        threshold = int((1 << 60) * min(1.0, 2.0 * train_sample / n_corpus))
+        sampled = sampled.filter(F.col("_h") < threshold)
+    pdf = sampled.orderBy("_h").limit(train_sample).toPandas()
+    sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     cents = _kmeans_fit(sample / norms, n_lists, seed)
@@ -361,8 +382,11 @@ def ivf_topk(
         d = cents @ (v / nv if nv > 0 else v)
         for li in np.argsort(-d)[:nprobe]:
             probe_rows.append((r[0], [float(x) for x in r[1]], int(li)))
+    # derive the query-id type from the input (string/int32/... ids all
+    # work — a hardcoded 'long' would mis-type the join)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     q_probed = spark.createDataFrame(
-        probe_rows, f"{query_id_col} long, _qvec array<double>, list_id int"
+        probe_rows, f"{query_id_col} {qid_type}, _qvec array<double>, list_id int"
     )
     cand = c.join(F.broadcast(q_probed), "list_id")
     scored = cand.select(

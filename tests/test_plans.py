@@ -95,3 +95,22 @@ def test_exists_not_fullscan_of_other_columns(seq, cfg):
     plan = _plan(row_violations(seq, cfg))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "ts" not in read_schema, read_schema
+
+
+def test_wide_lsh_driver_query_uses_arrow_kernel(spark):
+    """VERDICT r2 item 6: the driver-contract dim-256 LSH query must
+    route BOTH corpus and query signatures through the Arrow matmul
+    kernel (bits*dim=3072 > LSH_EXPR_MAX_LITERALS) — exactly two
+    MapInArrow stages, no row-at-a-time Python anywhere."""
+    import importlib.util as iu
+    from pathlib import Path
+
+    spec = iu.spec_from_file_location(
+        "spark_entry_for_plan", Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    )
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.q_lsh_topk_wide_embeddings(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
