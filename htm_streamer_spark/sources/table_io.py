@@ -54,6 +54,40 @@ def list_hive_partitions(spark: SparkSession, path: str | Path, col: str = "part
     return sorted(out)
 
 
+def list_hive_partition_files(
+    spark: SparkSession, path: str | Path, col: str = "part_id"
+) -> dict[int, list[str]]:
+    """Data-file basenames per hive partition, from the same Hadoop
+    FileSystem listing as :func:`list_hive_partitions` (metadata calls
+    only — no Spark job). Underscore/dot-prefixed files (_SUCCESS,
+    .crc) are excluded, matching Spark's own data-file filter. The
+    streaming binding uses this as the partition-completeness oracle:
+    a partition is fully delivered once every listed file has appeared
+    in some committed micro-batch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(str(path))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return {}
+    out: dict[int, list[str]] = {}
+    prefix = f"{col}="
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        try:
+            pid = int(name[len(prefix):])
+        except ValueError:
+            continue
+        files = []
+        for f in fs.listStatus(status.getPath()):
+            fname = f.getPath().getName()
+            if f.isFile() and not fname.startswith(("_", ".")):
+                files.append(fname)
+        out[pid] = sorted(files)
+    return out
+
+
 class ManifestCatalog:
     """Multi-table catalog under one directory with atomic multi-table
     commits (one manifest swap publishes every staged file — the analog

@@ -130,3 +130,23 @@ def test_repartition_width_same_results(spark, tiny_dir, cfg, tmp_path):
     run_incremental(spark, tiny_dir, cat1, cfg)
     run_incremental(spark, tiny_dir, cat2, cfg, repartition_width=16)
     pd.testing.assert_frame_equal(_verdicts_pdf(spark, cat1), _verdicts_pdf(spark, cat2))
+
+
+def test_empty_partition_gets_explicit_verdict_and_noop(spark, tiny_dir, cfg, tmp_path):
+    """ADVICE regression: listing-based discovery surfaces partition
+    dirs with zero rows; without an explicit verdict they re-enter todo
+    on every run and the engine never reaches noop."""
+    import shutil
+
+    src = tmp_path / "seq_with_empty"
+    shutil.copytree(tiny_dir, src)
+    (src / "part_id=99").mkdir()  # a partition dir with no data files
+
+    cat = ManifestCatalog(tmp_path / "empty_cat")
+    r1 = run_incremental(spark, str(src), cat, cfg)
+    assert 99 in r1["validated"]
+    v = _verdicts_pdf(spark, cat)
+    assert v.loc[v["part_id"] == 99, "status"].tolist() == ["empty"]
+
+    r2 = run_incremental(spark, str(src), cat, cfg)
+    assert r2["mode"] == "noop" and r2["validated"] == []
