@@ -251,9 +251,19 @@ class IcebergCatalog:
         self._staged = []
         if props:
             anchor = self._fqn("verdicts")
-            if self._exists("verdicts"):
-                kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
-                self.spark.sql(f"ALTER TABLE {anchor} SET TBLPROPERTIES ({kv})")
+            if not self._exists("verdicts"):
+                # silently dropping props would lose last_committed_epoch
+                # and defeat the streaming replay guard — fail loudly
+                raise RuntimeError(
+                    f"cannot set properties {sorted(props)}: anchor table "
+                    f"{anchor} does not exist; stage a verdicts write in the "
+                    "same commit or create the table first"
+                )
+            # single-quote escaping: prop values carry JSON (and file
+            # names) that may contain quotes
+            esc = lambda s: str(s).replace("'", "''")  # noqa: E731
+            kv = ", ".join(f"'{esc(k)}'='{esc(v)}'" for k, v in props.items())
+            self.spark.sql(f"ALTER TABLE {anchor} SET TBLPROPERTIES ({kv})")
         return self.version()
 
     def abort(self) -> None:

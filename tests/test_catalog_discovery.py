@@ -152,3 +152,158 @@ def test_iceberg_commit_orders_verdicts_last(monkeypatch):
     # props go on the verdicts table
     assert any("ALTER TABLE ice.ns.verdicts SET TBLPROPERTIES" in e[1] for e in events if e[0] == "sql")
     assert cat._staged == []
+
+
+def test_iceberg_props_escape_quotes(monkeypatch):
+    """ADVICE regression: prop values carry JSON — a single quote must
+    not break the TBLPROPERTIES SQL."""
+    from htm_streamer_spark.sources import table_io
+
+    sqls = []
+
+    class FakeCatalogAPI:
+        def tableExists(self, fqn):
+            return True
+
+    class FakeSpark:
+        catalog = FakeCatalogAPI()
+
+        def sql(self, q):
+            sqls.append(q)
+
+            class R:
+                @staticmethod
+                def collect():
+                    return [[1]]
+
+            return R()
+
+    monkeypatch.setattr(table_io, "iceberg_available", lambda *a: True)
+    cat = table_io.IcebergCatalog(FakeSpark(), "ice", "ns")
+    cat.commit({"note": "it's {\"a\": 'quoted'}"})
+    alter = [q for q in sqls if "TBLPROPERTIES" in q][0]
+    assert "it''s" in alter and "''quoted''" in alter
+    # the raw single quote never appears unescaped inside the value
+    assert "'it's" not in alter
+
+
+def test_iceberg_props_without_anchor_raise(monkeypatch):
+    """Silently dropping props would lose last_committed_epoch and
+    defeat the streaming replay guard — commit must fail loudly when
+    the anchor table is missing."""
+    from htm_streamer_spark.sources import table_io
+
+    class FakeCatalogAPI:
+        def tableExists(self, fqn):
+            return False
+
+    class FakeSpark:
+        catalog = FakeCatalogAPI()
+
+        def sql(self, q):
+            class R:
+                @staticmethod
+                def collect():
+                    return [[0]]
+
+            return R()
+
+    monkeypatch.setattr(table_io, "iceberg_available", lambda *a: True)
+    cat = table_io.IcebergCatalog(FakeSpark(), "ice", "ns")
+    with pytest.raises(RuntimeError, match="does not exist"):
+        cat.commit({"last_committed_epoch": "4"})
+
+
+# ---------------------------------------------------------------------------
+# ManifestCatalog crash-recovery (VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+
+def _snapshot(spark, cat):
+    from htm_streamer_spark.sources.table_io import ManifestCatalog
+
+    reader = ManifestCatalog(cat.root)  # fresh handle, like a new process
+    df = reader.read(spark, "verdicts")
+    return sorted(map(tuple, df.collect())) if df is not None else None
+
+
+def test_crash_between_stage_and_commit_is_invisible(spark, tmp_path):
+    """Kill after stage_spark but before commit: a fresh reader (new
+    process) sees the previous snapshot; re-staging + committing from
+    the new process publishes exactly once."""
+    from htm_streamer_spark.sources.table_io import ManifestCatalog
+
+    cat = ManifestCatalog(tmp_path / "crash1")
+    df1 = spark.range(2).selectExpr("CAST(id AS INT) part_id", "'pass' status")
+    cat.stage_spark("verdicts", df1)
+    cat.commit()
+    before = _snapshot(spark, cat)
+
+    # "crash": stage new files, never commit, process dies
+    df2 = spark.range(2, 5).selectExpr("CAST(id AS INT) part_id", "'fail' status")
+    cat.stage_spark("verdicts", df2)
+    del cat  # staged list dies with the process
+
+    cat2 = ManifestCatalog(tmp_path / "crash1")
+    assert _snapshot(spark, cat2) == before  # staged-only files invisible
+    # recovery: redo the work and commit
+    cat2.stage_spark("verdicts", df2)
+    cat2.commit()
+    after = _snapshot(spark, cat2)
+    assert len(after) == 5 and len([r for r in after if r[1] == "fail"]) == 3
+
+
+def test_crash_mid_manifest_swap_keeps_old_snapshot(spark, tmp_path):
+    """Kill between writing manifest.json.tmp and os.replace: the tmp
+    file is garbage-in-progress, the live manifest is untouched, and the
+    next commit overwrites the tmp cleanly."""
+    import json
+
+    from htm_streamer_spark.sources.table_io import ManifestCatalog
+
+    cat = ManifestCatalog(tmp_path / "crash2")
+    df1 = spark.range(3).selectExpr("CAST(id AS INT) part_id", "'pass' status")
+    cat.stage_spark("verdicts", df1)
+    cat.commit()
+    before = _snapshot(spark, cat)
+    version_before = cat.version()
+
+    # simulate the torn write: a half-written tmp next to the manifest
+    tmp_file = cat._manifest_path.with_suffix(".json.tmp")
+    tmp_file.write_text('{"version": 999, "entries": [{"tab')  # truncated
+
+    cat2 = ManifestCatalog(tmp_path / "crash2")
+    assert cat2.version() == version_before
+    assert _snapshot(spark, cat2) == before
+
+    # next commit replaces the torn tmp and publishes atomically
+    cat2.stage_spark("verdicts", spark.range(3, 4).selectExpr(
+        "CAST(id AS INT) part_id", "'fail' status"))
+    cat2.commit()
+    assert cat2.version() == version_before + 1
+    assert len(_snapshot(spark, cat2)) == 4
+    # the manifest on disk is valid JSON (the torn tmp never leaked in)
+    json.loads(cat2._manifest_path.read_text())
+
+
+def test_commit_is_all_or_nothing_across_tables(spark, tmp_path):
+    """One commit staging verdicts + violations + baseline publishes all
+    three atomically: before the manifest swap a fresh reader sees none
+    of them, after it sees all (the multi-table transaction semantics
+    the Iceberg binding approximates with commit ordering)."""
+    from htm_streamer_spark.sources.table_io import ManifestCatalog
+
+    cat = ManifestCatalog(tmp_path / "crash3")
+    cat.stage_spark("verdicts", spark.range(2).selectExpr("CAST(id AS INT) part_id"))
+    cat.stage_spark("violations", spark.range(5).selectExpr("CAST(id AS INT) doc_id"))
+    cat.stage_spark("baseline_tok", spark.range(3).selectExpr("CAST(id AS INT) bucket"))
+
+    fresh = ManifestCatalog(tmp_path / "crash3")
+    assert all(
+        fresh.read(spark, t) is None for t in ("verdicts", "violations", "baseline_tok")
+    )
+    cat.commit()
+    fresh2 = ManifestCatalog(tmp_path / "crash3")
+    assert fresh2.read(spark, "verdicts").count() == 2
+    assert fresh2.read(spark, "violations").count() == 5
+    assert fresh2.read(spark, "baseline_tok").count() == 3
