@@ -81,25 +81,36 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     # headline: full validation suite over the sequences table.
-    # best of 2 — the sandbox VM's run-to-run variance is 3-5x
-    # (documented in BENCH/BASELINE.md); both runs are full cold plans
-    # (cache cleared between).
+    # best of 4 with the median alongside — the sandbox VM's run-to-run
+    # variance is 3-5x (documented in BENCH/BASELINE.md), so a thin
+    # best-of-2 can report a noise spike as a regression (VERDICT r2
+    # item 1). All runs are full cold plans (cache cleared between).
     seq_path, n_seq = ensure_seq_table(sf)
-    best = None
-    for _ in range(2):
+    n_runs = int(os.environ.get("SPARK_GRAFT_SEQ_RUNS", "4"))
+    runs = []
+    for _ in range(n_runs):
         t0 = time.time()
         df = load_sequences(spark, str(seq_path))
         res = run_validation_batch(spark, df, EngineConfig())
         n_verdicts = res.verdicts.count()
         n_viol = res.violations.count()
-        dt = time.time() - t0
+        runs.append(time.time() - t0)
         spark.catalog.clearCache()
-        best = dt if best is None else min(best, dt)
+    best = min(runs)
+    srt = sorted(runs)
+    median = (
+        srt[len(srt) // 2]
+        if len(srt) % 2
+        else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
+    )
     timings["seq_validate"] = best
     extra["seq_rows"] = n_seq
     extra["seq_verdicts"] = n_verdicts
     extra["seq_violations"] = n_viol
+    extra["seq_validate_runs"] = [round(x, 3) for x in runs]
+    extra["seq_validate_median"] = round(median, 3)
     extra["validated_seqs_per_sec"] = round(n_seq / best, 1)
+    extra["validated_seqs_per_sec_median"] = round(n_seq / median, 1)
 
     # representative operator queries from the driver contract
     qs = entry_mod.queries()
@@ -114,6 +125,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "simhash_docs",
         "embed_topk",
         "lsh_topk_embeddings",
+        "lsh_topk_wide_embeddings",
         "sessionize_events",
     ):
         t0 = time.time()

@@ -159,6 +159,47 @@ def test_replayed_epoch_is_noop(spark, tiny_dir, cfg, tmp_path):
     assert catalog.version() != version_after_first
 
 
+@pytest.mark.slow
+def test_finalize_stream_sweeps_empty_file_partition(spark, cfg, tmp_path):
+    """A partition whose only file holds ZERO rows never appears in any
+    micro-batch (the file source only delivers rows), so the stream
+    cannot complete it; finalize_stream sweeps it to an explicit
+    'empty' verdict through the batch-incremental path."""
+    from htm_streamer_spark.fixtures.generator import write_sequences_parquet
+    from htm_streamer_spark.plans.validation_plan import load_sequences
+    from htm_streamer_spark.streaming.structured import finalize_stream
+
+    src = tmp_path / "seq_emptyfile"
+    write_sequences_parquet(src, n_partitions=5, rows_per_partition=500)
+    # part 5: one parquet file with the right schema and zero rows
+    empty = load_sequences(spark, str(src)).limit(0).drop("part_id")
+    empty.coalesce(1).write.parquet(str(tmp_path / "zero"))
+    (src / "part_id=5").mkdir()
+    import shutil
+
+    for f in (tmp_path / "zero").glob("*.parquet"):
+        shutil.copy(f, src / "part_id=5" / f.name)
+
+    catalog = ManifestCatalog(tmp_path / "emptyfile_ckpt")
+    q = validate_stream(
+        spark,
+        str(src),
+        catalog,
+        cfg,
+        checkpoint_location=str(tmp_path / "emptyfile_spark_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    store = CheckpointStore(catalog)
+    v = store.verdicts(spark).toPandas()
+    assert sorted(v["part_id"]) == list(range(5))  # part 5 still pending
+
+    finalize_stream(spark, str(src), catalog, cfg)
+    v2 = store.verdicts(spark).toPandas()
+    assert sorted(v2["part_id"]) == list(range(6))
+    assert v2.loc[v2["part_id"] == 5, "status"].tolist() == ["empty"]
+
+
 def test_new_checkpoint_resets_epoch_guard(spark, tiny_dir, cfg, tmp_path):
     """ADVICE regression: epoch ids are monotone only per checkpoint
     location. Restarting with a NEW checkpoint resets epoch_id to 0 —
