@@ -1025,6 +1025,136 @@ FROM documents GROUP BY source
 """
 
 
+def q_dup_ngram_docs(spark, sf_dir):
+    """Gopher-style duplicate-3-gram fraction per doc: pure array
+    expressions, zero shuffle."""
+    from htm_streamer_spark.operators.repetition import dup_ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_ngram_stats(d, n=3).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        F.round(F.col("dup_frac") + F.lit(1e-9), 6).alias("dup_frac"),
+    )
+
+
+SQL_DUP_NGRAM = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                                i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS g
+  FROM norm
+)
+SELECT doc_id,
+       len(g)::BIGINT AS n_grams,
+       len(list_distinct(g))::BIGINT AS n_distinct_grams,
+       round(CASE WHEN len(g) > 0
+                  THEN (len(g) - len(list_distinct(g))) / len(g)::DOUBLE
+                  ELSE 0.0 END + 1e-9, 6) + 0.0 AS dup_frac
+FROM grams
+"""
+
+
+def q_top_bigram_docs(spark, sf_dir):
+    """Gopher-style top-bigram fraction per doc (boilerplate signal):
+    explode → two-phase hash agg → struct argmax, one shuffle."""
+    from htm_streamer_spark.operators.repetition import top_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngram(d, n=2).select(
+        "doc_id",
+        "top_gram",
+        "top_count",
+        "n_grams",
+        F.round(F.col("top_frac") + F.lit(1e-9), 6).alias("top_frac"),
+    )
+
+
+SQL_TOP_BIGRAM = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t.g AS gram
+  FROM (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+                                      i -> ws[i]||' '||ws[i+1]) AS gs
+        FROM norm) s, unnest(s.gs) AS t(g)
+),
+counted AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       gram AS top_gram,
+       cnt::BIGINT AS top_count,
+       sum(cnt) OVER (PARTITION BY doc_id)::BIGINT AS n_grams,
+       round(cnt / sum(cnt) OVER (PARTITION BY doc_id)::DOUBLE + 1e-9, 6) + 0.0 AS top_frac
+FROM counted
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
+"""
+
+
+def q_contaminated_docs(spark, sf_dir):
+    """Benchmark-decontamination scan: documents containing any probe
+    substring (probes derived deterministically so the oracle can
+    rebuild them). Broadcast nested-loop join; the regex-alternation
+    single-scan variant is tested equal in tests/test_contamination.py."""
+    from htm_streamer_spark.operators.contamination import (
+        contaminated_pairs,
+        derive_probes,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probes = derive_probes(d, every=97, offset=16, length=12)
+    return contaminated_pairs(d, probes)
+
+
+SQL_CONTAMINATED = """
+WITH probes AS (
+  SELECT doc_id AS probe_id, substring(text, 16, 12) AS probe
+  FROM documents
+  WHERE doc_id % 97 = 0 AND length(text) >= 28
+)
+SELECT d.doc_id, p.probe_id
+FROM documents d JOIN probes p
+  ON contains(d.text, p.probe) AND d.doc_id <> p.probe_id
+"""
+
+
+def q_json_props_events(spark, sf_dir):
+    """JSON field extraction (the props column is a JSON payload —
+    F13's inverse): per event_type, count/avg of the extracted numeric
+    field. get_json_object is codegen'd JVM JSON-path evaluation."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k") + F.lit(1e-9), 6).alias("avg_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       count(json_extract_string(props, '$.k')) AS n_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 6) + 0.0 AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF coarse-quantizer ANN. Oracle = golden parquet (seeded k-means
     over a content-hash uniform sample is bit-deterministic but not
@@ -1542,6 +1672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "quantiles_docs": q_quantiles_docs,
         "winnow_docs": q_winnow_docs,
+        "dup_ngram_docs": q_dup_ngram_docs,
+        "top_bigram_docs": q_top_bigram_docs,
+        "contaminated_docs": q_contaminated_docs,
+        "json_props_events": q_json_props_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -1589,6 +1723,10 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": SQL_EMBED_NEAR_DUPS,
         "quantiles_docs": SQL_QUANTILES,
         "winnow_docs": SQL_WINNOW,
+        "dup_ngram_docs": SQL_DUP_NGRAM,
+        "top_bigram_docs": SQL_TOP_BIGRAM,
+        "contaminated_docs": SQL_CONTAMINATED,
+        "json_props_events": SQL_JSON_PROPS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

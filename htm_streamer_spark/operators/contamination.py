@@ -1,0 +1,106 @@
+"""Benchmark decontamination: find documents containing any probe
+string (exact substring — the standard n-gram contamination check a
+training pipeline runs against eval-set probes before training).
+
+Two Spark-first strategies, tested equal:
+
+- ``contaminated_pairs`` — broadcast the (small) probe table and
+  nested-loop join on ``contains(text, probe)``. O(docs × probes)
+  comparisons but one scan of the corpus and zero shuffle of document
+  bytes; Catalyst picks BroadcastNestedLoopJoin. Right up to ~10^4
+  probes.
+- ``contaminated_pairs_regex`` — compile ALL probes into one
+  alternation and find every match per document in a single
+  ``regexp_extract_all`` pass, then hash-join matched text back to
+  probe_id against the broadcast probe table. One regex-automaton scan
+  per document regardless of probe count — the scale path when the
+  probe set is large (the regex engine is the poor man's Aho-Corasick;
+  a true multi-pattern automaton via mapInPandas would be the next
+  step but needs a library this container doesn't ship).
+
+Probes longer than a few words are near-unique, so match cardinality
+is tiny; the output pair set is never the bottleneck.
+
+Reference analog: the referential/membership checks of the validation
+layer (/root/reference/htm_streamer/validation.py) applied to raw text.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def derive_probes(
+    docs: DataFrame,
+    text_col: str = "text",
+    every: int = 97,
+    offset: int = 16,
+    length: int = 32,
+) -> DataFrame:
+    """Deterministic probe set for tests/benchmarks: from every
+    ``every``-th doc_id, the ``length``-char substring at ``offset``
+    (1-based). Real pipelines load probes from the eval sets instead;
+    this derivation exists so the DuckDB oracle can rebuild the exact
+    same probe table from the same parquet."""
+    return (
+        docs.filter((F.col("doc_id") % every == 0) & (F.length(text_col) >= offset + length))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.substring(F.col(text_col), offset, length).alias("probe"),
+        )
+    )
+
+
+def contaminated_pairs(
+    docs: DataFrame, probes: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, probe_id): every document containing a probe substring,
+    excluding the probe's own source document. Broadcast nested-loop
+    join — one corpus scan, no shuffle of document bytes."""
+    return (
+        docs.join(
+            F.broadcast(probes),
+            F.contains(F.col(text_col), F.col("probe"))
+            & (F.col("doc_id") != F.col("probe_id")),
+        )
+        .select("doc_id", "probe_id")
+    )
+
+
+def contaminated_pairs_regex(
+    docs: DataFrame, probes: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Same output as :func:`contaminated_pairs` via one alternation
+    regex per document (single automaton scan, probe-count-independent
+    per-row cost), then a broadcast hash join matched-text → probe_id.
+
+    The probe list is collected to the driver to build the pattern —
+    probes are a small dimension by construction (eval-set n-grams);
+    the corpus side is never collected.
+    """
+    probe_rows = probes.select("probe").distinct().collect()
+    pattern = "|".join(
+        re.escape(r["probe"]) for r in sorted(probe_rows, key=lambda r: r["probe"])
+    )
+    if not pattern:
+        return docs.sparkSession.createDataFrame([], "doc_id long, probe_id long")
+    # zero-width lookahead: plain alternation CONSUMES matched text, so a
+    # probe overlapping an earlier match is silently missed (e.g. probes
+    # "a b" scanning "a b a b a" — or two different probes overlapping).
+    # (?=(...)) matches at every position without consuming.
+    matched = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(f"(?=({pattern}))"), 1)
+            )
+        ).alias("probe"),
+    )
+    return (
+        matched.join(F.broadcast(probes), "probe")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select("doc_id", "probe_id")
+    )

@@ -1,0 +1,92 @@
+"""Repetition / boilerplate detection over the documents table.
+
+Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+Models", App. A1.1): the fraction of a document made of its most
+frequent n-gram, and the duplicate-n-gram fraction. Both are standard
+pre-training quality filters; a doc whose top bigram covers >18% of
+tokens is boilerplate with high probability.
+
+Spark-first shapes:
+
+- ``dup_ngram_stats`` is pure array expressions (codegen, zero
+  shuffle): one pass computes per-row gram counts and distinct counts.
+- ``top_ngram`` needs per-(doc, gram) frequencies, which is a genuine
+  aggregation: explode → two-phase hash agg (map-side partial combine
+  means the shuffle carries one row per DISTINCT (doc, gram), not one
+  per occurrence) → per-doc argmax via ``max_by`` with a deterministic
+  struct tie-break. No window, one shuffle on doc_id-prefixed keys —
+  the same shape at 100 TB, where gram cardinality per doc is bounded
+  by doc length.
+
+Reference analog: the per-feature frequency/quality gates of the
+validation layer (/root/reference/htm_streamer/validation.py) applied
+to text features rather than numeric ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.operators.dedup import _gram_array, normalized_text
+
+
+def _words(text_col: str):
+    return F.split(normalized_text(F.col(text_col)), r"\s+")
+
+
+def dup_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, n_grams, n_distinct_grams, dup_frac): duplicate word
+    n-gram fraction per document, all native array expressions.
+
+    dup_frac = 1 - distinct/total over the doc's n-gram multiset; 0.0
+    for docs shorter than n words. ``array_distinct`` is O(g^2) in
+    Spark's interpreted HOF evaluator but g is per-document (bounded by
+    doc length), never per-corpus — this does not grow with table size.
+    """
+    grams = _gram_array(_words(text_col), n)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct_grams"),
+        F.when(n_grams > 0, (n_grams - n_distinct) / n_grams)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_frac"),
+    )
+
+
+def top_ngram(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """(doc_id, top_gram, top_count, n_grams, top_frac): the most
+    frequent word n-gram per document and the fraction of the doc's
+    grams it accounts for. Ties break to the lexically smallest gram
+    (deterministic, oracle-reproducible).
+
+    Plan: explode grams → groupBy(doc_id, gram).count() (partial
+    map-side combine) → groupBy(doc_id).max_by(struct) — two hash
+    aggregations sharing the doc_id-prefixed shuffle; AQE coalesces.
+    """
+    grams = df.select("doc_id", _gram_array(_words(text_col), n).alias("_g")).filter(
+        F.size("_g") > 0
+    )
+    per_gram = (
+        grams.select("doc_id", F.explode("_g").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # argmax with lexical tie-break: max of (cnt, inverted-gram) is not
+    # expressible; min of struct(-cnt, gram) is and picks (max cnt,
+    # min gram).
+    best = per_gram.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g"))).alias("b"),
+        F.sum("cnt").alias("n_grams"),
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.g").alias("top_gram"),
+        (-F.col("b.nc")).cast("long").alias("top_count"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        ((-F.col("b.nc")) / F.col("n_grams")).cast("double").alias("top_frac"),
+    )

@@ -1,0 +1,95 @@
+"""Decontamination scan: broadcast-contains join vs the single-scan
+regex-alternation variant, plus known-answer cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.operators.contamination import (
+    contaminated_pairs,
+    contaminated_pairs_regex,
+    derive_probes,
+)
+from htm_streamer_spark.operators.repetition import dup_ngram_stats, top_ngram
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_known_answer(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "the secret eval answer is forty two indeed"),
+            (1, "noise noise the secret eval answer is hidden here"),
+            (2, "completely unrelated text"),
+            (3, "prefix secret eval answer suffix"),
+        ],
+    )
+    probes = spark.createDataFrame(
+        [(100, "secret eval answer")], "probe_id long, probe string"
+    )
+    got = sorted(
+        (r.doc_id, r.probe_id) for r in contaminated_pairs(docs, probes).collect()
+    )
+    assert got == [(0, 100), (1, 100), (3, 100)]
+
+
+def test_regex_variant_matches_join_variant(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probes = derive_probes(docs, every=31, offset=10, length=12)
+    a = sorted(map(tuple, contaminated_pairs(docs, probes).collect()))
+    b = sorted(map(tuple, contaminated_pairs_regex(docs, probes).collect()))
+    assert a == b
+    assert len(a) > 0  # the probe shape must actually produce hits
+
+
+def test_regex_variant_escapes_metacharacters(spark):
+    docs = _docs(
+        spark,
+        [(0, "cost is $5.99 (sale) today"), (1, "cost is $5X99 [sale] today")],
+    )
+    probes = spark.createDataFrame([(7, "$5.99 (sale)")], "probe_id long, probe string")
+    got = sorted(map(tuple, contaminated_pairs_regex(docs, probes).collect()))
+    # '.' must not match 'X'; '(' must be literal
+    assert got == [(0, 7)]
+
+
+def test_derive_probes_deterministic_and_self_excluded(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probes = derive_probes(docs, every=31, offset=10, length=12)
+    pairs = contaminated_pairs(docs, probes)
+    assert pairs.filter(F.col("doc_id") == F.col("probe_id")).count() == 0
+
+
+def test_dup_ngram_stats_known_answer(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c a b c a b c"),  # 7 3-grams, 3 distinct
+            (1, "x y z w"),  # 2 3-grams, both distinct
+            (2, "q"),  # shorter than n → 0 grams, dup_frac 0
+        ],
+    )
+    got = {r.doc_id: r for r in dup_ngram_stats(docs, n=3).collect()}
+    assert (got[0].n_grams, got[0].n_distinct_grams) == (7, 3)
+    assert abs(got[0].dup_frac - 4 / 7) < 1e-9
+    assert (got[1].n_grams, got[1].n_distinct_grams, got[1].dup_frac) == (2, 2, 0.0)
+    assert (got[2].n_grams, got[2].dup_frac) == (0, 0.0)
+
+
+def test_top_ngram_known_answer_and_tiebreak(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a b a b a b c"),  # 'a b' x3 beats 'b a' x2
+            (1, "z z y y"),  # 'y y','z y','z z' all x1 → lexically smallest wins
+        ],
+    )
+    got = {r.doc_id: r for r in top_ngram(docs, n=2).collect()}
+    assert (got[0].top_gram, got[0].top_count, got[0].n_grams) == ("a b", 3, 6)
+    assert abs(got[0].top_frac - 0.5) < 1e-9
+    assert (got[1].top_gram, got[1].top_count) == ("y y", 1)
