@@ -80,6 +80,27 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
     spark.range(1_000_000).select(F.sum("id")).collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # host-CPU calibration, reported with every run: this sandbox VM is
+    # CPU-throttled by its host (observed: a local[32] JVM pinned at
+    # ~200% CPU), so wall-clock varies 2-5x run to run for reasons
+    # outside the engine. cal_parallel_sec times a fixed pure-CPU Spark
+    # job at the session's core count; cal_single_sec a fixed
+    # single-thread numpy op. Readers can normalize throughput numbers
+    # across rounds by these.
+    import numpy as np
+
+    t0 = time.time()
+    spark.range(0, 100_000_000, 1, max(32, 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))).select(
+        F.count(F.when(F.xxhash64("id") % 1000 == 0, 1))
+    ).collect()
+    extra["cal_parallel_sec"] = round(time.time() - t0, 3)
+    rng = np.random.default_rng(0)
+    m = rng.random((1200, 1200))
+    t0 = time.time()
+    for _ in range(3):
+        m = np.clip(m @ m, 0.0, 1.0) * 0.5
+    extra["cal_single_sec"] = round(time.time() - t0, 3)
+
     # headline: full validation suite over the sequences table.
     # best of 4 with the median alongside — the sandbox VM's run-to-run
     # variance is 3-5x (documented in BENCH/BASELINE.md), so a thin

@@ -247,11 +247,20 @@ def write_sequences_parquet(
     Generation is chunked so bench scale stays in memory bounds.
     """
     out = Path(out_dir)
+    # a _SUCCESS marker guards against a generation interrupted mid-write
+    # (kill/timeout): a partial directory without the marker is discarded
+    # and regenerated instead of silently reused with missing partitions.
+    done_marker = out / "_SUCCESS"
     if out.exists():
-        if not overwrite:
+        if not overwrite and done_marker.exists():
             return out
         shutil.rmtree(out)
-    out.mkdir(parents=True)
+    # stage into a sibling tmp dir and rename at the end so a concurrent
+    # reader never sees a half-written table under the final path
+    tmp = out.parent / (out.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     n_rows = n_partitions * rows_per_partition
     for start in range(0, n_rows, chunk_rows):
         cols = generate_sequences(
@@ -268,9 +277,11 @@ def write_sequences_parquet(
         tbl = to_arrow(cols)
         for pid in np.unique(cols["part_id"]):
             sub = tbl.filter(pa.compute.equal(tbl["part_id"], int(pid))).drop_columns(["part_id"])
-            pdir = out / f"part_id={int(pid)}"
+            pdir = tmp / f"part_id={int(pid)}"
             pdir.mkdir(exist_ok=True)
             pq.write_table(sub, pdir / f"chunk-{start:010d}.parquet")
+    (tmp / "_SUCCESS").touch()
+    tmp.rename(out)
     return out
 
 
