@@ -1155,6 +1155,47 @@ FROM events GROUP BY event_type
 """
 
 
+def q_dedup_clusters_docs(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components (iterative hash-min
+    label propagation) over the confirmed MinHash-LSH pair list, plus
+    the canonical-representative flag — the keep-one-per-cluster step
+    of a production dedup. Oracle: recursive-CTE transitive closure
+    over the independently recomputed pair list."""
+    from htm_streamer_spark.operators.clustering import dedup_clusters
+    from htm_streamer_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5, method="md5")
+    out = dedup_clusters(d, pairs)
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.col("is_canonical").cast("int").alias("is_canonical"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({SQL_MINHASH_PAIRS}) q
+  UNION
+  SELECT doc_b, doc_a FROM ({SQL_MINHASH_PAIRS}) q2
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       (CASE WHEN d.doc_id = coalesce(cc.cluster_id, d.doc_id) THEN 1 ELSE 0 END)::INT
+         AS is_canonical
+FROM documents d LEFT JOIN cc USING (doc_id)
+"""
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF coarse-quantizer ANN. Oracle = golden parquet (seeded k-means
     over a content-hash uniform sample is bit-deterministic but not
@@ -1168,6 +1209,26 @@ def q_ivf_topk_embeddings(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries, dim=64, k=5, n_lists=8, nprobe=4)
+
+
+def q_pq_topk_embeddings(spark, sf_dir):
+    """Product-quantization ADC ANN (third tier after LSH and IVF):
+    corpus encoded to M codebook indices, scored by LUT-sum, exact
+    re-rank of the global top-(k·refine) shortlist. Oracle = golden
+    parquet (seeded codebooks not DuckDB-recomputable); recall and
+    partition-independence pinned in tests/test_similarity.py."""
+    from htm_streamer_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, dim=64, k=5, m=16, n_codes=32, refine=8)
+
+
+SQL_PQ_GOLDEN = (
+    f"SELECT * FROM read_parquet('{GOLDEN_DIR}/pq_topk_embeddings.sf0.01.parquet')"
+)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1676,9 +1737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigram_docs": q_top_bigram_docs,
         "contaminated_docs": q_contaminated_docs,
         "json_props_events": q_json_props_events,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
         "validation_verdicts": q_validation_verdicts,
         "validation_verdicts_drift": q_validation_verdicts_drift,
     }
@@ -1727,10 +1790,12 @@ def oracle_sql() -> dict[str, str]:
         "top_bigram_docs": SQL_TOP_BIGRAM,
         "contaminated_docs": SQL_CONTAMINATED,
         "json_props_events": SQL_JSON_PROPS,
+        "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
         # scale (sf0.01); regenerate with tools/make_goldens.py
         "ivf_topk_embeddings": SQL_IVF_GOLDEN,
+        "pq_topk_embeddings": SQL_PQ_GOLDEN,
         "multimodal_features": SQL_MULTIMODAL_GOLDEN,
     }

@@ -1,0 +1,114 @@
+"""Near-duplicate clustering: connected components over a pair list,
+so each group of mutually-near-duplicate documents gets one canonical
+id (the pipeline keeps one doc per cluster — the step after pair
+finding in every production dedup).
+
+Algorithm: iterative min-label propagation (a.k.a. hash-min), the
+standard Spark-native connected-components scheme (the same shape
+GraphX/GraphFrames use underneath): every vertex starts labeled with
+itself; each round every vertex takes the min label in its
+neighborhood (including its own); converged when no label changes.
+Rounds needed = graph diameter, and near-dup clusters are shallow
+(diameter ≤ a few hops), so the loop terminates in 2-4 rounds in
+practice; ``max_iter`` bounds the worst case.
+
+Scale notes:
+- state is one (doc_id, label) row per vertex and the edge list —
+  never an adjacency matrix;
+- each round is one shuffle join edge⋈label + one groupBy min —
+  both partition on doc_id, so co-partitioning is reused;
+- the convergence check is a count of changed labels (an aggregate,
+  not a collect of labels);
+- intermediate label frames are checkpointed via localCheckpoint
+  every few rounds to truncate the lineage (an iterative plan that
+  is never cut grows exponentially in the optimizer).
+
+Reference analog: duplicate-key grouping of the uniqueness check
+(/root/reference/htm_streamer/validation.py) generalized to a
+similarity graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(doc_id, cluster_id): cluster_id = min doc_id reachable from
+    doc_id over the undirected edge list. Vertices = every id appearing
+    in the edge list (isolated docs are not emitted; callers union them
+    back with cluster_id = doc_id if a total mapping is needed)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    sym = sym.persist()
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    prev = None
+    for i in range(max_iter):
+        # neighbor minimum: for each vertex, the smallest label among
+        # itself and its neighbors
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "id")
+        )
+        # persist: the convergence count and the next round's join both
+        # read this frame — without it each round recomputes the whole
+        # iteration history
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+            .persist()
+        )
+        changed = new_labels.filter(F.col("new_label") < F.col("label")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = new_labels
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if (i + 1) % checkpoint_every == 0:
+            # cut the lineage: an iterative plan that is never truncated
+            # grows with every round and eventually dominates planning
+            labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Total dedup mapping over the corpus: (doc_id, cluster_id,
+    is_canonical). Docs in no near-dup pair are their own cluster.
+    The canonical representative is the cluster's min doc_id — the row
+    a pipeline keeps."""
+    cc = connected_components(pairs, src, dst)
+    mapped = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    return mapped.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

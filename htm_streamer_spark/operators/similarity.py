@@ -395,3 +395,214 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third ANN tier: brute force (exact
+# baseline) < LSH buckets < IVF lists < PQ codes. PQ compresses each
+# vector to M small codebook indices (here M bytes at n_codes<=256), so
+# the scoring scan reads codes instead of floats — at 100 TB the
+# difference between scanning 256 GB of codes and 100 TB of vectors.
+# Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) — ADC variant (asymmetric distance computation).
+
+
+def _kmeans_euclid(sample: np.ndarray, n_codes: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Seeded Lloyd k-means under plain Euclidean distance (PQ codebooks
+    quantize raw subvectors; the spherical variant above is only right
+    for whole normalized vectors)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_codes, len(sample)), replace=False)
+    cents = sample[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        # ||v-c||^2 argmin == argmax (v.c - ||c||^2/2)
+        d = sample @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+        assign = np.argmax(d, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(sample: np.ndarray, m: int, n_codes: int, seed: int = 42) -> np.ndarray:
+    """Codebooks (m, n_codes, dim//m) from a driver-side sample of
+    NORMALIZED vectors (normalizing first makes the ADC dot product an
+    approximate cosine)."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return np.stack(
+        [
+            _kmeans_euclid(sample[:, i * sub : (i + 1) * sub], n_codes, seed + i)
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    passthrough_cols: list[str],
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Encode every vector to its M codebook indices in one numpy pass
+    per Arrow batch (vectors are L2-normalized first). The codes frame
+    is what a production pipeline persists — M ints instead of dim
+    floats per row."""
+    import pyarrow as pa
+
+    m, n_codes, sub = codebooks.shape
+    dim = m * sub
+    books = codebooks.copy()
+    half_norm = 0.5 * (books * books).sum(axis=2)  # (m, n_codes)
+
+    def encode(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = np.asarray(tbl[vec_col].combine_chunks().flatten(), dtype=np.float64)
+            n = len(tbl)
+            V = vecs.reshape(n, dim) if n else np.empty((0, dim))
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            V = V / norms
+            codes = np.empty((n, m), dtype=np.int32)
+            for i in range(m):
+                S = V[:, i * sub : (i + 1) * sub]
+                codes[:, i] = np.argmax(S @ books[i].T - half_norm[i], axis=1)
+            cols = {c: tbl[c].combine_chunks() for c in passthrough_cols}
+            cols[code_col] = pa.array(list(codes), type=pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_pydict(cols)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in passthrough_cols
+    )
+    return df.select(*passthrough_cols, vec_col).mapInArrow(
+        encode, schema=f"{out_schema}, {code_col} array<int>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    train_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-rank: encode the corpus to
+    M codebook indices, score every row against every query by summing
+    M lookup-table entries (no float vector reads), keep the global
+    top-(k·refine) per query by ADC, re-rank those exactly by cosine.
+    Returns (query_id, vec_id, cosine, rank).
+
+    Partition-independent by construction: the scoring kernel emits each
+    batch's per-query top-T (T = k·refine, ties broken by id hash) —
+    the GLOBAL top-T under the same total order is contained in that
+    union for every possible partitioning, so the window that extracts
+    it gives the same T candidates however the scan was split. The
+    final exact re-rank of those T is then trivially deterministic.
+
+    Training reuses IVF's seeded content-hash uniform sample (never a
+    first-files prefix).
+    """
+    import pyarrow as pa
+
+    n_corpus = corpus.count()
+    hash_col = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sampled = corpus.select(F.col(vec_col), hash_col.alias("_h"))
+    if n_corpus > train_sample:
+        threshold = int((1 << 60) * min(1.0, 2.0 * train_sample / n_corpus))
+        sampled = sampled.filter(F.col("_h") < threshold)
+    pdf = sampled.orderBy("_h").limit(train_sample).toPandas()
+    sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    books = pq_train(sample / norms, m, n_codes, seed)
+    sub = dim // m
+
+    encoded = pq_encode_arrow(corpus, books, [id_col], vec_col)
+
+    # per-query lookup tables: LUT[q, i, c] = q_sub_i · codebook[i][c]
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Q = Q / qn
+    lut = np.stack(
+        [Q[:, i * sub : (i + 1) * sub] @ books[i].T for i in range(m)], axis=1
+    )  # (n_q, m, n_codes)
+    top_t = k * refine
+    n_q = len(qids)
+
+    def adc_score(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            n = len(tbl)
+            if not n:
+                continue
+            ids = tbl[id_col].combine_chunks().to_numpy().astype(np.int64)
+            codes = np.asarray(
+                tbl["codes"].combine_chunks().flatten(), dtype=np.int64
+            ).reshape(n, m)
+            out_q, out_id, out_adc = [], [], []
+            for qi in range(n_q):
+                # gather+sum: one vectorized lookup per subspace
+                adc = lut[qi, 0][codes[:, 0]]
+                for i in range(1, m):
+                    adc = adc + lut[qi, i][codes[:, i]]
+                t = min(top_t, n)
+                # total order (adc desc, id asc): batch top-T under this
+                # order always contains the batch's members of the
+                # global top-T under the same order
+                order = np.lexsort((ids, -adc))[:t]
+                out_q.append(np.full(t, qi, dtype=np.int64))
+                out_id.append(ids[order])
+                out_adc.append(adc[order])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "_qi": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_id)),
+                    "adc": pa.array(np.concatenate(out_adc)),
+                }
+            )
+
+    cand = encoded.mapInArrow(adc_score, schema=f"_qi long, {id_col} long, adc double")
+    w_adc = Window.partitionBy("_qi").orderBy(F.desc("adc"), F.asc(id_col))
+    shortlist = cand.withColumn("_r", F.row_number().over(w_adc)).filter(
+        F.col("_r") <= top_t
+    )
+
+    spark = corpus.sparkSession
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    qmap = spark.createDataFrame(
+        [(int(i), r[0], [float(x) for x in r[1]]) for i, r in enumerate(q_rows)],
+        f"_qi long, {query_id_col} {qid_type}, _qvec array<double>",
+    )
+    exact = (
+        shortlist.join(
+            corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_cvec")),
+            id_col,
+        )
+        .join(F.broadcast(qmap), "_qi")
+        .select(
+            query_id_col,
+            id_col,
+            cosine_expr(F.col("_cvec"), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,44 @@
+"""Connected-components / dedup-cluster tests: known graphs, chains
+longer than one propagation round, convergence, and the total mapping."""
+
+from __future__ import annotations
+
+from htm_streamer_spark.operators.clustering import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_two_components_and_isolated(spark):
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    # a 9-hop chain: hash-min needs several rounds; must still converge
+    edges = _edges(spark, [(i, i + 1) for i in range(10)])
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 11
+
+
+def test_edge_direction_irrelevant(spark):
+    a = connected_components(_edges(spark, [(5, 2), (2, 8)])).collect()
+    b = connected_components(_edges(spark, [(2, 5), (8, 2)])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dedup_clusters_total_mapping(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = _edges(spark, [(0, 3), (3, 5)])
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (0, False),
+        4: (4, True),
+        5: (0, False),
+    }

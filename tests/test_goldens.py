@@ -29,7 +29,9 @@ def entry_mod():
     return mod
 
 
-@pytest.mark.parametrize("name", ["ivf_topk_embeddings", "multimodal_features"])
+@pytest.mark.parametrize(
+    "name", ["ivf_topk_embeddings", "multimodal_features", "pq_topk_embeddings"]
+)
 def test_golden_matches_live_query(spark, entry_mod, name):
     got = entry_mod.queries()[name](spark, SF_DIR).toPandas()
     want = pd.read_parquet(GOLDEN_DIR / f"{name}.sf0.01.parquet")

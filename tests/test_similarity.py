@@ -222,3 +222,51 @@ def test_ivf_assignment_is_single_arrow_pass(spark, emb):
     rows = assigned.collect()
     assert len(rows) == emb.count()
     assert all(0 <= r["list_id"] < 8 for r in rows)
+
+
+def test_pq_recall_vs_brute_force(emb, queries):
+    from htm_streamer_spark.operators.similarity import brute_force_topk, pq_topk
+
+    dim = len(emb.first()["embedding"])
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = pq_topk(emb, queries, dim=dim, k=5, m=16, n_codes=32, refine=8).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, f"PQ recall@5 {recall}"
+    # rank-1 self hit must survive quantization + re-rank
+    for r in approx:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+
+
+def test_pq_partition_independent(emb, queries):
+    """The per-batch top-T pruning must not change the result when the
+    scan is split differently (global top-T is contained in the union
+    of per-batch top-Ts for every partitioning)."""
+    from htm_streamer_spark.operators.similarity import pq_topk
+
+    dim = len(emb.first()["embedding"])
+    a = pq_topk(emb, queries, dim=dim, k=5, m=16, n_codes=32, refine=8)
+    b = pq_topk(emb.repartition(7), queries, dim=dim, k=5, m=16, n_codes=32, refine=8)
+    ra = sorted((r["query_id"], r["vec_id"], r["rank"]) for r in a.collect())
+    rb = sorted((r["query_id"], r["vec_id"], r["rank"]) for r in b.collect())
+    assert ra == rb
+
+
+def test_pq_encode_shape(spark, emb):
+    import numpy as np
+
+    from htm_streamer_spark.operators.similarity import pq_encode_arrow, pq_train
+
+    dim = len(emb.first()["embedding"])
+    pdf = emb.limit(200).toPandas()
+    sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = pq_train(sample, m=8, n_codes=16)
+    assert books.shape == (8, 16, dim // 8)
+    enc = pq_encode_arrow(emb, books, ["vec_id"]).collect()
+    assert len(enc) == emb.count()
+    for r in enc[:5]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])

@@ -168,6 +168,25 @@ Raw JSON (last run each):
 """
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
+    # SPARK_GRAFT_SCALING_JSON: dump raw session results there and leave
+    # BASELINE.md alone (used when accumulating several sessions whose
+    # tables are then merged by hand with round history preserved)
+    json_out = os.environ.get("SPARK_GRAFT_SCALING_JSON")
+    if json_out:
+        Path(json_out).write_text(
+            json.dumps(
+                {
+                    "levels": {str(lo): results[lo], str(hi): results[hi]},
+                    "hw_speedup": hw_speedup,
+                    "thr_lo": thr_lo,
+                    "thr_hi": thr_hi,
+                    "raw_eff": eff,
+                    "normalized_eff": eff_norm,
+                }
+            )
+        )
+        print(f"wrote {json_out}; raw_eff={eff:.2f} normalized_eff={eff_norm:.2f}")
+        return
     out.write_text(md)
     print(
         f"wrote {out}; raw_eff={eff:.2f} normalized_eff={eff_norm:.2f} "
