@@ -157,8 +157,15 @@ ROW_CHECKS_ALL = ("null_n_tok", "len_mismatch", "token_range", "empty_tokens", "
 
 def _n_bad_per_row(flat: np.ndarray, lengths: np.ndarray, vocab_size: int) -> np.ndarray:
     """Out-of-range token count per row. Skips the cumsum machinery on
-    the (common) all-in-range batch — `.any()` is one cheap pass."""
-    bad = (flat < 0) | (flat >= vocab_size)
+    the (common) all-in-range batch — `.any()` is one cheap pass.
+
+    For the int32 zero-copy buffer the two-sided test collapses to ONE
+    unsigned compare (negatives reinterpret as >= 2^31 > vocab_size), a
+    single pass instead of compare+compare+or over every token."""
+    if flat.dtype == np.int32 and 0 < vocab_size <= 2**31 - 1:
+        bad = flat.view(np.uint32) >= np.uint32(vocab_size)
+    else:
+        bad = (flat < 0) | (flat >= vocab_size)
     if not bad.any():
         return np.zeros(len(lengths), dtype=np.int64)
     ends = np.cumsum(lengths)
