@@ -89,6 +89,12 @@ def connected_components(
             labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    # checkpoint the final frame too: the returned plan otherwise drags
+    # the whole (exponentially self-referencing) iteration lineage into
+    # every downstream query that joins against it
+    labels = labels.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
     sym.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
