@@ -1155,6 +1155,37 @@ FROM events GROUP BY event_type
 """
 
 
+def q_windowed_counts_events(spark, sf_dir):
+    """Event-time tumbling-window stats (the batch twin of the
+    Structured Streaming watermark path — same plan runs on readStream
+    with append-mode once-per-window emission; see
+    streaming/windows.py and tests/test_windowed_stream.py)."""
+    from htm_streamer_spark.streaming.windows import windowed_event_stats
+
+    e = _t(spark, sf_dir, "events")
+    out = windowed_event_stats(e, window="10 minutes", watermark=None)
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value") + F.lit(1e-9), 6).alias("sum_value"),
+        F.round(F.col("avg_value") + F.lit(1e-9), 6).alias("avg_value"),
+    )
+
+
+SQL_WINDOWED_COUNTS = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value) + 1e-9, 6) + 0.0 AS sum_value,
+       round(avg(value) + 1e-9, 6) + 0.0 AS avg_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def q_dedup_clusters_docs(spark, sf_dir):
     """Near-dup CLUSTERING: connected components (iterative hash-min
     label propagation) over the confirmed MinHash-LSH pair list, plus
@@ -1738,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contaminated_docs": q_contaminated_docs,
         "json_props_events": q_json_props_events,
         "dedup_clusters_docs": q_dedup_clusters_docs,
+        "windowed_counts_events": q_windowed_counts_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -1791,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         "contaminated_docs": SQL_CONTAMINATED,
         "json_props_events": SQL_JSON_PROPS,
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
+        "windowed_counts_events": SQL_WINDOWED_COUNTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
