@@ -1155,6 +1155,55 @@ FROM events GROUP BY event_type
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (point-in-time-correct attribution): every 'view'
+    event picks up the latest 'purchase' by the same user at-or-before
+    its ts. Spark side = the union-sort formulation (ONE shuffle of
+    |L|+|R| rows, O(n) running-state window — never a per-key range
+    cross-join); oracle = DuckDB's native ASOF JOIN."""
+    from htm_streamer_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        views,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["p_event_id", "value"],
+        seq_col="p_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event_id").alias("asof_purchase_id"),
+        F.round(F.col("asof_value") + F.lit(1e-9), 6).alias("asof_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+purchases AS (
+  SELECT user_id, ts, event_id AS p_event_id, value
+  FROM events WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+)
+SELECT v.event_id, v.user_id,
+       p.p_event_id AS asof_purchase_id,
+       round(p.value + 1e-9, 6) + 0.0 AS asof_value
+FROM views v ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+
 def q_windowed_counts_events(spark, sf_dir):
     """Event-time tumbling-window stats (the batch twin of the
     Structured Streaming watermark path — same plan runs on readStream
@@ -1770,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_events": q_json_props_events,
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "windowed_counts_events": q_windowed_counts_events,
+        "asof_join_events": q_asof_join_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -1824,6 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_events": SQL_JSON_PROPS,
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         "windowed_counts_events": SQL_WINDOWED_COUNTS,
+        "asof_join_events": SQL_ASOF_JOIN,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
