@@ -55,3 +55,27 @@ def windowed_event_stats(
             "avg_value",
         )
     )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: keep the first row per
+    key among events whose times fall within the watermark horizon.
+
+    Plain ``dropDuplicates`` on a stream keeps every key ever seen —
+    unbounded state, the classic streaming-dedup footgun.
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once the
+    watermark passes its event time + delay, which is the only shape
+    that survives an unbounded stream; the contract weakens accordingly
+    (a duplicate arriving after its key was evicted is re-admitted —
+    exactly the at-most-horizon guarantee a pipeline dedup wants).
+    Batch twin: the same call degrades to dropDuplicates semantics.
+    """
+    out = df.withWatermark(ts_col, watermark)
+    if df.isStreaming:
+        return out.dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)

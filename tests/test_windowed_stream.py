@@ -118,3 +118,50 @@ def test_append_mode_emits_once_and_drops_late(spark, tmp_path):
         assert not any(abs(s - 1000.0) < 1e-9 or s > 999.0 for s in sums), sums
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from htm_streamer_spark.streaming.windows import streaming_dedup
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "dckpt")
+    # duplicate event_id=1 inside the same horizon; unique id=2
+    _write(src, [(1, _ts(1), "a", 1.0), (2, _ts(2), "a", 2.0)], "f0")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_dedup(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a duplicate of id=1 arriving in a later micro-batch, still
+        # within the watermark horizon → suppressed
+        _write(src, [(1, _ts(3), "a", 99.0), (3, _ts(4), "a", 3.0)], "f1")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id, value FROM dedup_test").collect()
+        got = sorted((r.event_id, r.value) for r in rows)
+        assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    finally:
+        q.stop()
+
+
+def test_batch_twin_dedup(spark, tmp_path):
+    from htm_streamer_spark.streaming.windows import streaming_dedup
+
+    d = tmp_path / "bdedup"
+    d.mkdir()
+    _write(d, [(1, _ts(1), "a", 1.0), (1, _ts(3), "a", 99.0), (2, _ts(2), "b", 2.0)], "f0")
+    df = spark.read.schema(SCHEMA).parquet(str(d))
+    got = streaming_dedup(df, ["event_id"]).count()
+    assert got == 2
