@@ -571,15 +571,23 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 def q_drift_psi_events(spark, sf_dir):
     """Per-event_type PSI of the value histogram vs the all-events
-    baseline (the drift operator's shape on driver data)."""
+    baseline (the drift operator's shape on driver data).
+
+    Single source scan: ONE groupBy(event_type, bucket) count is
+    persisted (tiny — |types|×17 rows) and the baseline histogram,
+    type list, and both totals are all derived from it, so events is
+    read once no matter how many derivations reference it (at 100 TB,
+    4 scans of the fact table was the whole cost of this query)."""
     e = _t(spark, sf_dir, "events")
     bucket = F.least(F.lit(15), F.floor(F.col("value") / 31.25)).cast("int")
-    per = e.select(F.col("event_type"), bucket.alias("bucket")).groupBy(
-        "event_type", "bucket"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    base = e.select(bucket.alias("bucket")).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("qcnt")
+    per = (
+        e.select(F.col("event_type"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
+    # baseline = sum over types; same rows the oracle's base CTE counts
+    base = per.groupBy("bucket").agg(F.sum("cnt").alias("qcnt"))
     types = per.select("event_type").distinct()
     grid = types.crossJoin(
         F.broadcast(
@@ -1149,7 +1157,7 @@ def q_json_props_events(spark, sf_dir):
 SQL_JSON_PROPS = """
 SELECT event_type,
        count(json_extract_string(props, '$.k')) AS n_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 6) + 0.0 AS avg_k
 FROM events GROUP BY event_type
 """

@@ -55,6 +55,7 @@ def connected_components(
         "label", F.col("id")
     )
     prev = None
+    converged = False
     for i in range(max_iter):
         # neighbor minimum: for each vertex, the smallest label among
         # itself and its neighbors
@@ -88,6 +89,7 @@ def connected_components(
             # grows with every round and eventually dominates planning
             labels = labels.localCheckpoint(eager=True)
         if changed == 0:
+            converged = True
             break
     # checkpoint the final frame too: the returned plan otherwise drags
     # the whole (exponentially self-referencing) iteration lineage into
@@ -96,6 +98,17 @@ def connected_components(
     if prev is not None:
         prev.unpersist()
     sym.unpersist()
+    if not converged:
+        # min-label propagation moves the min one hop per round, so a
+        # component whose min-vertex eccentricity exceeds max_iter would
+        # otherwise be SILENTLY split into several clusters — downstream
+        # dedup would keep multiple "canonical" docs from one chain.
+        # Fail loud; callers with deep graphs raise max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (a component's diameter exceeds the round budget); "
+            "labels would be split mid-chain — increase max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -172,6 +172,12 @@ def lsh_candidate_pairs(
     Join happens per (band, signature) bucket only; buckets larger than
     ``max_bucket`` are dropped (boilerplate guard against quadratic
     blowup — the skew handling for this operator).
+
+    The banded frame is referenced twice (bucket-count filter + semi-join
+    back), so it is ``persist()``-ed: without it each reference recomputes
+    the whole shingle→signature subtree — i.e. re-reads the text column of
+    the source, the dominant cost at 100 TB. The cached frame is narrow
+    (doc_id, band, bsig string), ~bands× the doc count, MEMORY_AND_DISK.
     """
     banded = sigs.select(
         "doc_id",
@@ -192,7 +198,7 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.bsig")
+    ).select("doc_id", "bs.band", "bs.bsig").persist()
     # count FIRST, collect only qualifying buckets: filtering after a
     # collect_list would still materialize a boilerplate mega-bucket on
     # one reducer before dropping it. The counts pass partial-merges
@@ -234,9 +240,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for the given candidate pairs:
     (doc_a, doc_b, jaccard). Shingle arrays are joined in twice (small
-    candidate set → broadcast the pairs)."""
+    candidate set → broadcast the pairs).
+
+    ``pairs`` is referenced three times (both sides of the id-union and
+    the final join) and ``sets`` twice (a/b sides) — both are persisted
+    so the candidate pipeline / the gram projection over the source run
+    once, not per-reference. Both frames are tiny: pairs is the
+    candidate list; sets holds gram arrays for candidate docs only.
+    """
     # no array_distinct: array_intersect/array_union already have set
     # semantics, and distinct-ing ~400-element string arrays is O(n^2)
+    pairs = pairs.persist()
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
     # build gram arrays ONLY for docs that appear in a candidate pair —
     # Catalyst does not push a join below an expensive projection, so
@@ -248,7 +262,7 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     df = df.join(cand_ids, "doc_id", "left_semi")
-    sets = df.select("doc_id", _gram_array(words, n).alias("grams"))
+    sets = df.select("doc_id", _gram_array(words, n).alias("grams")).persist()
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")

@@ -24,6 +24,17 @@ def test_long_chain_converges(spark):
     assert len(got) == 11
 
 
+def test_max_iter_exhaustion_raises(spark):
+    # a 9-hop chain cannot converge in 3 rounds of one-hop min
+    # propagation — the old behavior silently returned a SPLIT chain
+    # (several "clusters" from one component); now it must fail loud
+    import pytest
+
+    edges = _edges(spark, [(i, i + 1) for i in range(10)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+
+
 def test_edge_direction_irrelevant(spark):
     a = connected_components(_edges(spark, [(5, 2), (2, 8)])).collect()
     b = connected_components(_edges(spark, [(2, 5), (8, 2)])).collect()
