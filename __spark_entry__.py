@@ -1243,6 +1243,51 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_session_window_events(spark, sf_dir):
+    """Event-time SESSION windows (F.session_window, dynamic gap) per
+    user — the streaming-native twin of the lag-based sessionize query;
+    the same plan runs on readStream with append-mode once-per-session
+    emission (tests/test_windowed_stream.py). Spark's boundary rule
+    (pinned by tests/test_windowed_stream.py): spacing of EXACTLY the
+    gap still MERGES (touching intervals coalesce); a new session needs
+    spacing strictly greater; session_end = last event ts + gap. The
+    oracle reproduces it with ts > prev + gap."""
+    from htm_streamer_spark.streaming.windows import session_window_stats
+
+    e = _t(spark, sf_dir, "events")
+    out = session_window_stats(e, gap="1 hour", watermark=None)
+    return out.select(
+        "session_start",
+        "session_end",
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_value") + F.lit(1e-9), 6).alias("sum_value"),
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL '1 hour'
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '1 hour' AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value) + 1e-9, 6) + 0.0 AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 def q_dedup_clusters_docs(spark, sf_dir):
     """Near-dup CLUSTERING: connected components (iterative hash-min
     label propagation) over the confirmed MinHash-LSH pair list, plus
@@ -1827,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_events": q_json_props_events,
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "windowed_counts_events": q_windowed_counts_events,
+        "session_window_events": q_session_window_events,
         "asof_join_events": q_asof_join_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -1882,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_events": SQL_JSON_PROPS,
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         "windowed_counts_events": SQL_WINDOWED_COUNTS,
+        "session_window_events": SQL_SESSION_WINDOW,
         "asof_join_events": SQL_ASOF_JOIN,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,

@@ -32,6 +32,12 @@ SF_SCALES = {
     "0.1": (100, 10_000),
 }
 
+# Healthy-host reference for the fixed pure-CPU calibration job (warm,
+# local[32], measured 2026-08-17 on an unthrottled window of this VM:
+# 0.31-0.48s across repeats; 0.35 is the stable middle). Used ONLY to
+# derive validated_seqs_per_sec_normalized — raw numbers stay primary.
+REF_CAL_PARALLEL_SEC = 0.35
+
 
 def _shape(sf: str) -> tuple[int, int]:
     """(n_partitions, rows_per_partition) — sf-keyed, overridable via
@@ -89,11 +95,15 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
     # across rounds by these.
     import numpy as np
 
-    t0 = time.time()
-    spark.range(0, 100_000_000, 1, max(32, 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))).select(
-        F.count(F.when(F.xxhash64("id") % 1000 == 0, 1))
-    ).collect()
-    extra["cal_parallel_sec"] = round(time.time() - t0, 3)
+    def cal_parallel() -> float:
+        t0 = time.time()
+        spark.range(
+            0, 100_000_000, 1, max(32, 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        ).select(F.count(F.when(F.xxhash64("id") % 1000 == 0, 1))).collect()
+        return time.time() - t0
+
+    cal_parallel()  # warm the cal job's codegen so cal measures the host, not JIT
+    extra["cal_parallel_sec"] = round(cal_parallel(), 3)
     rng = np.random.default_rng(0)
     m = rng.random((1200, 1200))
     t0 = time.time()
@@ -109,7 +119,11 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
     seq_path, n_seq = ensure_seq_table(sf)
     n_runs = int(os.environ.get("SPARK_GRAFT_SEQ_RUNS", "4"))
     runs = []
+    run_cals = []
     for _ in range(n_runs):
+        # same-run calibration: the throttle drifts BETWEEN runs, so a
+        # single session-level cal can't normalize individual runs
+        run_cals.append(cal_parallel())
         t0 = time.time()
         df = load_sequences(spark, str(seq_path))
         res = run_validation_batch(spark, df, EngineConfig())
@@ -118,6 +132,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         runs.append(time.time() - t0)
         spark.catalog.clearCache()
     best = min(runs)
+    best_cal = run_cals[runs.index(best)]
     srt = sorted(runs)
     median = (
         srt[len(srt) // 2]
@@ -129,9 +144,20 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
     extra["seq_verdicts"] = n_verdicts
     extra["seq_violations"] = n_viol
     extra["seq_validate_runs"] = [round(x, 3) for x in runs]
+    extra["seq_validate_run_cals"] = [round(x, 3) for x in run_cals]
     extra["seq_validate_median"] = round(median, 3)
     extra["validated_seqs_per_sec"] = round(n_seq / best, 1)
     extra["validated_seqs_per_sec_median"] = round(n_seq / median, 1)
+    # throttle-normalized headline: best-run throughput scaled by that
+    # run's own calibration vs the recorded healthy-host reference, so
+    # round-over-round numbers stop being hostage to whichever throttle
+    # window the driver happened to sample (raw is still published).
+    # normalized = raw * (cal_same_run / REF): a throttled run (cal
+    # above reference) is scaled UP to its healthy-host equivalent.
+    extra["cal_parallel_ref_sec"] = REF_CAL_PARALLEL_SEC
+    extra["validated_seqs_per_sec_normalized"] = round(
+        (n_seq / best) * (best_cal / REF_CAL_PARALLEL_SEC), 1
+    )
 
     # representative operator queries from the driver contract
     qs = entry_mod.queries()

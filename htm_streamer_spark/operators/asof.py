@@ -23,6 +23,15 @@ duplicates at the same (key, ts) are resolved deterministically by the
 caller-supplied dedup (keep the max-`seq_col` row) before the union —
 without it, "the" most recent row is ambiguous on any engine.
 
+Skew bound (accepted, same as the likelihood operator's per-series
+bound): all rows of one key land in one window task and are processed
+serially in O(n) — a key owning 10^5 rows completes in a single
+exchange + one running-state pass, never a per-key range join;
+evidenced live by tests/test_skew.py::test_asof_hot_key_single_window_pass
+(plan asserted: exactly 1 Exchange, no Cartesian/NestedLoop/SortMerge
+join). A key too hot for one task would need key-range chunking with
+boundary carry-over — out of scope until a real workload shows one.
+
 DuckDB oracle: native `ASOF JOIN` (same at-or-before semantics), see
 __spark_entry__.SQL_ASOF_JOIN.
 """

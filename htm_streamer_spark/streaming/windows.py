@@ -57,6 +57,53 @@ def windowed_event_stats(
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    gap: str = "1 hour",
+    watermark: str | None = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(session_start, session_end, <key>, n_events, sum_value) per
+    event-time SESSION per key — ``F.session_window``'s dynamic-gap
+    windows, the streaming-native twin of the lag-based
+    ``sessionize_events`` batch query.
+
+    Session semantics (Spark's, pinned live by the batch test): each
+    event extends its session to ``event_ts + gap``; the next event
+    MERGES iff it starts at-or-before that end — touching intervals
+    coalesce, so a spacing of EXACTLY ``gap`` still merges and a new
+    session needs spacing strictly greater. ``session_end = last event
+    ts + gap``. (Same boundary as the lag formulation ``diff > gap``
+    used by the sessionize batch query and the DuckDB oracle.)
+
+    On a streaming frame with append output mode a session is emitted
+    exactly once, when the watermark passes its end — state is one
+    open session per active key, merged/finalized by the engine, the
+    bounded-state shape sessionization needs on an unbounded stream.
+    On a batch frame the watermark is a no-op and the result is exact.
+    """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: list[str],
@@ -73,9 +120,27 @@ def streaming_dedup(
     that survives an unbounded stream; the contract weakens accordingly
     (a duplicate arriving after its key was evicted is re-admitted —
     exactly the at-most-horizon guarantee a pipeline dedup wants).
-    Batch twin: the same call degrades to dropDuplicates semantics.
+
+    Surviving-row contract, stated per mode (they necessarily differ —
+    a stream cannot know event-time order ahead of arrival):
+
+    - streaming: the FIRST-ARRIVING row per key within the horizon
+      survives (arrival order, Spark's dropDuplicatesWithinWatermark
+      semantics);
+    - batch: the EARLIEST row by (``ts_col``, then the remaining
+      columns as a lexicographic tie-break) survives — a
+      deterministic min_by selection, NOT an arbitrary
+      partition-order-dependent dropDuplicates row, so reruns and
+      tests get stable payload columns. Verified equal to a pandas
+      sort+drop_duplicates oracle in tests/test_windowed_stream.py.
     """
-    out = df.withWatermark(ts_col, watermark)
     if df.isStreaming:
-        return out.dropDuplicatesWithinWatermark(keys)
-    return out.dropDuplicates(keys)
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    other = [c for c in df.columns if c not in keys and c != ts_col]
+    order = F.struct(F.col(ts_col), *[F.col(c) for c in other])
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.min_by(row, order).alias("_row"))
+        .select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
+    )
