@@ -518,7 +518,17 @@ def pq_topk(
     """
     import pyarrow as pa
 
-    n_corpus = corpus.count()
+    # queries are collected anyway (the LUTs are built driver-side);
+    # an empty query set must short-circuit here — otherwise the Arrow
+    # kernel's np.concatenate([]) raises inside the task
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} {qid_type}, {id_col} long, cosine double, rank int"
+        )
+
+    n_corpus = corpus.count()  # parquet metadata count, not a data scan
     hash_col = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -536,7 +546,6 @@ def pq_topk(
     encoded = pq_encode_arrow(corpus, books, [id_col], vec_col)
 
     # per-query lookup tables: LUT[q, i, c] = q_sub_i · codebook[i][c]
-    q_rows = queries.select(query_id_col, vec_col).collect()
     qids = [r[0] for r in q_rows]
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -587,7 +596,6 @@ def pq_topk(
     )
 
     spark = corpus.sparkSession
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
     qmap = spark.createDataFrame(
         [(int(i), r[0], [float(x) for x in r[1]]) for i, r in enumerate(q_rows)],
         f"_qi long, {query_id_col} {qid_type}, _qvec array<double>",

@@ -240,6 +240,19 @@ def test_pq_recall_vs_brute_force(emb, queries):
             assert r["vec_id"] == r["query_id"]
 
 
+def test_pq_empty_queries_returns_empty(emb, queries):
+    """ADVICE regression: an empty query frame must short-circuit to an
+    empty result with the output schema — not raise ValueError from
+    np.concatenate([]) inside the Arrow task."""
+    from htm_streamer_spark.operators.similarity import pq_topk
+
+    dim = len(emb.first()["embedding"])
+    none = queries.filter(F.col("query_id") < -1)
+    out = pq_topk(emb, none, dim=dim, k=5, m=16, n_codes=32, refine=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["query_id", "vec_id", "cosine", "rank"]
+
+
 def test_pq_partition_independent(emb, queries):
     """The per-batch top-T pruning must not change the result when the
     scan is split differently (global top-T is contained in the union
