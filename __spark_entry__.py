@@ -1288,6 +1288,35 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def q_pack_docs(spark, sf_dir):
+    """Contiguous-stream sequence packing (GPT-style): lay each shard's
+    docs end-to-end and window id = floor(exclusive_cumsum/capacity) —
+    the step between a filtered corpus and a training shard. One window
+    over one shuffle; first-fit greedy tier is pytest-verified
+    (tests/test_packing.py)."""
+    from htm_streamer_spark.operators.packing import pack_contiguous
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    out = pack_contiguous(d, capacity=4096, len_col="n_chars", shard_col="shard")
+    return out.select(
+        "doc_id", "shard", "pack_id", F.col("pack_offset").cast("long").alias("pack_offset")
+    )
+
+
+SQL_PACK_DOCS = """
+WITH s AS (
+  SELECT doc_id, (doc_id % 8)::INT AS shard, n_chars,
+         sum(n_chars::BIGINT) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_chars AS off
+  FROM documents
+)
+SELECT doc_id, shard, (off // 4096)::BIGINT AS pack_id, off::BIGINT AS pack_offset
+FROM s
+"""
+
+
 def q_dedup_clusters_docs(spark, sf_dir):
     """Near-dup CLUSTERING: connected components (iterative hash-min
     label propagation) over the confirmed MinHash-LSH pair list, plus
@@ -1873,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "windowed_counts_events": q_windowed_counts_events,
         "session_window_events": q_session_window_events,
+        "pack_docs": q_pack_docs,
         "asof_join_events": q_asof_join_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -1929,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         "windowed_counts_events": SQL_WINDOWED_COUNTS,
         "session_window_events": SQL_SESSION_WINDOW,
+        "pack_docs": SQL_PACK_DOCS,
         "asof_join_events": SQL_ASOF_JOIN,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,

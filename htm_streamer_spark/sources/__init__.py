@@ -1,3 +1,9 @@
+from htm_streamer_spark.sources.bucketed import (
+    bucketed_duplicate_ids,
+    colocated_join,
+    count_exchanges,
+    write_bucketed,
+)
 from htm_streamer_spark.sources.table_io import (
     IcebergCatalog,
     ManifestCatalog,
@@ -8,6 +14,10 @@ from htm_streamer_spark.sources.table_io import (
 __all__ = [
     "IcebergCatalog",
     "ManifestCatalog",
+    "bucketed_duplicate_ids",
+    "colocated_join",
+    "count_exchanges",
     "iceberg_available",
     "list_hive_partitions",
+    "write_bucketed",
 ]
