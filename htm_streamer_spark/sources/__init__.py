@@ -4,6 +4,7 @@ from htm_streamer_spark.sources.bucketed import (
     count_exchanges,
     write_bucketed,
 )
+from htm_streamer_spark.sources.record_io import jsonl_schema, read_records
 from htm_streamer_spark.sources.table_io import (
     IcebergCatalog,
     ManifestCatalog,
@@ -18,6 +19,8 @@ __all__ = [
     "colocated_join",
     "count_exchanges",
     "iceberg_available",
+    "jsonl_schema",
     "list_hive_partitions",
+    "read_records",
     "write_bucketed",
 ]
