@@ -1317,6 +1317,60 @@ FROM s
 """
 
 
+def q_split_docs(spark, sf_dir):
+    """Deterministic train/val/test assignment (content-hash of doc_id,
+    never rand(): stable across rebuilds/retries/partitionings — the
+    leakage-free split every training corpus needs). Zero-shuffle
+    projection; the md5 recipe is reproduced exactly by the oracle."""
+    from htm_streamer_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id")
+    return out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_SPLIT_DOCS = """
+WITH b AS (
+  SELECT lang,
+         ('0x'||substr(md5(doc_id::VARCHAR || ':split-v1'), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_stratified_docs(spark, sf_dir):
+    """Deterministic per-stratum downsample (keep 50% of en, 20% of de,
+    none of the rest) — the curriculum/re-balance op. Same content-hash
+    recipe; the per-stratum cutoff is a literal map evaluated inside
+    the scan (no join, no shuffle)."""
+    from htm_streamer_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, {"en": 0.5, "de": 0.2}, strata_col="lang")
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_STRATIFIED_DOCS = """
+WITH b AS (
+  SELECT lang,
+         ('0x'||substr(md5(doc_id::VARCHAR || ':sample-v1'), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 0 END
+GROUP BY 1
+"""
+
+
 def q_dedup_clusters_docs(spark, sf_dir):
     """Near-dup CLUSTERING: connected components (iterative hash-min
     label propagation) over the confirmed MinHash-LSH pair list, plus
@@ -1903,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts_events": q_windowed_counts_events,
         "session_window_events": q_session_window_events,
         "pack_docs": q_pack_docs,
+        "split_docs": q_split_docs,
+        "stratified_docs": q_stratified_docs,
         "asof_join_events": q_asof_join_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -1960,6 +2016,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts_events": SQL_WINDOWED_COUNTS,
         "session_window_events": SQL_SESSION_WINDOW,
         "pack_docs": SQL_PACK_DOCS,
+        "split_docs": SQL_SPLIT_DOCS,
+        "stratified_docs": SQL_STRATIFIED_DOCS,
         "asof_join_events": SQL_ASOF_JOIN,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,

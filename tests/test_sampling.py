@@ -1,0 +1,78 @@
+"""Deterministic split/sampling: proportions, stability under
+partitioning and rebuilds, disjointness/coverage, stratum fractions,
+and the no-shuffle plan claim."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.operators.sampling import hash_split, stratified_sample
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(20_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_split_proportions_and_total(spark, docs):
+    out = hash_split(docs, WEIGHTS)
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 20_000
+    for name, w in WEIGHTS.items():
+        assert counts[name] == pytest.approx(20_000 * w, rel=0.06), counts
+
+
+def test_split_stable_under_partitioning_and_rebuild(spark, docs):
+    a = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(17), WEIGHTS).collect()}
+    assert a == b
+    # a rebuilt corpus (subset) keeps every surviving doc's assignment
+    sub = docs.filter(F.col("doc_id").contains("7"))
+    c = {r.doc_id: r.split for r in hash_split(sub, WEIGHTS).collect()}
+    assert all(a[k] == v for k, v in c.items())
+
+
+def test_different_salt_draws_independent_split(spark, docs):
+    a = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS, salt="s1").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, WEIGHTS, salt="s2").collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 2_000  # a re-salt reshuffles a large fraction
+
+
+def test_stratified_fractions_per_stratum(spark, docs):
+    out = stratified_sample(docs, {"en": 0.5, "de": 0.1})
+    got = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    n = 20_000 // 3
+    assert got.get("en", 0) == pytest.approx(n * 0.5, rel=0.1)
+    assert got.get("de", 0) == pytest.approx(n * 0.1, rel=0.2)
+    assert "fr" not in got  # default fraction 0
+
+
+def test_sampling_is_subset_and_stable(spark, docs):
+    out1 = {r.doc_id for r in stratified_sample(docs, {"en": 0.3}).collect()}
+    out2 = {r.doc_id for r in stratified_sample(docs.repartition(9), {"en": 0.3}).collect()}
+    assert out1 == out2
+    # raising a fraction only ADDS members (incremental-rebuild property)
+    bigger = {r.doc_id for r in stratified_sample(docs, {"en": 0.6}).collect()}
+    assert out1 < bigger
+
+
+def test_no_shuffle_in_plan(spark, docs):
+    out = stratified_sample(hash_split(docs, WEIGHTS), {"en": 0.5})
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert not re.search(r"^\(\d+\) Exchange\b", buf.getvalue(), re.M)
