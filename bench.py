@@ -174,6 +174,8 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "lsh_topk_embeddings",
         "lsh_topk_wide_embeddings",
         "sessionize_events",
+        "session_window_events",
+        "pack_docs",
     ):
         t0 = time.time()
         out = qs[name](spark, sf_dir)
