@@ -1371,6 +1371,42 @@ GROUP BY 1
 """
 
 
+def q_quality_bins_docs(spark, sf_dir):
+    """Quality-quartile curriculum binning per lang: exact within-
+    stratum percent_rank over the rounded quality score (the rounded
+    value is the bin key on BOTH engines so near-tie ordering is
+    identical). The approx (grouped percentile_approx sketch) tier is
+    pytest-verified against this exact tier in tests/test_binning.py."""
+    from htm_streamer_spark.operators.binning import quantile_bins_exact
+    from htm_streamer_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_score(d).select(
+        "doc_id", F.round(F.col("quality") + F.lit(1e-9), 6).alias("quality")
+    )
+    withlang = scored.join(d.select("doc_id", "lang"), "doc_id")
+    binned = quantile_bins_exact(withlang, "quality", n_bins=4, strata_col="lang")
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality") + F.lit(1e-9), 6).alias("avg_quality"),
+    )
+
+
+SQL_QUALITY_BINS = f"""
+WITH scored AS ({SQL_QUALITY}),
+b AS (
+  SELECT s.doc_id, d.lang, s.quality,
+         percent_rank() OVER (PARTITION BY d.lang
+                              ORDER BY s.quality, s.doc_id) AS pr
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, least(floor(pr * 4), 3)::INT AS bin,
+       count(*) AS n_docs,
+       round(avg(quality) + 1e-9, 6)::DOUBLE + 0.0 AS avg_quality
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_dedup_clusters_docs(spark, sf_dir):
     """Near-dup CLUSTERING: connected components (iterative hash-min
     label propagation) over the confirmed MinHash-LSH pair list, plus
@@ -1959,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": q_pack_docs,
         "split_docs": q_split_docs,
         "stratified_docs": q_stratified_docs,
+        "quality_bins_docs": q_quality_bins_docs,
         "asof_join_events": q_asof_join_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -2018,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_docs": SQL_PACK_DOCS,
         "split_docs": SQL_SPLIT_DOCS,
         "stratified_docs": SQL_STRATIFIED_DOCS,
+        "quality_bins_docs": SQL_QUALITY_BINS,
         "asof_join_events": SQL_ASOF_JOIN,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
