@@ -1448,6 +1448,52 @@ FROM documents d LEFT JOIN cc USING (doc_id)
 """
 
 
+def q_dedup_best_docs(spark, sf_dir):
+    """Keep-BEST dedup: the canonical member of each near-dup cluster
+    is its LONGEST doc (max n_chars, tie → min doc_id) — what a
+    production pipeline keeps, vs dedup_clusters_docs' min-id rule.
+    Oracle: the same recursive-CTE transitive closure + an argmax."""
+    from htm_streamer_spark.operators.clustering import dedup_clusters_by
+    from htm_streamer_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5, method="md5")
+    out = dedup_clusters_by(d, pairs, "n_chars")
+    return out.select(
+        "doc_id", "cluster_id", F.col("is_canonical").cast("int").alias("is_canonical")
+    )
+
+
+SQL_DEDUP_BEST = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({SQL_MINHASH_PAIRS}) q
+  UNION
+  SELECT doc_b, doc_a FROM ({SQL_MINHASH_PAIRS}) q2
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+mapped AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+winners AS (
+  SELECT cluster_id, min(doc_id) AS winner FROM mapped m
+  WHERE n_chars = (SELECT max(n_chars) FROM mapped m2
+                   WHERE m2.cluster_id = m.cluster_id)
+  GROUP BY cluster_id
+)
+SELECT m.doc_id, m.cluster_id,
+       (CASE WHEN m.doc_id = w.winner THEN 1 ELSE 0 END)::INT AS is_canonical
+FROM mapped m JOIN winners w USING (cluster_id)
+"""
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF coarse-quantizer ANN. Oracle = golden parquet (seeded k-means
     over a content-hash uniform sample is bit-deterministic but not
@@ -1996,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_docs": q_split_docs,
         "stratified_docs": q_stratified_docs,
         "quality_bins_docs": q_quality_bins_docs,
+        "dedup_best_docs": q_dedup_best_docs,
         "asof_join_events": q_asof_join_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -2056,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "split_docs": SQL_SPLIT_DOCS,
         "stratified_docs": SQL_STRATIFIED_DOCS,
         "quality_bins_docs": SQL_QUALITY_BINS,
+        "dedup_best_docs": SQL_DEDUP_BEST,
         "asof_join_events": SQL_ASOF_JOIN,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,

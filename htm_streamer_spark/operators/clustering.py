@@ -131,3 +131,50 @@ def dedup_clusters(
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def dedup_clusters_by(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Keep-BEST dedup mapping: like :func:`dedup_clusters`, but the
+    canonical representative of each cluster is its max-``score_col``
+    member (tie-broken by min doc_id) — what a production pipeline
+    actually keeps (the highest-quality copy, not the lexically first).
+
+    One extra aggregation over the cluster mapping: ``max_by`` picks
+    the winner per cluster (partial-merged map-side — the shuffle
+    carries one (cluster, winner) row per cluster), then a broadcast-
+    eligible join marks members. Asymptotics identical to
+    dedup_clusters; the quality column rides the first join only.
+    """
+    cc = connected_components(pairs, src, dst)
+    mapped = docs.select("doc_id", score_col).join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        F.col(score_col),
+    )
+    # winner = (max score, then min doc_id): mixed-direction order, so
+    # two partial-merged aggs instead of one max_by struct (whose
+    # lexicographic order can't descend on one field and ascend on the
+    # other for arbitrary id types)
+    best_score = mapped.groupBy("cluster_id").agg(
+        F.max(score_col).alias("_best_score")
+    )
+    winners = (
+        mapped.join(best_score, "cluster_id")
+        .filter(F.col(score_col) == F.col("_best_score"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_winner"))
+    )
+    return (
+        mapped.join(winners, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("_winner")).alias("is_canonical"),
+        )
+    )

@@ -41,6 +41,39 @@ def test_edge_direction_irrelevant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_dedup_clusters_by_keeps_best(spark):
+    from htm_streamer_spark.operators.clustering import dedup_clusters_by
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, 0.3), (1, 0.9), (2, 0.5), (3, 0.9), (4, 0.1), (5, 0.7)],
+        "doc_id long, quality double",
+    )
+    # cluster {0,3,5}: best quality 0.9 → doc 3; {1}: itself; {2}; {4}
+    pairs = _edges(spark, [(0, 3), (3, 5)])
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup_clusters_by(docs, pairs, "quality").collect()
+    }
+    assert got == {
+        0: (0, False),
+        1: (1, True),
+        2: (2, True),
+        3: (0, True),   # highest quality wins, not min doc_id
+        4: (4, True),
+        5: (0, False),
+    }
+    # tie on score → min doc_id among the tied
+    docs2 = spark.createDataFrame(
+        [(0, 0.9), (3, 0.9), (5, 0.2)], "doc_id long, quality double"
+    )
+    got2 = {
+        r.doc_id: r.is_canonical
+        for r in dedup_clusters_by(docs2, pairs, "quality").collect()
+    }
+    assert got2 == {0: True, 3: False, 5: False}
+
+
 def test_dedup_clusters_total_mapping(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     pairs = _edges(spark, [(0, 3), (3, 5)])
