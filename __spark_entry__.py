@@ -1990,6 +1990,230 @@ SQL_VALIDATION_VERDICTS_DRIFT = SQL_VALIDATION_VERDICTS.replace(
 assert SQL_VALIDATION_VERDICTS_DRIFT != SQL_VALIDATION_VERDICTS
 
 
+def q_rollup_lineitem(spark, sf_dir):
+    """Hierarchical subtotal rollup (flag -> status -> grand total) via
+    Spark's native GROUPING SETS lowering — df.rollup() is a single
+    expand+aggregate, one shuffle, map-side partials for all levels at
+    once (vs 3 separate scans for 3 grouping levels). NULL grouping
+    keys are coalesced to 'ALL' on both engines so the hash compare is
+    marker-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
+            "sum_disc_price",
+        )
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_quantity), 2)::DOUBLE + 0.0 AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE + 0.0 AS sum_disc_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join customer |><| orders |><| lineitem
+    with selective filters on every side, revenue aggregation, top-10.
+    Catalyst broadcasts the filtered customer dim into the orders scan
+    and leaves orders |><| lineitem as the one shuffle join on the
+    l_orderkey/o_orderkey key — exactly the plan you want at 100 TB
+    (AQE converts it too if the filtered orders side shrinks under the
+    threshold). Filters push to all three parquet scans."""
+    cutoff = "1998-01-01"
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE + 0.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tfidf_docs(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/ranking.py). One scan: df is derived from the tf frame;
+    the vocabulary-sized df side broadcasts. Ranking on the ROUNDED
+    score + term tie-break keeps both engines bit-identical."""
+    from htm_streamer_spark.operators.ranking import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+SQL_TFIDF_DOCS = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) + 1e-9, 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank::INT AS rank, tfidf::DOUBLE + 0.0 AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_postings_docs(spark, sf_dir):
+    """Inverted index (operators/ranking.py build_postings): per term,
+    document frequency, total term frequency, and the 5 smallest doc
+    ids comma-joined. The sample is row_number-capped BEFORE any
+    collect_list, so no array exceeds 5 elements even for a stopword
+    present in every document of the corpus."""
+    from htm_streamer_spark.operators.ranking import build_postings
+
+    d = _t(spark, sf_dir, "documents")
+    return build_postings(d, sample_ids=5)
+
+
+SQL_POSTINGS_DOCS = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term) t
+  WHERE t.term <> ''
+),
+per_doc AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+totals AS (
+  SELECT term, count(*)::BIGINT AS n_docs, sum(tf)::BIGINT AS total_tf
+  FROM per_doc GROUP BY 1
+),
+sample AS (
+  SELECT term,
+         array_to_string((list(doc_id::VARCHAR ORDER BY doc_id))[1:5], ',') AS sample_docs
+  FROM per_doc GROUP BY 1
+)
+SELECT term, n_docs, total_tf, sample_docs
+FROM totals JOIN sample USING (term)
+"""
+
+
+def q_scrub_docs(spark, sf_dir):
+    """Blocklist scrub accounting (operators/scrub.py): per-doc match
+    count and redacted length for a whole-word alternation — the PII /
+    policy-filter mechanics with a synthetic-corpus-visible blocklist.
+    Pure codegen regexp in the scan; zero shuffle."""
+    from htm_streamer_spark.operators.scrub import scrub_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_stats(d, ["customer", "vector", "big"]).where(F.col("flagged") == 1)
+
+
+SQL_SCRUB_DOCS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\b(customer|vector|big)\b'))::BIGINT AS n_matches,
+       length(regexp_replace(text, '\b(customer|vector|big)\b', '', 'g'))::BIGINT AS clean_len,
+       1 AS flagged
+FROM documents
+WHERE len(regexp_extract_all(text, '\b(customer|vector|big)\b')) > 0
+"""
+
+
+def q_funnel_events(spark, sf_dir):
+    """Ordered funnel signup -> click -> purchase (operators/funnel.py):
+    users reaching each stage in time order. ONE shuffle — stage
+    attainment is a chain of running-max window expressions over a
+    single (user, ts, event_id) sort; the naive formulation is k-1
+    self-joins. Oracle uses the identical window formulation."""
+    from htm_streamer_spark.operators.funnel import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(e, ["signup", "click", "purchase"])
+
+
+SQL_FUNNEL_EVENTS = """
+WITH s0 AS (
+  SELECT user_id, ts, event_type, event_id,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER w AS r0
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+s1 AS (
+  SELECT *, max(CASE WHEN event_type = 'click' AND r0 = 1 THEN 1 ELSE 0 END)
+              OVER w AS r1
+  FROM s0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+s2 AS (
+  SELECT *, max(CASE WHEN event_type = 'purchase' AND r1 = 1 THEN 1 ELSE 0 END)
+              OVER w AS r2
+  FROM s1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+per_user AS (
+  SELECT user_id, max(r0) AS r0, max(r1) AS r1, max(r2) AS r2
+  FROM s2 GROUP BY 1
+)
+SELECT 0::INT AS stage_idx, 'signup' AS stage, sum(r0)::BIGINT AS n_users FROM per_user
+UNION ALL
+SELECT 1::INT, 'click', sum(r1)::BIGINT FROM per_user
+UNION ALL
+SELECT 2::INT, 'purchase', sum(r2)::BIGINT FROM per_user
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -2044,6 +2268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bins_docs": q_quality_bins_docs,
         "dedup_best_docs": q_dedup_best_docs,
         "asof_join_events": q_asof_join_events,
+        "rollup_lineitem": q_rollup_lineitem,
+        "shipping_priority": q_shipping_priority,
+        "tfidf_docs": q_tfidf_docs,
+        "postings_docs": q_postings_docs,
+        "scrub_docs": q_scrub_docs,
+        "funnel_events": q_funnel_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2105,6 +2335,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_bins_docs": SQL_QUALITY_BINS,
         "dedup_best_docs": SQL_DEDUP_BEST,
         "asof_join_events": SQL_ASOF_JOIN,
+        "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "tfidf_docs": SQL_TFIDF_DOCS,
+        "postings_docs": SQL_POSTINGS_DOCS,
+        "scrub_docs": SQL_SCRUB_DOCS,
+        "funnel_events": SQL_FUNNEL_EVENTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

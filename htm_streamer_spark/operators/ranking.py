@@ -1,0 +1,130 @@
+"""Term ranking over a document corpus: TF-IDF scoring and inverted-
+index (postings) construction.
+
+These are the retrieval-side primitives of a training-data pipeline:
+TF-IDF surfaces the most characteristic terms per document (topic
+tagging, keyword filtering), and the postings table is the corpus-wide
+token -> documents index used for targeted decontamination lookups and
+corpus analytics.
+
+Scale notes (100 TB):
+- Tokenization is a generator expression inside the scan (explode of a
+  split) — no Python, whole-stage codegen end to end.
+- The term-frequency aggregation shuffles on (doc_id, term); document
+  frequency is a second aggregation on term only, derived FROM the tf
+  frame (one source scan total, the tf frame being far narrower than
+  the raw text).
+- The df -> tf join broadcasts the df side: its cardinality is the
+  vocabulary, which is orders of magnitude smaller than the corpus.
+  For web-scale vocabularies (> ~100M terms) Spark's AQE falls back to
+  a shuffle join automatically when the broadcast threshold is
+  exceeded — the plan degrades gracefully rather than OOMing.
+- Top-k per doc is a row_number window over the (doc_id, term)-grained
+  tf-idf frame: external-sortable, spillable, no collect.
+- Ordering is on the ROUNDED score (6 dp) with a term tie-break, so
+  the ranking is reproducible bit-for-bit across engines and libm
+  implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode whitespace tokens of ``text_col`` (lowercased, empties
+    dropped). Adds a ``term`` column; keeps all other columns."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
+    return (
+        df.withColumn("term", F.explode(words))
+        .where(F.col("term") != "")
+        .drop(text_col)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1)   (sklearn's smooth idf)
+
+    Ranking is by the 6-dp-rounded score (descending) with an
+    ascending term tie-break — deterministic on every engine.
+    Returns (id_col, term, rank, tfidf).
+    """
+    toks = tokenize(df.select(id_col, text_col), text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).withColumn("j", F.lit(1))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(n_docs), "j")
+        .drop("j")
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            + F.lit(1e-9),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", F.col("rank").cast("int").alias("rank"), "tfidf")
+    )
+
+
+def build_postings(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_ids: int = 5,
+) -> DataFrame:
+    """Inverted index: one row per term with document frequency, total
+    term frequency, and the ``sample_ids`` smallest doc ids as a
+    comma-joined string (bounded — never a full posting list in one
+    row, the same cap discipline as dedup digests).
+
+    The per-term sample is selected with a row_number window over the
+    (term, doc) frame BEFORE any collect_list, so no intermediate
+    array ever exceeds ``sample_ids`` elements even for a stopword
+    appearing in every document of a 100 TB corpus.
+    """
+    toks = tokenize(df.select(id_col, text_col), text_col)
+    per_doc = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    ranked = per_doc.withColumn("rn", F.row_number().over(w))
+    totals = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    sample = (
+        ranked.where(F.col("rn") <= sample_ids)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", id_col))),
+                    lambda s: s[id_col].cast("string"),
+                ),
+                ",",
+            ).alias("sample_docs")
+        )
+    )
+    return totals.join(sample, "term").select(
+        "term", "n_docs", "total_tf", "sample_docs"
+    )
