@@ -34,6 +34,24 @@ def normalized_text(col) -> F.Column:
     return F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
 
 
+def fan_out_narrow_scans(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism IFF the input has
+    fewer partitions than the cluster has slots.
+
+    CPU-heavy per-row derivations (shingle md5, signature permutation)
+    inherit the scan's split count; a source laid out as a handful of
+    small files (or a few unsplittable gzip members) would otherwise
+    run the whole hash pipeline on that handful of cores. The guard
+    makes this a no-op at real scale — a 100 TB scan already carries
+    ~10^5 splits, so the extra shuffle never fires there; it fires
+    exactly when the input is small (shuffle is cheap) or degenerate
+    (reshuffling is the standard remedy)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", sample_ids: int = 8, n_salts: int = 64
 ) -> DataFrame:
@@ -286,6 +304,7 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
     bucket-join → exact-Jaccard confirm. Returns (doc_a, doc_b, jaccard)."""
+    df = fan_out_narrow_scans(df)
     sh = shingles(df, text_col, shingle_n)
     sigs = minhash_signatures(sh, num_hashes, method)
     pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
@@ -365,6 +384,7 @@ def simhash_fingerprints(
     """(doc_id, simhash): 60-bit simhash per doc; 0 for wordless docs.
     doc_id type is preserved from the input."""
     doc_id_type = df.schema["doc_id"].dataType.simpleString()
+    df = fan_out_narrow_scans(df)
     hashed = df.select("doc_id", word_hash_array(F.col(text_col), method).alias("hashes"))
     sigs = hashed.mapInArrow(
         simhash_vote_kernel(),

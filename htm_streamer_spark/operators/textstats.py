@@ -136,10 +136,12 @@ def winnow_fingerprints(
     """
     from htm_streamer_spark.operators.dedup import (
         _gram_array,
+        fan_out_narrow_scans,
         normalized_text,
         shingle_base_hash,
     )
 
+    df = fan_out_narrow_scans(df)
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
     grams = _gram_array(words, gram_n)
     hs = F.transform(grams, lambda g: shingle_base_hash(g, "md5"))

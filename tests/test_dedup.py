@@ -146,3 +146,14 @@ def test_lsh_mega_bucket_dropped_before_collect(spark):
     found = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert (9001, 9002) in found
     assert not any(a < 9000 and b < 9000 for a, b in found)  # mega-bucket dropped
+
+
+def test_fan_out_narrow_scans_guard(spark):
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    slots = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out_narrow_scans(narrow).rdd.getNumPartitions() == slots
+    wide = spark.range(1000).repartition(slots + 4)
+    # already at/above parallelism: must be a NO-OP (no extra shuffle)
+    assert fan_out_narrow_scans(wide) is wide
