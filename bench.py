@@ -176,6 +176,9 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "sessionize_events",
         "session_window_events",
         "pack_docs",
+        "tfidf_docs",
+        "funnel_events",
+        "shipping_priority",
     ):
         t0 = time.time()
         out = qs[name](spark, sf_dir)
