@@ -61,7 +61,12 @@ def tfidf_top_terms(
     Returns (id_col, term, rank, tfidf).
     """
     toks = tokenize(df.select(id_col, text_col), text_col)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is referenced twice (df derivation + scoring): persist the
+    # narrow (id, term, tf) frame so the text column is read and
+    # tokenized exactly ONCE — the dominant cost at corpus scale.
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # N counts ALL docs (token-less docs included — sklearn semantics),
+    # so it reads the source, but column-pruned to id_col only.
     n_docs = df.select(F.countDistinct(id_col).alias("n")).withColumn("j", F.lit(1))
     dfreq = (
         tf.groupBy("term")
@@ -105,7 +110,9 @@ def build_postings(
     appearing in every document of a 100 TB corpus.
     """
     toks = tokenize(df.select(id_col, text_col), text_col)
-    per_doc = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    # three downstream references (window rank, totals, sample):
+    # persist the narrow per-doc frame — one tokenizing scan total.
+    per_doc = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf")).persist()
     w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
     ranked = per_doc.withColumn("rn", F.row_number().over(w))
     totals = per_doc.groupBy("term").agg(
