@@ -2214,6 +2214,58 @@ SELECT 2::INT, 'purchase', sum(r2)::BIGINT FROM per_user
 """
 
 
+def q_stream_join_events(spark, sf_dir):
+    """Click -> purchase attribution within 10 minutes per user via the
+    stream-stream interval join (streaming/joins.py). One plan, two
+    engines: this batch run is exact (watermarks no-op); the identical
+    plan joins two readStream sources with watermark-bounded state
+    (live test in tests/test_stream_join.py). The time bound in the
+    join condition is what makes streaming state evictable — mandatory
+    semantics, not a hint."""
+    from htm_streamer_spark.streaming.joins import interval_join_streams
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withColumnRenamed("p_user", "user_id")
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        "user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="10 minutes",
+        watermark="5 minutes",
+    )
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (um("purchase_ts") - um("click_ts")).alias("micros_between"),
+    )
+
+
+SQL_STREAM_JOIN_EVENTS = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS micros_between
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 10 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -2274,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_docs": q_postings_docs,
         "scrub_docs": q_scrub_docs,
         "funnel_events": q_funnel_events,
+        "stream_join_events": q_stream_join_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2341,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_docs": SQL_POSTINGS_DOCS,
         "scrub_docs": SQL_SCRUB_DOCS,
         "funnel_events": SQL_FUNNEL_EVENTS,
+        "stream_join_events": SQL_STREAM_JOIN_EVENTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
