@@ -112,12 +112,41 @@ class ManifestCatalog:
 
     # -- write path ---------------------------------------------------
 
-    def stage_spark(self, table: str, df: DataFrame) -> None:
-        """Stage a Spark DataFrame as parquet files (not yet visible)."""
+    def stage_spark(self, table: str, df: DataFrame, bucket: int | None = None) -> None:
+        """Stage a Spark DataFrame as parquet files (not yet visible).
+        ``bucket`` tags the staged files with a key-hash bucket id so a
+        later merge can rewrite only affected buckets (Iceberg-style
+        copy-on-write granularity)."""
         stage_dir = self.root / "data" / f"{table}-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(stage_dir))
         for p in sorted(stage_dir.glob("*.parquet")):
-            self._staged.append({"table": table, "file": str(p.relative_to(self.root))})
+            e = {"table": table, "file": str(p.relative_to(self.root))}
+            if bucket is not None:
+                e["bucket"] = int(bucket)
+            self._staged.append(e)
+
+    def restage(self, table: str, entries: list[dict]) -> None:
+        """Carry existing committed files forward into the next version
+        WITHOUT copying data — the manifest gains new entries pointing
+        at the same parquet files. This is what lets a merge commit be
+        a complete snapshot while rewriting only the touched buckets."""
+        for e in entries:
+            path = self.root / e["file"]
+            if not path.exists():
+                raise FileNotFoundError(f"restage of missing file: {path}")
+            ne = {"table": table, "file": e["file"]}
+            if "bucket" in e:
+                ne["bucket"] = e["bucket"]
+            self._staged.append(ne)
+
+    def entries(self, table: str, latest_only: bool = False) -> list[dict]:
+        """Manifest entries for ``table`` (with bucket tags), optionally
+        only those of the most recent version touching it."""
+        entries = [e for e in self._manifest()["entries"] if e["table"] == table]
+        if latest_only and entries:
+            top = max(e.get("version", 0) for e in entries)
+            entries = [e for e in entries if e.get("version", 0) == top]
+        return entries
 
     def stage_rows(self, table: str, rows: list[dict], schema: str, spark: SparkSession) -> None:
         self.stage_spark(table, spark.createDataFrame(rows, schema))
@@ -146,11 +175,7 @@ class ManifestCatalog:
     # -- read path ----------------------------------------------------
 
     def files(self, table: str, latest_only: bool = False) -> list[str]:
-        entries = [e for e in self._manifest()["entries"] if e["table"] == table]
-        if latest_only and entries:
-            top = max(e.get("version", 0) for e in entries)
-            entries = [e for e in entries if e.get("version", 0) == top]
-        return [str(self.root / e["file"]) for e in entries]
+        return [str(self.root / e["file"]) for e in self.entries(table, latest_only)]
 
     def read(
         self, spark: SparkSession, table: str, latest_only: bool = False
@@ -318,3 +343,92 @@ class IcebergCatalog:
         for t in self.ENGINE_TABLES:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(t)}")
         self._staged = []
+
+
+def merge_upsert(
+    spark: SparkSession,
+    cat: ManifestCatalog,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    n_buckets: int = 16,
+) -> int:
+    """MERGE INTO analog: copy-on-write upsert with bucket-level file
+    pruning — the scalable shape of SCD-1 table maintenance.
+
+    Rows are hash-bucketed on ``key_cols`` (xxhash64 mod n_buckets).
+    Only buckets that appear in ``updates`` are read, merged
+    (latest-wins on ``order_col``; an update beats an existing row on
+    an exact tie), and rewritten; every untouched bucket's files are
+    carried into the new snapshot by manifest reference — zero data
+    copy. At warehouse scale this is the difference between rewriting
+    100 TB per merge and rewriting only the few buckets the day's
+    updates touch (reference analog: the model-state pickle replace,
+    utils/fs.py:92-130 — which rewrites the WHOLE state every step).
+
+    Readers use ``cat.read(spark, table, latest_only=True)``: each
+    merge commit is a complete snapshot of the table.
+
+    Returns the committed version.
+    """
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    prop_key = f"merge.{table}.n_buckets"
+    pinned = cat.prop(prop_key)
+    if pinned is not None and int(pinned) != n_buckets:
+        raise ValueError(
+            f"{table} was merged with n_buckets={pinned}; bucket tags are "
+            f"only valid under that layout (got {n_buckets})"
+        )
+    bucket_of = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+    data_cols = updates.columns
+    upd = updates.withColumn("__bucket", bucket_of).withColumn(
+        "__is_update", F.lit(1)
+    )
+    touched = {
+        r["__bucket"] for r in upd.select("__bucket").distinct().collect()
+    }  # metadata-scale: at most n_buckets values
+    current = cat.entries(table, latest_only=True)
+    # files staged without a bucket tag (initial plain loads) may hold
+    # keys of ANY bucket — they must always join the rewrite set
+    rewrite = [
+        e for e in current if e.get("bucket") is None or e["bucket"] in touched
+    ]
+    untouched = [e for e in current if e not in rewrite]
+    if rewrite:
+        cur = (
+            spark.read.parquet(*[str(cat.root / e["file"]) for e in rewrite])
+            .select(*data_cols)
+            .withColumn("__bucket", bucket_of)
+            .withColumn("__is_update", F.lit(0))
+        )
+        merged_src = cur.unionByName(upd)
+    else:
+        merged_src = upd
+    # latest-wins per key: max_by over (order_col, is_update) — an
+    # update at the same order value replaces the existing row
+    row = F.struct(*[F.col(c) for c in data_cols])
+    ordk = F.struct(F.col(order_col), F.col("__is_update"))
+    merged = (
+        merged_src.groupBy(*[F.col(k) for k in key_cols], F.col("__bucket"))
+        .agg(F.max_by(row, ordk).alias("__row"))
+        .select("__bucket", *[F.col(f"__row.{c}").alias(c) for c in data_cols])
+        .persist()
+    )
+    # stage every bucket PRESENT in the rewrite set (covers untagged
+    # files whose rows fall outside the update's buckets)
+    out_buckets = sorted(r["__bucket"] for r in merged.select("__bucket").distinct().collect())
+    try:
+        for b in out_buckets:
+            part = merged.where(F.col("__bucket") == b).drop("__bucket")
+            cat.stage_spark(table, part, bucket=b)
+        cat.restage(table, untouched)
+    except Exception:
+        cat.abort()
+        raise
+    finally:
+        merged.unpersist()
+    return cat.commit(props={prop_key: n_buckets})
