@@ -2266,6 +2266,37 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_pivot_events(spark, sf_dir):
+    """Wide per-user event-type matrix via pivot. The pivot VALUES are
+    passed explicitly — without them Spark runs an extra distinct scan
+    just to learn the column set, and an unbounded value domain would
+    mint unbounded columns; a fixed schema is the only shape that
+    survives at scale. Lowered to ONE groupBy with conditional
+    aggregates (exactly the oracle's formulation) — single shuffle."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+FROM events GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -2327,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_docs": q_scrub_docs,
         "funnel_events": q_funnel_events,
         "stream_join_events": q_stream_join_events,
+        "pivot_events": q_pivot_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2395,6 +2427,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_docs": SQL_SCRUB_DOCS,
         "funnel_events": SQL_FUNNEL_EVENTS,
         "stream_join_events": SQL_STREAM_JOIN_EVENTS,
+        "pivot_events": SQL_PIVOT_EVENTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
