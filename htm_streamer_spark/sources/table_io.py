@@ -139,10 +139,17 @@ class ManifestCatalog:
                 ne["bucket"] = e["bucket"]
             self._staged.append(ne)
 
-    def entries(self, table: str, latest_only: bool = False) -> list[dict]:
-        """Manifest entries for ``table`` (with bucket tags), optionally
-        only those of the most recent version touching it."""
+    def entries(
+        self, table: str, latest_only: bool = False, as_of: int | None = None
+    ) -> list[dict]:
+        """Manifest entries for ``table`` (with bucket tags).
+        ``latest_only`` keeps only those of the most recent version
+        touching the table; ``as_of`` time-travels — entries are first
+        restricted to versions ≤ ``as_of`` (Iceberg snapshot-read
+        analog), then latest_only applies within that horizon."""
         entries = [e for e in self._manifest()["entries"] if e["table"] == table]
+        if as_of is not None:
+            entries = [e for e in entries if e.get("version", 0) <= as_of]
         if latest_only and entries:
             top = max(e.get("version", 0) for e in entries)
             entries = [e for e in entries if e.get("version", 0) == top]
@@ -174,22 +181,100 @@ class ManifestCatalog:
 
     # -- read path ----------------------------------------------------
 
-    def files(self, table: str, latest_only: bool = False) -> list[str]:
-        return [str(self.root / e["file"]) for e in self.entries(table, latest_only)]
+    def files(
+        self, table: str, latest_only: bool = False, as_of: int | None = None
+    ) -> list[str]:
+        return [
+            str(self.root / e["file"])
+            for e in self.entries(table, latest_only, as_of=as_of)
+        ]
 
     def read(
-        self, spark: SparkSession, table: str, latest_only: bool = False
+        self,
+        spark: SparkSession,
+        table: str,
+        latest_only: bool = False,
+        as_of: int | None = None,
     ) -> DataFrame | None:
         """DataFrame over the committed files of ``table`` (None if no
         committed data). ``latest_only`` reads just the files from the
         most recent commit touching the table — latest-wins semantics
         for state tables like the baseline (reference analog: each
         timestep's pickle fully replaces the previous,
-        utils/fs.py:92-130)."""
-        files = self.files(table, latest_only)
+        utils/fs.py:92-130). ``as_of`` reads the table as it stood at
+        that committed version (time travel; requires the versions not
+        to have been expired by :meth:`expire_versions`)."""
+        files = self.files(table, latest_only, as_of=as_of)
         if not files:
             return None
         return spark.read.parquet(*files)
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        max_files: int = 1,
+    ) -> int | None:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
+        rewrite the LATEST snapshot of ``table`` so each bucket (or the
+        whole table when untagged) lands in at most ``max_files`` files,
+        then publish as a new version. Older versions keep pointing at
+        the old files, so time travel still works until
+        :meth:`expire_versions`. Returns the new version, or None if
+        the snapshot is already compact."""
+        current = self.entries(table, latest_only=True)
+        if not current:
+            return None
+        by_bucket: dict[int | None, list[dict]] = {}
+        for e in current:
+            by_bucket.setdefault(e.get("bucket"), []).append(e)
+        if all(len(es) <= max_files for es in by_bucket.values()):
+            return None
+        try:
+            for b, es in sorted(
+                by_bucket.items(), key=lambda kv: (kv[0] is None, kv[0])
+            ):
+                if len(es) <= max_files:
+                    self.restage(table, es)
+                    continue
+                df = spark.read.parquet(*[str(self.root / e["file"]) for e in es])
+                self.stage_spark(table, df.coalesce(max_files), bucket=b)
+        except Exception:
+            self.abort()
+            raise
+        return self.commit()
+
+    def expire_versions(self, keep_last: int = 1) -> list[str]:
+        """Expire history: drop manifest entries of versions older than
+        the last ``keep_last`` commits and delete data files no longer
+        referenced by any surviving version (Iceberg ``expire_snapshots``
+        analog — the step that actually reclaims space after merge /
+        compact rewrites). Time travel below the horizon stops working,
+        by design. Returns the deleted file paths."""
+        m = self._manifest()
+        horizon = m["version"] - keep_last + 1
+        keep = [e for e in m["entries"] if e.get("version", 0) >= horizon]
+        dropped = [e for e in m["entries"] if e.get("version", 0) < horizon]
+        still_referenced = {e["file"] for e in keep}
+        to_delete = sorted(
+            {e["file"] for e in dropped} - still_referenced
+        )
+        m["entries"] = keep
+        tmp = self._manifest_path.with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+        deleted = []
+        for rel in to_delete:
+            p = self.root / rel
+            if p.exists():
+                p.unlink()
+                deleted.append(str(p))
+        return deleted
 
     def prop(self, key: str, default=None):
         return self._manifest().get("props", {}).get(key, default)
