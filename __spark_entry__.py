@@ -2297,6 +2297,34 @@ FROM events GROUP BY 1
 """
 
 
+def q_shuffle_docs(spark, sf_dir):
+    """Deterministic global training-shuffle order (operators/
+    sampling.py:global_shuffle_positions): dense position 0..N-1 in
+    content-hash order WITHOUT a single-partition global window — the
+    distributed order-index pattern (bucket counts -> broadcast
+    cumulative offsets + partitioned within-bucket row_number). The
+    oracle is the naive global row_number formulation, proving the
+    two-phase plan computes the identical total order."""
+    from htm_streamer_spark.operators.sampling import global_shuffle_positions
+
+    d = _t(spark, sf_dir, "documents")
+    return global_shuffle_positions(d)
+
+
+SQL_SHUFFLE_DOCS = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(doc_id::VARCHAR || ':shuffle-v1'), 1, 8))::BIGINT
+           % 1000000 AS hv
+  FROM documents
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY hv % 256, hv, doc_id) - 1)::BIGINT
+         AS shuffle_pos
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -2359,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "stream_join_events": q_stream_join_events,
         "pivot_events": q_pivot_events,
+        "shuffle_docs": q_shuffle_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2428,6 +2457,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": SQL_FUNNEL_EVENTS,
         "stream_join_events": SQL_STREAM_JOIN_EVENTS,
         "pivot_events": SQL_PIVOT_EVENTS,
+        "shuffle_docs": SQL_SHUFFLE_DOCS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -94,3 +94,56 @@ def stratified_sample(
         F.lit(int(round(default_fraction * HASH_BUCKETS))),
     )
     return df.filter(b < cut)
+
+
+def global_shuffle_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    n_buckets: int = 256,
+    method: str = "md5",
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every row gets
+    a dense position 0..N-1 in content-hash order — the reproducible
+    corpus shuffle every epoch-0 data loader needs (stable across
+    rebuilds, retries, partitionings; re-salt for a different epoch
+    order).
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` is a
+    SINGLE-PARTITION window — the whole corpus through one task. This
+    uses the distributed order-index pattern instead: rows are hashed
+    into ``n_buckets`` ordered buckets; per-bucket counts (one tiny
+    agg) become broadcast cumulative offsets; within-bucket positions
+    come from a PARTITIONED row_number window. position = offset[bucket]
+    + rank_within_bucket. Two shuffles (count agg + window), both
+    parallel across buckets; no global sort, no single task.
+
+    Ties inside a bucket break on (hash, id) so the order is total and
+    engine-independent. Returns (id_col, shuffle_pos).
+    """
+    from pyspark.sql import Window
+
+    b = hash_bucket(F.col(id_col), salt, method)
+    bucketed = df.select(
+        F.col(id_col), b.alias("__h"), F.pmod(b, F.lit(n_buckets)).cast("int").alias("__b")
+    )
+    # NOTE __b is derived from the hash value itself, so bucket order
+    # must follow (__b) first: position ordering is (bucket, hash, id).
+    counts = (
+        bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    # the offsets frame is n_buckets rows — the single-partition window
+    # here is over METADATA, not data
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        bucketed.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__b")
+        .select(
+            id_col,
+            (F.col("__off") + F.col("__rn") - 1).cast("long").alias("shuffle_pos"),
+        )
+    )

@@ -76,3 +76,62 @@ def test_no_shuffle_in_plan(spark, docs):
     with redirect_stdout(buf):
         out.explain("formatted")
     assert not re.search(r"^\(\d+\) Exchange\b", buf.getvalue(), re.M)
+
+
+def test_global_shuffle_positions_dense_and_stable(spark):
+    from htm_streamer_spark.operators.sampling import global_shuffle_positions
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r.shuffle_pos for r in global_shuffle_positions(docs).collect()}
+    assert sorted(out.values()) == list(range(1000))  # dense 0..N-1
+    # partitioning-independent total order
+    out2 = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle_positions(docs.repartition(13)).collect()
+    }
+    assert out == out2
+    # a different salt is a different permutation of the same positions
+    out3 = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle_positions(docs, salt="shuffle-v2").collect()
+    }
+    assert sorted(out3.values()) == list(range(1000))
+    assert out3 != out
+
+
+def test_global_shuffle_matches_naive_global_window(spark):
+    from htm_streamer_spark.operators.sampling import (
+        global_shuffle_positions,
+        hash_bucket,
+    )
+    from pyspark.sql import Window
+
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    h = hash_bucket(F.col("doc_id"), "shuffle-v1")
+    naive = docs.select(
+        "doc_id",
+        (
+            F.row_number().over(
+                Window.orderBy(
+                    F.pmod(h, F.lit(256)), h, F.col("doc_id")
+                )
+            )
+            - 1
+        ).cast("long").alias("shuffle_pos"),
+    )
+    got = {r.doc_id: r.shuffle_pos for r in global_shuffle_positions(docs).collect()}
+    want = {r.doc_id: r.shuffle_pos for r in naive.collect()}
+    assert got == want
+
+
+def test_global_shuffle_no_single_partition_data_window(spark):
+    from htm_streamer_spark.operators.sampling import global_shuffle_positions
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id")).repartition(8)
+    plan = (
+        global_shuffle_positions(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the data-carrying window is hash-partitioned by bucket; the only
+    # SinglePartition exchange feeds the n_buckets-row offsets frame
+    assert "hashpartitioning(__b" in plan, plan
