@@ -150,3 +150,53 @@ def test_live_two_stream_join_matches_batch_and_drops_late(spark, tmp_path):
         assert (8, 9) in got
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_stream_static_enrichment_rereads_dim(spark, tmp_path):
+    """Stream-static join: each micro-batch joins against the CURRENT
+    state of the static side — Spark re-resolves the dim per batch, so
+    an updated dim parquet enriches later batches differently. This is
+    the idiomatic streaming enrichment (no state, broadcastable dim)."""
+    src, dim = tmp_path / "src", tmp_path / "dim"
+    src.mkdir(), dim.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_dim(label):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        pq2.write_table(
+            pa.table({"user_id": pa.array(["u1"], pa.string()),
+                      "segment": pa.array([label], pa.string())}),
+            f"{dim}/d.parquet",
+        )
+
+    write_dim("bronze")
+    _write(src, [(1, _ts(1), "u1", "click")], "f0")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    static = spark.read.schema("user_id string, segment string").parquet(str(dim))
+    out = stream.join(F.broadcast(static), "user_id", "left")
+    q = (
+        out.select("event_id", "segment")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.event_id: r.segment for r in spark.sql("SELECT * FROM enrich_test").collect()}
+        assert got == {1: "bronze"}
+        write_dim("gold")  # dim updated between micro-batches
+        _write(src, [(2, _ts(2), "u1", "click")], "f1")
+        q.processAllAvailable()
+        got = {r.event_id: r.segment for r in spark.sql("SELECT * FROM enrich_test").collect()}
+        assert got == {1: "bronze", 2: "gold"}
+    finally:
+        q.stop()
