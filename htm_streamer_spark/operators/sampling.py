@@ -124,9 +124,11 @@ def global_shuffle_positions(
     from pyspark.sql import Window
 
     b = hash_bucket(F.col(id_col), salt, method)
+    # referenced twice (bucket counts + positioned window): persist the
+    # narrow (id, hash, bucket) frame so the source is scanned once
     bucketed = df.select(
         F.col(id_col), b.alias("__h"), F.pmod(b, F.lit(n_buckets)).cast("int").alias("__b")
-    )
+    ).persist()
     # NOTE __b is derived from the hash value itself, so bucket order
     # must follow (__b) first: position ordering is (bucket, hash, id).
     counts = (
