@@ -47,6 +47,13 @@ def funnel_counts(
     """
     if not stages:
         raise ValueError("stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        # a repeated stage would be satisfied by a SINGLE event: the
+        # running max at a row includes that row, so stage i's "prior
+        # stage reached" check sees stage i-1 flip on the same event.
+        # Correct repeated-stage funnels need a count-based chain, which
+        # this operator deliberately does not implement.
+        raise ValueError("stages must be distinct")
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())

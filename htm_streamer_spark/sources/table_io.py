@@ -253,6 +253,8 @@ class ManifestCatalog:
         analog — the step that actually reclaims space after merge /
         compact rewrites). Time travel below the horizon stops working,
         by design. Returns the deleted file paths."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the live snapshot)")
         m = self._manifest()
         horizon = m["version"] - keep_last + 1
         keep = [e for e in m["entries"] if e.get("version", 0) >= horizon]
@@ -454,6 +456,12 @@ def merge_upsert(
 
     Readers use ``cat.read(spark, table, latest_only=True)``: each
     merge commit is a complete snapshot of the table.
+
+    Determinism contract: distinct keys must carry distinct
+    ``order_col`` values WITHIN one updates batch — two update rows for
+    the same key at the same order value tie, and the survivor among
+    them is arbitrary (same rule as Iceberg MERGE, which rejects
+    multiple matches outright).
 
     Returns the committed version.
     """

@@ -107,3 +107,12 @@ def test_expire_deletes_rewritten_files(spark, tmp_path):
     assert all(not Path(f).exists() for f in before)
     got = {r.k for r in cat.read(spark, "t", latest_only=True).collect()}
     assert got == {0, 1, 2, 3}
+
+
+def test_expire_rejects_zero_keep(spark, tmp_path):
+    import pytest
+
+    cat = ManifestCatalog(tmp_path / "cat")
+    _commit_rows(spark, cat, [(1, "a", 1)])
+    with pytest.raises(ValueError, match="keep_last"):
+        cat.expire_versions(keep_last=0)

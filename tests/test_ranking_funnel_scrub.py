@@ -123,3 +123,14 @@ def test_blocklist_pattern_rejects_regex_meta():
         blocklist_pattern(["a|b("])
     with pytest.raises(ValueError):
         blocklist_pattern([])
+
+
+def test_funnel_rejects_repeated_stages(spark):
+    e = spark.createDataFrame(
+        [(1, "u", "signup", 1.0)],
+        "event_id long, user_id string, event_type string, tsd double",
+    ).select("event_id", "user_id", "event_type", F.col("tsd").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts(e, ["signup", "signup"])
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(e, [])
