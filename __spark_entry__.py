@@ -58,6 +58,9 @@ SQL_IVF_GOLDEN = (
 SQL_MULTIMODAL_GOLDEN = (
     f"SELECT * FROM read_parquet('{GOLDEN_DIR}/multimodal_features.sf0.01.parquet')"
 )
+SQL_KMEANS_GOLDEN = (
+    f"SELECT * FROM read_parquet('{GOLDEN_DIR}/kmeans_embeddings.sf0.01.parquet')"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2297,6 +2300,20 @@ FROM events GROUP BY 1
 """
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Embedding k-means clustering (operators/similarity.py:
+    kmeans_cluster_profile): seeded spherical k-means on the uniform
+    content-hash sample, one-matmul-per-Arrow-batch assignment of every
+    vector, integer-only cluster profile (bit-deterministic — float
+    means would depend on accumulation order). Oracle = golden parquet
+    (seeded k-means is deterministic but not DuckDB-recomputable;
+    tools/make_goldens.py)."""
+    from htm_streamer_spark.operators.similarity import kmeans_cluster_profile
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(e, n_clusters=8)
+
+
 def q_shuffle_docs(spark, sf_dir):
     """Deterministic global training-shuffle order (operators/
     sampling.py:global_shuffle_positions): dense position 0..N-1 in
@@ -2388,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_events": q_stream_join_events,
         "pivot_events": q_pivot_events,
         "shuffle_docs": q_shuffle_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2458,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_join_events": SQL_STREAM_JOIN_EVENTS,
         "pivot_events": SQL_PIVOT_EVENTS,
         "shuffle_docs": SQL_SHUFFLE_DOCS,
+        "kmeans_embeddings": SQL_KMEANS_GOLDEN,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

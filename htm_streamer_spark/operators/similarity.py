@@ -291,6 +291,75 @@ def _kmeans_fit(sample: np.ndarray, n_lists: int, seed: int = 42, iters: int = 1
     return cents
 
 
+def train_coarse_quantizer(
+    corpus: DataFrame,
+    n_lists: int,
+    *,
+    train_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded spherical k-means centroids from a bounded UNIFORM
+    content-hash sample of the corpus (the IVF training recipe,
+    extracted so clustering can be used standalone).
+
+    The sample is ``md5(id)``-thresholded + smallest-hash ordered, so it
+    is reproducible across engines, partitionings, and cluster sizes —
+    a ``limit()`` prefix sample would train on whatever slice the scan
+    returns first (the recall-bias failure pinned by
+    tests/test_similarity.py's sorted-skewed-corpus case). Vectors come
+    back via Arrow (vector column only), never a row-collect."""
+    n_corpus = corpus.count()  # parquet metadata count, not a data scan
+    # deterministic content-hash in [0, 2^60): md5 keeps the sample
+    # reproducible across engines/partitionings (xxhash64 is Spark-only)
+    hash_col = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sampled = corpus.select(F.col(vec_col), hash_col.alias("_h"))
+    if n_corpus > train_sample:
+        # oversample 2x by hash-threshold, then take the smallest hashes
+        # (TakeOrderedAndProject — a top-k, not a full sort shuffle)
+        threshold = int((1 << 60) * min(1.0, 2.0 * train_sample / n_corpus))
+        sampled = sampled.filter(F.col("_h") < threshold)
+    pdf = sampled.orderBy("_h").limit(train_sample).toPandas()
+    sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return _kmeans_fit(sample / norms, n_lists, seed)
+
+
+def kmeans_cluster_profile(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    *,
+    train_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding k-means clustering as a first-class operator: train a
+    seeded quantizer on the bounded hash-sample, assign EVERY vector
+    with one numpy matmul per Arrow batch, and profile the clusters.
+
+    Returns (cluster_id, n_vecs, min_vec_id, max_vec_id) — integer
+    stats only, so the result is bit-deterministic regardless of
+    partition/accumulation order (a float mean would not be) and can be
+    pinned by a golden-parquet oracle. One corpus scan for training
+    (vector column, bounded), one for assignment; the profile is a
+    single groupBy(cluster_id) with map-side partials."""
+    cents = train_coarse_quantizer(
+        corpus, n_clusters, train_sample=train_sample, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    assigned = ivf_assign_arrow(corpus, cents, [id_col], vec_col, "cluster_id")
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min(id_col).alias("min_vec_id"),
+        F.max(id_col).alias("max_vec_id"),
+    )
+
+
 def ivf_assign_arrow(df: DataFrame, centroids: np.ndarray, passthrough_cols: list[str],
                      vec_col: str = "embedding", list_col: str = "list_id") -> DataFrame:
     """Assign every vector to its nearest centroid with ONE numpy matmul
@@ -353,23 +422,10 @@ def ivf_topk(
     the sample is ordered by the same hash so centroid seeding is
     partition-layout independent.
     """
-    n_corpus = corpus.count()  # parquet metadata count, not a data scan
-    # deterministic content-hash in [0, 2^60): md5 keeps the sample
-    # reproducible across engines/partitionings (xxhash64 is Spark-only)
-    hash_col = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    sampled = corpus.select(F.col(vec_col), hash_col.alias("_h"))
-    if n_corpus > train_sample:
-        # oversample 2x by hash-threshold, then take the smallest hashes
-        # (TakeOrderedAndProject — a top-k, not a full sort shuffle)
-        threshold = int((1 << 60) * min(1.0, 2.0 * train_sample / n_corpus))
-        sampled = sampled.filter(F.col("_h") < threshold)
-    pdf = sampled.orderBy("_h").limit(train_sample).toPandas()
-    sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents = _kmeans_fit(sample / norms, n_lists, seed)
+    cents = train_coarse_quantizer(
+        corpus, n_lists, train_sample=train_sample, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
 
     c = ivf_assign_arrow(corpus, cents, [id_col], vec_col, "list_id")
     # query probes: nprobe nearest centroids, driver-side (queries small)

@@ -30,7 +30,13 @@ def entry_mod():
 
 
 @pytest.mark.parametrize(
-    "name", ["ivf_topk_embeddings", "multimodal_features", "pq_topk_embeddings"]
+    "name",
+    [
+        "ivf_topk_embeddings",
+        "multimodal_features",
+        "pq_topk_embeddings",
+        "kmeans_embeddings",
+    ],
 )
 def test_golden_matches_live_query(spark, entry_mod, name):
     got = entry_mod.queries()[name](spark, SF_DIR).toPandas()

@@ -32,7 +32,12 @@ sys.path.insert(0, str(REPO))
 
 GOLDEN_DIR = REPO / "tests" / "golden"
 SF_DIR = "/root/testdata/sf0.01"
-GOLDEN_QUERIES = ("ivf_topk_embeddings", "multimodal_features", "pq_topk_embeddings")
+GOLDEN_QUERIES = (
+    "ivf_topk_embeddings",
+    "multimodal_features",
+    "pq_topk_embeddings",
+    "kmeans_embeddings",
+)
 
 
 def main() -> None:
