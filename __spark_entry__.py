@@ -2034,18 +2034,19 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join customer |><| orders |><| lineitem
     with selective filters on every side, revenue aggregation, top-10.
-    Catalyst broadcasts the filtered customer dim into the orders scan
-    and leaves orders |><| lineitem as the one shuffle join on the
-    l_orderkey/o_orderkey key — exactly the plan you want at 100 TB
-    (AQE converts it too if the filtered orders side shrinks under the
-    threshold). Filters push to all three parquet scans."""
+    No forced broadcast hint: a hint would OOM on a warehouse-scale
+    customer table; instead size statistics + AQE pick broadcast when
+    the filtered dim fits the threshold (they do at every test SF) and
+    degrade to a shuffle join when it doesn't. orders |><| lineitem is
+    the one unavoidable big shuffle join on the order key. Filters push
+    to all three parquet scans."""
     cutoff = "1998-01-01"
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(

@@ -14,11 +14,11 @@ Scale notes (100 TB):
   frequency is a second aggregation on term only, derived FROM the tf
   frame (one source scan total, the tf frame being far narrower than
   the raw text).
-- The df -> tf join broadcasts the df side: its cardinality is the
-  vocabulary, which is orders of magnitude smaller than the corpus.
-  For web-scale vocabularies (> ~100M terms) Spark's AQE falls back to
-  a shuffle join automatically when the broadcast threshold is
-  exceeded — the plan degrades gracefully rather than OOMing.
+- The df -> tf join leaves the strategy to size statistics + AQE: the
+  df side is vocabulary-sized (orders of magnitude smaller than the
+  corpus) so it broadcasts in practice, but no hint FORCES it — a
+  forced broadcast of a web-scale vocabulary (> ~100M terms) would
+  OOM, while the unhinted plan degrades to a shuffle join.
 - Top-k per doc is a row_number window over the (doc_id, term)-grained
   tf-idf frame: external-sortable, spillable, no collect.
 - Ordering is on the ROUNDED score (6 dp) with a term tie-break, so
@@ -75,7 +75,7 @@ def tfidf_top_terms(
         .join(F.broadcast(n_docs), "j")
         .drop("j")
     )
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.join(dfreq, "term").withColumn(
         "tfidf",
         F.round(
             F.col("tf")
