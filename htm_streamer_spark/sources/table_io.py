@@ -440,6 +440,7 @@ def merge_upsert(
     key_cols: list[str],
     order_col: str,
     n_buckets: int = 16,
+    extra_props: dict | None = None,
 ) -> int:
     """MERGE INTO analog: copy-on-write upsert with bucket-level file
     pruning — the scalable shape of SCD-1 table maintenance.
@@ -524,4 +525,4 @@ def merge_upsert(
         raise
     finally:
         merged.unpersist()
-    return cat.commit(props={prop_key: n_buckets})
+    return cat.commit(props={prop_key: n_buckets, **(extra_props or {})})
