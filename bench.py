@@ -180,10 +180,16 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "funnel_events",
         "shipping_priority",
     ):
-        t0 = time.time()
-        out = qs[name](spark, sf_dir)
-        out.write.format("noop").mode("overwrite").save()
-        timings[name] = time.time() - t0
+        # best-of-2: the host throttle varies 2-5x between moments (see
+        # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
+        # single-shot operator queries get the same treatment cheaply
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            out = qs[name](spark, sf_dir)
+            out.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = best
 
     total = round(sum(timings.values()), 3)
     return {
