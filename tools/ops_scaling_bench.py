@@ -1,0 +1,125 @@
+"""Scaling evidence for the operator families beyond the flagship
+(same N vs 4N protocol as tools/scaling_bench.py, SURVEY.md §4.3).
+
+The sf0.1 documents table is only 5,000 rows — too small to exercise
+parallelism in the text pipelines — so this harness synthesizes a
+deterministic 20x replication (100,000 docs: doc_id offset + a per-copy
+token suffix so near-dup structure is preserved but ids stay unique)
+into ``.data/docs20x`` and times three representative operators at two
+parallelism levels, each in its own JVM subprocess, best-of-``repeats``:
+
+- minhash_pairs  (dedup family: shingle -> minhash -> LSH -> confirm)
+- tfidf          (ranking family: tokenize -> tf -> df -> window top-k)
+- global_shuffle (order-index family: bucket counts -> offsets -> rank)
+
+Usage: python tools/ops_scaling_bench.py [repeats] [lo] [hi]
+Writes BENCH/ops_scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+DOCS = REPO / ".data" / "docs20x"
+
+_WORKER = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from htm_streamer_spark import get_spark
+from pyspark.sql import functions as F
+
+cores = int(sys.argv[1])
+repeats = int(sys.argv[2])
+spark = get_spark(cores=cores, driver_memory="8g")
+d = spark.read.parquet({docs!r})
+d.count()  # warm scan + JVM
+
+def run(name):
+    if name == "minhash_pairs":
+        from htm_streamer_spark.operators.dedup import minhash_near_duplicates
+        df = minhash_near_duplicates(d, jaccard_threshold=0.5)
+    elif name == "tfidf":
+        from htm_streamer_spark.operators.ranking import tfidf_top_terms
+        df = tfidf_top_terms(d, k=3)
+    elif name == "global_shuffle":
+        from htm_streamer_spark.operators.sampling import global_shuffle_positions
+        df = global_shuffle_positions(d)
+    else:
+        raise ValueError(name)
+    t0 = time.time()
+    n = df.count()
+    return time.time() - t0, n
+
+out = {{}}
+for name in ("minhash_pairs", "tfidf", "global_shuffle"):
+    rows = None
+    times = []
+    for _ in range(repeats):
+        sec, rows = run(name)
+        times.append(sec)
+    out[name] = {{"best_sec": round(min(times), 3), "times": [round(t,3) for t in times], "rows": rows}}
+print("RESULT " + __import__("json").dumps(out))
+"""
+
+
+def synthesize(spark_script_only: bool = False) -> None:
+    if DOCS.exists():
+        return
+    code = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from htm_streamer_spark import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(cores=8, driver_memory="8g")
+d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+copies = spark.range(20).select(F.col("id").cast("int").alias("copy"))
+big = (d.crossJoin(copies)
+       .select((F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+               F.concat(F.col("text"), F.lit(" copytag"), F.col("copy").cast("string")).alias("text"),
+               "lang", "source", F.col("n_chars")))
+big.repartition(8).write.mode("overwrite").parquet({str(DOCS)!r})
+print("synthesized", big.count())
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
+
+
+def run_level(cores: int, repeats: int) -> dict:
+    code = _WORKER.format(repo=str(REPO), docs=str(DOCS))
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(repeats)],
+        capture_output=True, text=True, timeout=3000,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    synthesize()
+    levels = {}
+    for cores in (lo, hi):
+        t0 = time.time()
+        levels[str(cores)] = run_level(cores, repeats)
+        print(f"cores={cores}: {levels[str(cores)]} (wall {time.time()-t0:.0f}s)", flush=True)
+    report = {"lo": lo, "hi": hi, "repeats": repeats, "levels": levels, "speedup": {}}
+    for name in levels[str(lo)]:
+        s = levels[str(lo)][name]["best_sec"] / levels[str(hi)][name]["best_sec"]
+        report["speedup"][name] = round(s, 2)
+        report.setdefault("raw_eff", {})[name] = round(s / (hi / lo), 2)
+    out = REPO / "BENCH" / "ops_scaling.json"
+    out.write_text(json.dumps(report, indent=1))
+    print("wrote", out, json.dumps(report["speedup"]), json.dumps(report["raw_eff"]))
+
+
+if __name__ == "__main__":
+    main()
