@@ -2315,6 +2315,44 @@ def q_kmeans_embeddings(spark, sf_dir):
     return kmeans_cluster_profile(e, n_clusters=8)
 
 
+def q_top_orders_per_segment(spark, sf_dir):
+    """Top-3 orders by total price per customer market segment,
+    expressed through the spark.sql SURFACE (temp views + ANSI window
+    SQL) rather than the DataFrame API — same Catalyst plan either way
+    (one broadcast-able join + one partitioned window), demonstrating
+    the engine's second query language. Deterministic tie-break on
+    o_orderkey; the DuckDB oracle is the identical statement."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT c.c_mktsegment, o.o_orderkey,
+                 CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS total_price,
+                 ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+                   AS rnk
+          FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        )
+        SELECT c_mktsegment, o_orderkey, total_price, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= 3
+        """
+    )
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         round(o.o_totalprice, 2)::DOUBLE + 0.0 AS total_price,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, total_price, rnk::INT AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_shuffle_docs(spark, sf_dir):
     """Deterministic global training-shuffle order (operators/
     sampling.py:global_shuffle_positions): dense position 0..N-1 in
@@ -2407,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "shuffle_docs": q_shuffle_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "top_orders_per_segment": q_top_orders_per_segment,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2478,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events": SQL_PIVOT_EVENTS,
         "shuffle_docs": SQL_SHUFFLE_DOCS,
         "kmeans_embeddings": SQL_KMEANS_GOLDEN,
+        "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
