@@ -60,7 +60,9 @@ def tfidf_top_terms(
     ascending term tie-break — deterministic on every engine.
     Returns (id_col, term, rank, tfidf).
     """
-    toks = tokenize(df.select(id_col, text_col), text_col)
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    toks = tokenize(fan_out_narrow_scans(df.select(id_col, text_col)), text_col)
     # tf is referenced twice (df derivation + scoring): persist the
     # narrow (id, term, tf) frame so the text column is read and
     # tokenized exactly ONCE — the dominant cost at corpus scale.
@@ -109,7 +111,9 @@ def build_postings(
     array ever exceeds ``sample_ids`` elements even for a stopword
     appearing in every document of a 100 TB corpus.
     """
-    toks = tokenize(df.select(id_col, text_col), text_col)
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    toks = tokenize(fan_out_narrow_scans(df.select(id_col, text_col)), text_col)
     # three downstream references (window rank, totals, sample):
     # persist the narrow per-doc frame — one tokenizing scan total.
     per_doc = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf")).persist()
