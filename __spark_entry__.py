@@ -2381,6 +2381,182 @@ FROM h
 """
 
 
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: six-table join chain (lineitem-orders-customer-
+    supplier-nation-region) with a region filter, a year filter pushed
+    into the orders scan, and the local-supplier condition
+    (c_nationkey = s_nationkey). Nation x region pre-join broadcasts
+    (dim-sized); the supplier join is left unhinted (10k x SF rows —
+    AQE broadcasts it at benchmark scale, shuffle-joins at web scale).
+    All scans column-pruned to the join/agg columns only."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    dim = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE + 0.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY n_name
+"""
+
+
+def q_unigram_nll_docs(spark, sf_dir):
+    """Per-document mean negative log-likelihood under the corpus'
+    own unigram LM (operators/lm.py) — the CCNet-style model-free
+    quality signal. One tokenizing scan (persisted narrow tf frame);
+    the vocabulary-sized model join is unhinted (AQE broadcasts)."""
+    from htm_streamer_spark.operators.lm import unigram_nll
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_nll(d)
+
+
+SQL_UNIGRAM_NLL = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+corpus AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+tot AS (SELECT sum(tf)::BIGINT AS total FROM tf)
+SELECT tf.doc_id,
+       sum(tf.tf)::BIGINT AS n_tokens,
+       round(-sum(tf.tf * ln(ctf::DOUBLE / total)) / sum(tf.tf) + 1e-9, 6)::DOUBLE
+         + 0.0 AS nll
+FROM tf JOIN corpus USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id
+"""
+
+
+def q_oov_rate_docs(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus top-256
+    vocabulary (operators/lm.py oov_rate). The vocabulary rank is over
+    the vocabulary-sized corpus-counts frame (deterministic ctf-desc /
+    term-asc order), never the corpus itself."""
+    from htm_streamer_spark.operators.lm import oov_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate(d, vocab_size=256)
+
+
+SQL_OOV_RATE = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+corpus AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY ctf DESC, term ASC) AS rk FROM corpus
+  ) WHERE rk <= 256
+)
+SELECT tf.doc_id,
+       sum(tf.tf)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END)::DOUBLE
+             / sum(tf.tf) + 1e-9, 6)::DOUBLE + 0.0 AS oov
+FROM tf LEFT JOIN vocab v ON tf.term = v.term
+GROUP BY tf.doc_id
+"""
+
+
+def q_mixture_weights_docs(spark, sf_dir):
+    """Data-mixing plan (operators/mixing.py): per-source doc/token
+    totals plus the sampling rate and epoch factor for a uniform
+    100k-token target mixture. One column-pruned scan; token counting
+    is a codegen'd size(split) expression — the text column never
+    leaves the scan stage."""
+    from htm_streamer_spark.operators.mixing import mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_weights(d, budget_tokens=100_000)
+
+
+SQL_MIXTURE_WEIGHTS = r"""
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS ntok
+  FROM documents
+),
+per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens
+  FROM per_doc GROUP BY 1
+),
+ns AS (SELECT count(*)::BIGINT AS n_sources FROM per_source)
+SELECT source, n_docs, n_tokens,
+       round(100000.0 / n_sources + 1e-9, 6)::DOUBLE + 0.0 AS target_tokens,
+       round(least(1.0, (100000.0 / n_sources) / n_tokens) + 1e-9, 6)::DOUBLE
+         + 0.0 AS rate,
+       round((100000.0 / n_sources) / n_tokens + 1e-9, 6)::DOUBLE + 0.0 AS epochs
+FROM per_source CROSS JOIN ns
+"""
+
+
+def q_retention_cohorts_events(spark, sf_dir):
+    """Weekly cohort retention triangle (operators/funnel.py
+    retention_cohorts): users bucketed by first-seen epoch week,
+    counted per later active week. Exact integer epoch-microsecond
+    bucketing — engine- and timezone-independent."""
+    from htm_streamer_spark.operators.funnel import retention_cohorts
+
+    e = _t(spark, sf_dir, "events")
+    return retention_cohorts(e)
+
+
+SQL_RETENTION_COHORTS = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p FROM events
+),
+c AS (
+  SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort FROM uw
+)
+SELECT cohort::BIGINT AS cohort_period,
+       (p - cohort)::BIGINT AS period_offset,
+       count(*)::BIGINT AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -2446,6 +2622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_docs": q_shuffle_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
         "top_orders_per_segment": q_top_orders_per_segment,
+        "region_revenue": q_region_revenue,
+        "unigram_nll_docs": q_unigram_nll_docs,
+        "oov_rate_docs": q_oov_rate_docs,
+        "mixture_weights_docs": q_mixture_weights_docs,
+        "retention_cohorts_events": q_retention_cohorts_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2518,6 +2699,11 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_docs": SQL_SHUFFLE_DOCS,
         "kmeans_embeddings": SQL_KMEANS_GOLDEN,
         "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
+        "region_revenue": SQL_REGION_REVENUE,
+        "unigram_nll_docs": SQL_UNIGRAM_NLL,
+        "oov_rate_docs": SQL_OOV_RATE,
+        "mixture_weights_docs": SQL_MIXTURE_WEIGHTS,
+        "retention_cohorts_events": SQL_RETENTION_COHORTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

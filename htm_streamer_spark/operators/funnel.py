@@ -91,3 +91,50 @@ def funnel_counts(
     return counts.select(F.explode(rows).alias("r")).select(
         "r.stage_idx", "r.stage", "r.n_users"
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by their first-seen
+    period (cohort), counted in every later period they were active.
+
+    Periods are exact integer epoch buckets
+    (unix_micros // (period_seconds * 1e6)) — no calendar/timezone
+    semantics, so the result is reproducible bit-for-bit on any
+    engine. Returns (cohort_period, period_offset, n_users), all
+    BIGINT.
+
+    Scale design: three key-partitioned shuffles of strictly
+    shrinking frames. Shuffle 1 — the only one that sees event-scale
+    data — collapses the stream to DISTINCT (user, period) with a
+    map-side-combinable aggregation (100 TB of events -> at most
+    |users| x |periods| rows). Shuffle 2 repartitions that collapsed
+    frame by user for the per-user min window (tiny groups; a hot
+    user owns at most |periods| rows, so there is no skew surface).
+    Shuffle 3 is the map-side-combinable (cohort, offset) count of
+    the same collapsed frame. No Python, no collect.
+    """
+    period = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(int(period_seconds) * 1_000_000)
+    ).cast("long")
+    uw = (
+        events.select(F.col(user_col).alias("_u"), period.alias("_p"))
+        .groupBy("_u", "_p")
+        .agg(F.count(F.lit(1)).alias("_dummy"))
+        .drop("_dummy")
+    )
+    w = Window.partitionBy("_u")
+    cohorted = uw.withColumn("_cohort", F.min("_p").over(w))
+    return (
+        cohorted.groupBy(
+            F.col("_cohort").cast("long").alias("cohort_period"),
+            (F.col("_p") - F.col("_cohort")).cast("long").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

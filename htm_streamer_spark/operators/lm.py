@@ -1,0 +1,128 @@
+"""Corpus unigram language-model statistics: per-document mean
+negative log-likelihood (the CCNet-style quality / domain-fit signal)
+and out-of-vocabulary rate against a corpus-derived top-K vocabulary.
+
+These are the two standard model-free quality filters of an LLM
+training-data pipeline: a document whose tokens are improbable under
+the corpus' own unigram distribution is likely noise/garble (high
+NLL), and a document dominated by tokens outside the frequency-ranked
+vocabulary is likely non-linguistic content (high OOV rate).
+
+Reference parity: generalizes the reference's per-feature Gaussian
+"how surprising is this value" scoring (anomaly_likelihood.py) from
+numeric columns to token distributions — same shape (corpus-fitted
+model, per-row surprise score), text-native statistics.
+
+Scale notes (100 TB):
+- One tokenizing scan of the text column, fanned out first so a
+  degenerate single-file layout still parallelizes; the narrow
+  (doc, term, tf) frame is persisted and every downstream frame
+  (corpus counts, totals, per-doc scores) derives from it.
+- The corpus unigram table is vocabulary-sized — orders of magnitude
+  smaller than the corpus. The tf->corpus join is left UNHINTED:
+  statistics + AQE broadcast it in practice, but a forced broadcast
+  of a web-scale (>100M term) vocabulary would OOM the executors,
+  while the unhinted plan degrades to a shuffle join.
+- Scoring is pure column arithmetic over the joined frame (no Python,
+  no window); the per-doc aggregation shuffles vocabulary-deduped
+  (doc, term) rows, never raw tokens.
+- NLL is rounded to 6 dp with the house +1e-9 nudge so the ranking is
+  reproducible across engines and libm implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.operators.ranking import tokenize
+
+
+def _doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The shared narrow (id, term, tf) frame — one tokenizing scan."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    toks = tokenize(fan_out_narrow_scans(df.select(id_col, text_col)), text_col)
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def unigram_nll(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus'
+    own maximum-likelihood unigram model.
+
+    P(term) = corpus_tf(term) / total_tokens;
+    nll(doc) = -sum_t tf(doc,t) * ln(P(t)) / n_tokens(doc).
+
+    Every token is in-corpus by construction (the model is fitted on
+    the same corpus), so no smoothing is needed. Documents with zero
+    tokens are absent from the output. Returns
+    (id_col, n_tokens, nll).
+    """
+    tf = _doc_term_freq(df, id_col, text_col).persist()
+    corpus = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    total = (
+        tf.agg(F.sum("tf").cast("long").alias("total"))
+        .withColumn("j", F.lit(1))
+    )
+    # total is one row — broadcast; the vocabulary-sized corpus join
+    # stays unhinted (see module docstring).
+    model = corpus.withColumn("j", F.lit(1)).join(F.broadcast(total), "j").drop("j")
+    scored = tf.join(model, "term").withColumn(
+        "_ll", F.col("tf") * F.log(F.col("ctf") / F.col("total"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(-F.sum("_ll") / F.sum("tf") + F.lit(1e-9), 6).alias("nll"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Per-document out-of-vocabulary token rate against the corpus'
+    top-``vocab_size`` terms by total frequency (ties broken by term
+    ascending — a deterministic vocabulary on every engine).
+
+    Returns (id_col, n_tokens, n_oov, oov) with
+    oov = n_oov / n_tokens rounded to 6 dp. Token-less documents are
+    absent from the output (no tokens, no rate).
+    """
+    tf = _doc_term_freq(df, id_col, text_col).persist()
+    w = Window.orderBy(F.col("ctf").desc(), F.col("term").asc())
+    # the single-partition rank window is safe exactly because its
+    # input is the vocabulary-sized corpus frame, not the corpus; at
+    # web scale prune first (e.g. ctf >= corpus_total/1e9) if the raw
+    # vocabulary itself outgrows one task.
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("ctf"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= vocab_size)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    joined = tf.join(vocab, "term", "left")
+    return joined.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_in_vocab").isNull(), F.col("tf")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.col("tf")).otherwise(F.lit(0))
+            )
+            / F.sum("tf")
+            + F.lit(1e-9),
+            6,
+        ).alias("oov"),
+    )

@@ -1,0 +1,81 @@
+"""Training-data mixture planning: per-source token accounting and the
+sampling rates / epoch factors needed to hit a target token budget.
+
+Every large-scale LLM training run mixes heterogeneous sources
+(web crawl, code, books, ...) to a target proportion measured in
+TOKENS, not documents. This operator computes, per source: document
+and token totals, the source's share of a uniform target mixture, the
+capped sampling rate (downsample-only, rate <= 1) and the uncapped
+epoch factor (>1 means the source must be repeated to meet its
+target — the standard "epochs" notion of data-mixing recipes).
+
+Reference parity: the reference's per-source coverage accounting
+(referential labels source, SURVEY §2 S9) counts rows per source; this
+extends the same group-by-source shape to token-weighted planning.
+
+Scale notes (100 TB):
+- ONE scan of (source, text); tokens are counted with a codegen'd
+  size(filter(split(...))) expression — the text column never leaves
+  the scan stage, no explode, no Python.
+- The aggregation is a map-side-combinable groupBy on source
+  (cardinality: number of sources, i.e. tiny); the corpus-wide total
+  joins back via a broadcast of ONE row.
+- Output cardinality = number of sources; every downstream arithmetic
+  is driver-free column math on that tiny frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.operators.textstats import token_count_col
+
+
+def mixture_weights(
+    df: DataFrame,
+    *,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source mixture plan for a uniform target over sources.
+
+    target_tokens(source) = budget_tokens / n_sources;
+    rate  = min(1, target_tokens / n_tokens)   (downsample-only)
+    epochs = target_tokens / n_tokens          (uncapped repeat factor)
+
+    Returns (source_col, n_docs, n_tokens, target_tokens, rate,
+    epochs); floats rounded to 6 dp with the house +1e-9 nudge.
+    """
+    # persisted: referenced twice (rows + n_sources count) — without it
+    # the count branch re-scans and re-tokenizes the whole corpus for a
+    # frame of |sources| rows.
+    per_source = (
+        df.select(source_col, token_count_col(text_col).alias("_ntok"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+        )
+        .persist()
+    )
+    n_sources = (
+        per_source.agg(F.count(F.lit(1)).cast("long").alias("_n_sources"))
+        .withColumn("j", F.lit(1))
+    )
+    target = F.lit(float(budget_tokens)) / F.col("_n_sources")
+    return (
+        per_source.withColumn("j", F.lit(1))
+        .join(F.broadcast(n_sources), "j")
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(target + F.lit(1e-9), 6).alias("target_tokens"),
+            F.round(
+                F.least(F.lit(1.0), target / F.col("n_tokens")) + F.lit(1e-9), 6
+            ).alias("rate"),
+            F.round(target / F.col("n_tokens") + F.lit(1e-9), 6).alias("epochs"),
+        )
+    )

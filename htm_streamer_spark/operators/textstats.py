@@ -49,18 +49,25 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_count_col(text_col: str = "text"):
+    """Whitespace token count as a bare column expression (0 for a
+    blank/whitespace-only text) — matches ranking.tokenize semantics."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(ws)
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_ws_tokens, n_bpe_ish): whitespace token count plus a
     BPE-ish count (words + digits + punctuation as separate tokens —
     the standard ~"words and symbols" regex)."""
     t = F.col(text_col)
-    ws = F.size(F.split(F.trim(t), r"\s+"))
     bpe = F.size(
         F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), F.lit(1))
     )
     return df.select(
         "doc_id",
-        F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(ws).alias("n_ws_tokens"),
+        token_count_col(text_col).alias("n_ws_tokens"),
         bpe.alias("n_bpe_ish"),
     )
 
