@@ -179,6 +179,9 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "tfidf_docs",
         "funnel_events",
         "shipping_priority",
+        "region_revenue",
+        "unigram_nll_docs",
+        "retention_cohorts_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
