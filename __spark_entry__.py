@@ -2557,6 +2557,42 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_mixture_sample_docs(spark, sf_dir):
+    """Materialized mixture sample (operators/mixing.py
+    apply_mixture_sample): each doc kept iff its deterministic
+    content-hash coin clears its source's capped sampling rate.
+    Broadcast rate table + codegen filter — one corpus pass beyond
+    the planning aggregation; floor-explicit cutoffs so both engines
+    truncate identically."""
+    from htm_streamer_spark.operators.mixing import apply_mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return apply_mixture_sample(d, budget_tokens=20_000)
+
+
+SQL_MIXTURE_SAMPLE = r"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS ntok
+  FROM documents
+),
+per_source AS (
+  SELECT source, sum(ntok)::BIGINT AS n_tokens FROM per_doc GROUP BY 1
+),
+ns AS (SELECT count(*)::BIGINT AS n_sources FROM per_source),
+rates AS (
+  SELECT source,
+         round(least(1.0, (20000.0 / n_sources) / n_tokens) + 1e-9, 6) AS rate
+  FROM per_source CROSS JOIN ns
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x'||substr(md5(d.doc_id::VARCHAR || ':mixture-v1'), 1, 8))::BIGINT % 1000000
+      < floor(r.rate * 1000000)::BIGINT
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -2626,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll_docs": q_unigram_nll_docs,
         "oov_rate_docs": q_oov_rate_docs,
         "mixture_weights_docs": q_mixture_weights_docs,
+        "mixture_sample_docs": q_mixture_sample_docs,
         "retention_cohorts_events": q_retention_cohorts_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -2703,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll_docs": SQL_UNIGRAM_NLL,
         "oov_rate_docs": SQL_OOV_RATE,
         "mixture_weights_docs": SQL_MIXTURE_WEIGHTS,
+        "mixture_sample_docs": SQL_MIXTURE_SAMPLE,
         "retention_cohorts_events": SQL_RETENTION_COHORTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,

@@ -32,6 +32,45 @@ from pyspark.sql import functions as F
 from htm_streamer_spark.operators.textstats import token_count_col
 
 
+def apply_mixture_sample(
+    df: DataFrame,
+    *,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mixture-v1",
+    method: str = "md5",
+) -> DataFrame:
+    """Materialize the mixture plan: keep each document with its
+    source's capped sampling rate, decided by the repo-standard
+    deterministic content-hash coin (stable across runs, retries and
+    partitionings — the same doc is always kept or always dropped;
+    see operators/sampling.py for why never rand()).
+
+    The per-source rate table broadcasts (|sources| rows) and the keep
+    decision is a codegen'd filter — ONE pass over the corpus beyond
+    the planning aggregation itself. The rate->cutoff conversion uses
+    an explicit floor so both engines truncate identically (a bare
+    double->long cast rounds in DuckDB but truncates in Spark).
+
+    Returns the kept (id_col, source_col) rows.
+    """
+    from htm_streamer_spark.operators.sampling import HASH_BUCKETS, hash_bucket
+
+    plan = mixture_weights(
+        df, budget_tokens=budget_tokens, source_col=source_col, text_col=text_col
+    ).select(source_col, "rate")
+    cut = F.floor(F.col("rate") * F.lit(HASH_BUCKETS)).cast("long")
+    coin = hash_bucket(F.col(id_col), salt, method)
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(plan), source_col)
+        .where(coin < cut)
+        .select(id_col, source_col)
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     *,

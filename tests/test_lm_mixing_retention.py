@@ -81,6 +81,30 @@ def test_mixture_weights_caps_and_epochs(spark):
     assert abs(out["small"]["epochs"] - 2.0) < 1e-6
 
 
+def test_apply_mixture_sample_keeps_all_under_huge_budget(spark):
+    from htm_streamer_spark.operators.mixing import apply_mixture_sample
+
+    df = _docs(spark, [(i, "a b c", "s") for i in range(20)])
+    out = apply_mixture_sample(df, budget_tokens=10**9)
+    assert out.count() == 20
+
+
+def test_apply_mixture_sample_deterministic_across_partitioning(spark):
+    from htm_streamer_spark.operators.mixing import apply_mixture_sample
+
+    rows = [(i, "tok " * 5, f"src{i % 2}") for i in range(200)]
+    df = _docs(spark, rows)
+    kept1 = {r["doc_id"] for r in apply_mixture_sample(df, budget_tokens=500).collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in apply_mixture_sample(df.repartition(13), budget_tokens=500).collect()
+    }
+    assert kept1 == kept2
+    # budget 500 over 2 sources -> 250 target vs 500 tokens/source:
+    # rate 0.5, so roughly half of each source survives the hash coin
+    assert 0 < len(kept1) < 200
+
+
 def test_mixture_weights_counts_blank_docs_as_zero_tokens(spark):
     df = _docs(spark, [(1, "a b", "s"), (2, "   ", "s")])
     row = mixture_weights(df, budget_tokens=2).collect()[0]

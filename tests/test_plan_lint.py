@@ -1,0 +1,102 @@
+"""Global physical-plan lint over EVERY driver query.
+
+test_plans.py asserts per-operator plan details; this sweep pins the
+repo-wide invariants that must hold for any query we ship:
+
+- no CartesianProduct, ever (a missed join key at 100 TB);
+- no BatchEvalPython, ever (row-at-a-time Python in the hot path);
+- Arrow/Pandas stages only in the queries that declare a vectorized
+  kernel (the ANN / multimodal / validation families);
+- source-scan count bounded (plan explosion guard: a query reading
+  the same table k times re-pays the scan k times at scale).
+
+explain-only: no job runs, so the whole 70+-query sweep is cheap.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose plan legitimately contains vectorized (Arrow/Pandas)
+# stages — each has a declared mapInArrow/applyInPandas kernel
+ARROW_OK = {
+    "ivf_topk_embeddings",
+    "kmeans_embeddings",
+    "lsh_topk_wide_embeddings",
+    "multimodal_features",
+    "pq_topk_embeddings",
+    "simhash_docs",
+    "simhash_pairs_docs",
+    "validation_verdicts",
+    "validation_verdicts_drift",
+}
+
+# widest legitimate fan-in: the TPC-H Q5 shape reads six tables
+MAX_SCANS = 6
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_lint", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    sys.path.insert(0, str(REPO))
+    mod = _entry_module()
+    plans = {}
+    for name, fn in mod.queries().items():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            fn(spark, SF_DIR).explain("formatted")
+        plans[name] = buf.getvalue()
+    return plans
+
+
+def test_no_cartesian_product(all_plans):
+    bad = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_no_row_at_a_time_python(all_plans):
+    bad = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_arrow_stages_only_where_declared(all_plans):
+    markers = (
+        "ArrowEvalPython",
+        "MapInArrow",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+    )
+    bad = [
+        n
+        for n, p in all_plans.items()
+        if n not in ARROW_OK and any(m in p for m in markers)
+    ]
+    assert not bad, f"undeclared Python stage in: {bad}"
+
+
+def test_scan_count_bounded(all_plans):
+    import re
+
+    bad = {
+        n: len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+        for n, p in all_plans.items()
+    }
+    bad = {n: c for n, c in bad.items() if c > MAX_SCANS}
+    assert not bad, f"scan explosion (> {MAX_SCANS} source scans): {bad}"
