@@ -526,3 +526,80 @@ def merge_upsert(
     finally:
         merged.unpersist()
     return cat.commit(props={prop_key: n_buckets, **(extra_props or {})})
+
+
+def delete_rows(
+    spark: SparkSession,
+    cat: ManifestCatalog,
+    table: str,
+    deletes: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 16,
+    extra_props: dict | None = None,
+) -> int:
+    """DELETE FROM analog: copy-on-write removal of every row whose
+    key appears in ``deletes`` — the right-to-be-forgotten primitive a
+    training-data catalog needs.
+
+    Same bucket discipline as ``merge_upsert`` (and the same pinned
+    ``merge.{table}.n_buckets`` layout property, so deletes and merges
+    agree on the layout): only buckets containing a deleted key are
+    read and rewritten via a broadcast LEFT ANTI join; every untouched
+    bucket is carried into the new snapshot by manifest reference with
+    zero data copy. The delete-key set is metadata-scale by nature
+    (an erasure request list), hence the broadcast.
+
+    IMPORTANT scope note: a delete commit creates a NEW snapshot —
+    prior snapshots still reference the old files (time travel reads
+    still see the rows). Actual physical erasure = delete_rows +
+    ``cat.expire_versions()``, which removes the superseded files from
+    disk; the combined flow is pinned by test.
+
+    Returns the committed version.
+    """
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    prop_key = f"merge.{table}.n_buckets"
+    pinned = cat.prop(prop_key)
+    if pinned is not None and int(pinned) != n_buckets:
+        raise ValueError(
+            f"{table} was merged with n_buckets={pinned}; bucket tags are "
+            f"only valid under that layout (got {n_buckets})"
+        )
+    bucket_of = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+    dels = deletes.select(*key_cols).distinct().withColumn("__bucket", bucket_of)
+    touched = {
+        r["__bucket"] for r in dels.select("__bucket").distinct().collect()
+    }  # metadata-scale: at most n_buckets values
+    current = cat.entries(table, latest_only=True)
+    # untagged files (plain initial loads) may hold keys of any bucket
+    rewrite = [
+        e for e in current if e.get("bucket") is None or e["bucket"] in touched
+    ]
+    untouched = [e for e in current if e not in rewrite]
+    try:
+        if rewrite:
+            cur = spark.read.parquet(
+                *[str(cat.root / e["file"]) for e in rewrite]
+            )
+            kept = (
+                cur.join(F.broadcast(dels.drop("__bucket")), key_cols, "left_anti")
+                .withColumn("__bucket", bucket_of)
+                .persist()
+            )
+            out_buckets = sorted(
+                r["__bucket"] for r in kept.select("__bucket").distinct().collect()
+            )
+            try:
+                for b in out_buckets:
+                    part = kept.where(F.col("__bucket") == b).drop("__bucket")
+                    cat.stage_spark(table, part, bucket=b)
+            finally:
+                kept.unpersist()
+        cat.restage(table, untouched)
+    except Exception:
+        cat.abort()
+        raise
+    return cat.commit(props={prop_key: n_buckets, **(extra_props or {})})
