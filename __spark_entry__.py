@@ -2532,6 +2532,36 @@ FROM per_source CROSS JOIN ns
 """
 
 
+def q_salted_join_lineitem(spark, sf_dir):
+    """Hot-key-safe equi-join (operators/skewjoin.py salted_join):
+    orders replicated n_salts ways, lineitem rows scattered by a
+    content-derived per-row salt, equi-join on (key, salt) — the
+    largest reducer is bounded at hot_key_rows / n_salts while the
+    result multiset stays identical to the plain join. The oracle IS
+    the plain join, which is the whole correctness claim."""
+    from htm_streamer_spark.operators.skewjoin import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, ["l_orderkey"], n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+       round(sum(l_quantity), 2)::DOUBLE + 0.0 AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def q_retention_cohorts_events(spark, sf_dir):
     """Weekly cohort retention triangle (operators/funnel.py
     retention_cohorts): users bucketed by first-seen epoch week,
@@ -2663,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_docs": q_oov_rate_docs,
         "mixture_weights_docs": q_mixture_weights_docs,
         "mixture_sample_docs": q_mixture_sample_docs,
+        "salted_join_lineitem": q_salted_join_lineitem,
         "retention_cohorts_events": q_retention_cohorts_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -2741,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": SQL_OOV_RATE,
         "mixture_weights_docs": SQL_MIXTURE_WEIGHTS,
         "mixture_sample_docs": SQL_MIXTURE_SAMPLE,
+        "salted_join_lineitem": SQL_SALTED_JOIN,
         "retention_cohorts_events": SQL_RETENTION_COHORTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
