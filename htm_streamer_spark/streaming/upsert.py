@@ -89,3 +89,53 @@ def start_streaming_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_dedup_ingest(
+    stream_df: DataFrame,
+    catalog: ManifestCatalog,
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    checkpoint_location: str | None = None,
+    available_now: bool = False,
+):
+    """Cross-batch exact-dedup ingest: every micro-batch lands in the
+    catalog with at most ONE row per content digest across the ENTIRE
+    stream history — the canonical row being the smallest ``id_col``
+    ever seen for that digest.
+
+    This is first-wins dedup expressed as the existing epoch-guarded
+    streaming MERGE: key = md5(text), order = the NEGATED id, so
+    "latest wins on order" keeps the minimum id deterministically, a
+    later duplicate can never replace the canonical row, and replayed
+    micro-batches are no-ops via the same atomic (guard, epoch)
+    manifest swap. State is the table itself — no executor-memory
+    digest set, so the dedup horizon is unbounded at any corpus size
+    (contrast streaming/windows.streaming_dedup, whose in-memory state
+    is watermark-bounded by design).
+
+    The committed table carries (digest, ``__neg_id`` order key, and
+    the row's columns); read it back with
+    ``catalog.read(spark, table, latest_only=True)``.
+
+    Returns the StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    digested = (
+        stream_df.withColumn("digest", F.md5(F.col(text_col)))
+        .withColumn("__neg_id", -F.col(id_col))
+    )
+    return start_streaming_upsert(
+        digested,
+        catalog,
+        table,
+        ["digest"],
+        "__neg_id",
+        n_buckets=n_buckets,
+        checkpoint_location=checkpoint_location,
+        available_now=available_now,
+    )
