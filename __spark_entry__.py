@@ -2532,6 +2532,43 @@ FROM per_source CROSS JOIN ns
 """
 
 
+def q_quality_calibrated_docs(spark, sf_dir):
+    """Cross-source quality calibration: percent_rank of the (rounded)
+    quality score WITHIN each source — the harmonization step before
+    any global quality cut, since raw heuristic scores are not
+    comparable across sources with different length/style profiles.
+    Rank ties broken by doc_id, so both engines order identically;
+    one window shuffle on source."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(d).select(
+        "doc_id", F.round(F.col("quality") + F.lit(1e-9), 6).alias("quality")
+    )
+    j = q.join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("pct"),
+    )
+
+
+SQL_QUALITY_CALIB = f"""
+WITH base AS ({SQL_QUALITY}),
+j AS (
+  SELECT b.doc_id, d.source, b.quality
+  FROM base b JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, quality,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality ASC, doc_id ASC)
+             + 1e-9, 6)::DOUBLE + 0.0 AS pct
+FROM j
+"""
+
+
 def q_salted_join_lineitem(spark, sf_dir):
     """Hot-key-safe equi-join (operators/skewjoin.py salted_join):
     orders replicated n_salts ways, lineitem rows scattered by a
@@ -2694,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights_docs": q_mixture_weights_docs,
         "mixture_sample_docs": q_mixture_sample_docs,
         "salted_join_lineitem": q_salted_join_lineitem,
+        "quality_calibrated_docs": q_quality_calibrated_docs,
         "retention_cohorts_events": q_retention_cohorts_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -2773,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights_docs": SQL_MIXTURE_WEIGHTS,
         "mixture_sample_docs": SQL_MIXTURE_SAMPLE,
         "salted_join_lineitem": SQL_SALTED_JOIN,
+        "quality_calibrated_docs": SQL_QUALITY_CALIB,
         "retention_cohorts_events": SQL_RETENTION_COHORTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
