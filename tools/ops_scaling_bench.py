@@ -11,6 +11,7 @@ parallelism levels, each in its own JVM subprocess, best-of-``repeats``:
 - minhash_pairs  (dedup family: shingle -> minhash -> LSH -> confirm)
 - tfidf          (ranking family: tokenize -> tf -> df -> window top-k)
 - global_shuffle (order-index family: bucket counts -> offsets -> rank)
+- unigram_nll    (LM family: tokenize -> corpus counts -> model join -> agg)
 
 Usage: python tools/ops_scaling_bench.py [repeats] [lo] [hi]
 Writes BENCH/ops_scaling.json.
@@ -50,6 +51,9 @@ def run(name):
     elif name == "global_shuffle":
         from htm_streamer_spark.operators.sampling import global_shuffle_positions
         df = global_shuffle_positions(d)
+    elif name == "unigram_nll":
+        from htm_streamer_spark.operators.lm import unigram_nll
+        df = unigram_nll(d)
     else:
         raise ValueError(name)
     t0 = time.time()
@@ -57,7 +61,7 @@ def run(name):
     return time.time() - t0, n
 
 out = {{}}
-for name in ("minhash_pairs", "tfidf", "global_shuffle"):
+for name in ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll"):
     rows = None
     times = []
     for _ in range(repeats):
