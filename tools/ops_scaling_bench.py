@@ -28,6 +28,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 DOCS = REPO / ".data" / "docs20x"
+DOCS_BIG = REPO / ".data" / "docs100x"
 
 _WORKER = """
 import sys, time
@@ -40,6 +41,8 @@ repeats = int(sys.argv[2])
 spark = get_spark(cores=cores, driver_memory="8g")
 d = spark.read.parquet({docs!r})
 d.count()  # warm scan + JVM
+big = spark.read.parquet({docs_big!r})
+big.count()
 
 def run(name):
     if name == "minhash_pairs":
@@ -52,8 +55,10 @@ def run(name):
         from htm_streamer_spark.operators.sampling import global_shuffle_positions
         df = global_shuffle_positions(d)
     elif name == "unigram_nll":
+        # 500k-doc corpus: at 100k docs the whole job is ~1.7s and
+        # fixed per-job overhead dominates the ratio (cf global_shuffle)
         from htm_streamer_spark.operators.lm import unigram_nll
-        df = unigram_nll(d)
+        df = unigram_nll(big)
     else:
         raise ValueError(name)
     t0 = time.time()
@@ -72,29 +77,32 @@ print("RESULT " + __import__("json").dumps(out))
 """
 
 
-def synthesize(spark_script_only: bool = False) -> None:
-    if DOCS.exists():
+def synthesize() -> None:
+    todo = [(DOCS, 20), (DOCS_BIG, 100)]
+    todo = [(p, n) for p, n in todo if not p.exists()]
+    if not todo:
         return
-    code = f"""
+    for path, n_copies in todo:
+        code = f"""
 import sys
 sys.path.insert(0, {str(REPO)!r})
 from htm_streamer_spark import get_spark
 from pyspark.sql import functions as F
 spark = get_spark(cores=8, driver_memory="8g")
 d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-copies = spark.range(20).select(F.col("id").cast("int").alias("copy"))
+copies = spark.range({n_copies}).select(F.col("id").cast("int").alias("copy"))
 big = (d.crossJoin(copies)
        .select((F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
                F.concat(F.col("text"), F.lit(" copytag"), F.col("copy").cast("string")).alias("text"),
                "lang", "source", F.col("n_chars")))
-big.repartition(8).write.mode("overwrite").parquet({str(DOCS)!r})
+big.repartition(8).write.mode("overwrite").parquet({str(path)!r})
 print("synthesized", big.count())
 """
-    subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
 
 
 def run_level(cores: int, repeats: int) -> dict:
-    code = _WORKER.format(repo=str(REPO), docs=str(DOCS))
+    code = _WORKER.format(repo=str(REPO), docs=str(DOCS), docs_big=str(DOCS_BIG))
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(repeats)],
         capture_output=True, text=True, timeout=3000,
@@ -105,21 +113,39 @@ def run_level(cores: int, repeats: int) -> dict:
     raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-2000:]}")
 
 
+def _calibrate(cores: int) -> float:
+    """Pure-CPU hardware ceiling at this thread count — same probe as
+    tools/scaling_bench.py, so the families' raw efficiency can be
+    normalized by what the host actually delivered in THIS window."""
+    import importlib.util as iu
+
+    spec = iu.spec_from_file_location("sb", REPO / "tools" / "scaling_bench.py")
+    sb = iu.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+    return sb.calibrate(cores)
+
+
 def main() -> None:
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     synthesize()
+    cal_lo = min(_calibrate(lo) for _ in range(2))
+    cal_hi = min(_calibrate(hi) for _ in range(2))
+    hw_speedup = cal_lo / cal_hi
+    print(f"hardware calibration: pure-CPU {lo}->{hi} speedup = {hw_speedup:.2f}x", flush=True)
     levels = {}
     for cores in (lo, hi):
         t0 = time.time()
         levels[str(cores)] = run_level(cores, repeats)
         print(f"cores={cores}: {levels[str(cores)]} (wall {time.time()-t0:.0f}s)", flush=True)
-    report = {"lo": lo, "hi": hi, "repeats": repeats, "levels": levels, "speedup": {}}
+    report = {"lo": lo, "hi": hi, "repeats": repeats, "levels": levels,
+              "hw_speedup": round(hw_speedup, 2), "speedup": {}}
     for name in levels[str(lo)]:
         s = levels[str(lo)][name]["best_sec"] / levels[str(hi)][name]["best_sec"]
         report["speedup"][name] = round(s, 2)
         report.setdefault("raw_eff", {})[name] = round(s / (hi / lo), 2)
+        report.setdefault("normalized_eff", {})[name] = round(s / hw_speedup, 2)
     out = REPO / "BENCH" / "ops_scaling.json"
     out.write_text(json.dumps(report, indent=1))
     print("wrote", out, json.dumps(report["speedup"]), json.dumps(report["raw_eff"]))
