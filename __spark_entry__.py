@@ -2538,12 +2538,14 @@ def q_quality_calibrated_docs(spark, sf_dir):
     any global quality cut, since raw heuristic scores are not
     comparable across sources with different length/style profiles.
     Rank ties broken by doc_id, so both engines order identically;
-    one window shuffle on source."""
+    ONE scan (quality_score carries source through) + one window
+    shuffle on source."""
     d = _t(spark, sf_dir, "documents")
-    q = quality_score(d).select(
-        "doc_id", F.round(F.col("quality") + F.lit(1e-9), 6).alias("quality")
+    j = quality_score(d, keep_cols=("source",)).select(
+        "doc_id",
+        "source",
+        F.round(F.col("quality") + F.lit(1e-9), 6).alias("quality"),
     )
-    j = q.join(d.select("doc_id", "source"), "doc_id")
     w = Window.partitionBy("source").orderBy(
         F.col("quality").asc(), F.col("doc_id").asc()
     )

@@ -72,10 +72,14 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, n_chars, punct_ratio, stopword_ratio, mean_word_len,
     quality): length/punctuation/stopword heuristics combined into a
-    [0,1] score — the classic pre-training quality filter shape."""
+    [0,1] score — the classic pre-training quality filter shape.
+    ``keep_cols`` carries extra input columns through (so callers that
+    need e.g. the source alongside the score stay single-scan)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
@@ -105,6 +109,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
+        *keep_cols,
         n_chars.alias("n_chars_computed"),
         punct_ratio.cast("double").alias("punct_ratio"),
         stopword_ratio.cast("double").alias("stopword_ratio"),
