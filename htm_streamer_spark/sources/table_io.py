@@ -284,6 +284,39 @@ class ManifestCatalog:
     def version(self) -> int:
         return self._manifest()["version"]
 
+    def gc_orphans(self, older_than_seconds: float = 0.0) -> list[str]:
+        """Delete data files referenced by NO manifest version and not
+        currently staged — the debris of crashed or aborted stages
+        (``abort()`` forgets the staged list but cannot unlink files a
+        crashed process left behind; Spark VACUUM analog).
+
+        ``older_than_seconds`` is the safety horizon: files younger
+        than it are kept, since a CONCURRENT writer may be mid-stage
+        (its files exist on disk but in no manifest yet). In a
+        multi-writer deployment set it well above the longest stage
+        duration. Returns the deleted paths (catalog-relative).
+        """
+        import time
+
+        referenced = {e["file"] for e in self._manifest()["entries"]}
+        referenced |= {e["file"] for e in self._staged}
+        now = time.time()
+        deleted: list[str] = []
+        for p in sorted((self.root / "data").rglob("*.parquet")):
+            rel = str(p.relative_to(self.root))
+            if rel in referenced:
+                continue
+            if now - p.stat().st_mtime < older_than_seconds:
+                continue
+            p.unlink()
+            deleted.append(rel)
+        # a stage dir with no parquet left holds only write markers
+        # (_SUCCESS etc.) — remove it whole
+        for d in sorted((self.root / "data").iterdir()):
+            if d.is_dir() and not any(d.rglob("*.parquet")):
+                shutil.rmtree(d, ignore_errors=True)
+        return deleted
+
     def truncate(self) -> None:
         """Reset the catalog (reference analog: ``reset_config`` stripping
         run state back to the minimal schema, config/config.py:15-33, and
