@@ -77,16 +77,25 @@ def mixture_weights(
     budget_tokens: int,
     source_col: str = "source",
     text_col: str = "text",
+    target_shares: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Per-source mixture plan for a uniform target over sources.
+    """Per-source mixture plan. Default target is uniform over the
+    sources present; pass ``target_shares`` (source -> fraction,
+    summing to ~1 — e.g. {'web': .6, 'code': .3, 'books': .1}) for the
+    non-uniform mixes real training recipes use. A source absent from
+    ``target_shares`` gets share 0 (rate 0 — excluded from the mix).
 
-    target_tokens(source) = budget_tokens / n_sources;
+    target_tokens(source) = budget_tokens * share(source);
     rate  = min(1, target_tokens / n_tokens)   (downsample-only)
     epochs = target_tokens / n_tokens          (uncapped repeat factor)
 
     Returns (source_col, n_docs, n_tokens, target_tokens, rate,
     epochs); floats rounded to 6 dp with the house +1e-9 nudge.
     """
+    if target_shares is not None:
+        total = sum(target_shares.values())
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(f"target_shares must sum to 1, got {total}")
     # persisted: referenced twice (rows + n_sources count) — without it
     # the count branch re-scans and re-tokenizes the whole corpus for a
     # frame of |sources| rows.
@@ -99,22 +108,31 @@ def mixture_weights(
         )
         .persist()
     )
-    n_sources = (
-        per_source.agg(F.count(F.lit(1)).cast("long").alias("_n_sources"))
-        .withColumn("j", F.lit(1))
-    )
-    target = F.lit(float(budget_tokens)) / F.col("_n_sources")
-    return (
-        per_source.withColumn("j", F.lit(1))
-        .join(F.broadcast(n_sources), "j")
-        .select(
-            source_col,
-            "n_docs",
-            "n_tokens",
-            F.round(target + F.lit(1e-9), 6).alias("target_tokens"),
-            F.round(
-                F.least(F.lit(1.0), target / F.col("n_tokens")) + F.lit(1e-9), 6
-            ).alias("rate"),
-            F.round(target / F.col("n_tokens") + F.lit(1e-9), 6).alias("epochs"),
+    if target_shares is None:
+        n_sources = (
+            per_source.agg(F.count(F.lit(1)).cast("long").alias("_n_sources"))
+            .withColumn("j", F.lit(1))
         )
+        planned = per_source.withColumn("j", F.lit(1)).join(
+            F.broadcast(n_sources), "j"
+        )
+        target = F.lit(float(budget_tokens)) / F.col("_n_sources")
+    else:
+        # literal CASE map — |sources| branches, folded in codegen
+        share = F.lit(0.0)
+        for src, frac in sorted(target_shares.items()):
+            share = F.when(F.col(source_col) == src, F.lit(float(frac))).otherwise(
+                share
+            )
+        planned = per_source
+        target = F.lit(float(budget_tokens)) * share
+    return planned.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(target + F.lit(1e-9), 6).alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("n_tokens")) + F.lit(1e-9), 6
+        ).alias("rate"),
+        F.round(target / F.col("n_tokens") + F.lit(1e-9), 6).alias("epochs"),
     )

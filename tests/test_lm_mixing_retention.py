@@ -105,6 +105,43 @@ def test_apply_mixture_sample_deterministic_across_partitioning(spark):
     assert 0 < len(kept1) < 200
 
 
+def test_mixture_weights_non_uniform_shares(spark):
+    # big: 8 tokens, small: 2; shares 75/25 of budget 8 -> targets 6/2
+    df = _docs(
+        spark,
+        [(1, "t t t t", "big"), (2, "t t t t", "big"), (3, "t t", "small")],
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            df, budget_tokens=8, target_shares={"big": 0.75, "small": 0.25}
+        ).collect()
+    }
+    assert abs(out["big"]["target_tokens"] - 6.0) < 1e-6
+    assert abs(out["big"]["rate"] - 0.75) < 1e-6
+    assert abs(out["small"]["target_tokens"] - 2.0) < 1e-6
+    assert abs(out["small"]["rate"] - 1.0) < 1e-6
+
+
+def test_mixture_weights_unlisted_source_excluded(spark):
+    df = _docs(spark, [(1, "t t", "a"), (2, "t t", "b")])
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            df, budget_tokens=4, target_shares={"a": 1.0}
+        ).collect()
+    }
+    assert abs(out["b"]["rate"]) < 1e-6 and abs(out["b"]["target_tokens"]) < 1e-6
+
+
+def test_mixture_weights_rejects_bad_shares(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "t", "a")])
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_weights(df, budget_tokens=1, target_shares={"a": 0.5})
+
+
 def test_mixture_weights_counts_blank_docs_as_zero_tokens(spark):
     df = _docs(spark, [(1, "a b", "s"), (2, "   ", "s")])
     row = mixture_weights(df, budget_tokens=2).collect()[0]
