@@ -2662,6 +2662,41 @@ WHERE ('0x'||substr(md5(d.doc_id::VARCHAR || ':mixture-v1'), 1, 8))::BIGINT % 10
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (operators/chunking.py
+    chunk_tokens): each doc exploded into 64-token chunks with
+    stride 48 (16-token overlap), identified by md5 of the chunk
+    text. Tokenize-once + explode + shared-array slice — zero
+    shuffles; the corpus-to-encoder fan-out every embedding
+    pipeline runs."""
+    from htm_streamer_spark.operators.chunking import chunk_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_tokens(d, chunk_size=64, stride=48)
+
+
+SQL_CHUNK_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+nc AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE ((len(t) - 64 + 47) // 48) + 1 END::BIGINT AS n_chunks
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, t, unnest(range(n_chunks)) AS cid FROM nc
+)
+SELECT doc_id,
+       cid::INT AS chunk_id,
+       len(t[cid*48 + 1 : cid*48 + 64])::BIGINT AS n_tokens,
+       md5(array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ')) AS chunk_hash
+FROM ch
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -2735,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_lineitem": q_salted_join_lineitem,
         "quality_calibrated_docs": q_quality_calibrated_docs,
         "retention_cohorts_events": q_retention_cohorts_events,
+        "chunk_docs": q_chunk_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2815,6 +2851,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_lineitem": SQL_SALTED_JOIN,
         "quality_calibrated_docs": SQL_QUALITY_CALIB,
         "retention_cohorts_events": SQL_RETENTION_COHORTS,
+        "chunk_docs": SQL_CHUNK_DOCS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
