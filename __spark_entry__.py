@@ -2662,6 +2662,50 @@ WHERE ('0x'||substr(md5(d.doc_id::VARCHAR || ':mixture-v1'), 1, 8))::BIGINT % 10
 """
 
 
+def q_dup_spans_docs(spark, sf_dir):
+    """Cross-document duplicated-span fraction
+    (operators/repetition.py cross_doc_dup_spans): per doc, the share
+    of 5-gram positions whose gram occurs in >= 2 distinct docs —
+    span-level dedup signal (Lee et al. 2021 shape) over the
+    engine-portable 60-bit md5-prefix gram hash."""
+    from htm_streamer_spark.operators.repetition import cross_doc_dup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = cross_doc_dup_spans(d, n=5, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round(F.col("dup_span_frac") + F.lit(1e-9), 6).alias("dup_span_frac"),
+    )
+
+
+SQL_DUP_SPANS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]),
+                  1, 15))::BIGINT AS gh
+  FROM norm, unnest(generate_series(1, greatest(len(ws)-4, 0))) AS t(i)
+),
+docfreq AS (
+  SELECT gh, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY 1
+)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+       round(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) / count(*)::DOUBLE
+             + 1e-9, 6) + 0.0 AS dup_span_frac
+FROM grams g JOIN docfreq d USING (gh)
+GROUP BY 1
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Overlapping token-window chunking (operators/chunking.py
     chunk_tokens): each doc exploded into 64-token chunks with
@@ -2771,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated_docs": q_quality_calibrated_docs,
         "retention_cohorts_events": q_retention_cohorts_events,
         "chunk_docs": q_chunk_docs,
+        "dup_spans_docs": q_dup_spans_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2852,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_calibrated_docs": SQL_QUALITY_CALIB,
         "retention_cohorts_events": SQL_RETENTION_COHORTS,
         "chunk_docs": SQL_CHUNK_DOCS,
+        "dup_spans_docs": SQL_DUP_SPANS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -58,6 +58,65 @@ def dup_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
 
 
+def cross_doc_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, n_grams, n_dup_grams, dup_span_frac): the fraction of a
+    document's word n-gram POSITIONS whose gram also occurs in at least
+    ``min_docs`` distinct documents — the span-level cross-document
+    duplication signal of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), at n-gram rather than suffix-array
+    granularity. Complements the doc-level tiers (MinHash/SimHash) and
+    the within-doc ``dup_ngram_stats``: a doc can be globally unique yet
+    80% boilerplate spans.
+
+    Docs with fewer than ``n`` words emit no grams and are absent from
+    the output (no spans to measure).
+
+    Plan (100-TB shape): ONE tokenizing scan feeds a persisted narrow
+    (doc_id, gh) frame — gram identity is a 60-bit engine-portable
+    md5-prefix hash, so the shuffles never carry gram text. Doc
+    frequency = dropDuplicates(doc, gh) → groupBy(gh).count(): both
+    stages partial-combine map-side, so a boilerplate gram present in
+    10^6 docs never concentrates pre-aggregation rows on one task. The
+    join back to positions is 1-to-N on gh with the single dim row on
+    the build side (AQE skew-join splits any hot partition). Final
+    per-doc rollup shuffles one row per position — all-integer columns.
+    At real scale widen gh to a 128-bit hash; 60 bits is the portable
+    oracle-checkable form.
+    """
+    words = _words(text_col)
+    gh = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
+    grams = (
+        df.select("doc_id", F.explode(_gram_array(words, n)).alias("_g"))
+        .select("doc_id", gh.alias("gh"))
+        .persist()
+    )
+    docfreq = (
+        grams.dropDuplicates(["doc_id", "gh"])
+        .groupBy("gh")
+        .agg(F.count("*").alias("ndocs"))
+    )
+    is_dup = F.when(F.col("ndocs") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+    return (
+        grams.join(docfreq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(is_dup).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams") / F.col("n_grams")).cast("double").alias("dup_span_frac"),
+        )
+    )
+
+
 def top_ngram(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
     """(doc_id, top_gram, top_count, n_grams, top_frac): the most
     frequent word n-gram per document and the fraction of the doc's

@@ -93,3 +93,38 @@ def test_top_ngram_known_answer_and_tiebreak(spark):
     assert (got[0].top_gram, got[0].top_count, got[0].n_grams) == ("a b", 3, 6)
     assert abs(got[0].top_frac - 0.5) < 1e-9
     assert (got[1].top_gram, got[1].top_count) == ("y y", 1)
+
+
+def test_cross_doc_dup_spans_known_answer(spark):
+    from htm_streamer_spark.operators.repetition import cross_doc_dup_spans
+
+    docs = _docs(
+        spark,
+        [
+            # docs 0 and 1 share the 5-gram "one two three four five"
+            (0, "one two three four five alpha beta"),
+            (1, "zz one two three four five qq rr"),
+            (2, "totally different words here nothing shared"),
+            (3, "tiny doc"),  # < 5 words -> absent from output
+        ],
+    )
+    got = {r.doc_id: r for r in cross_doc_dup_spans(docs, n=5, min_docs=2).collect()}
+    assert set(got) == {0, 1, 2}
+    # doc 0: 3 gram positions, only position 1 ("one..five") is shared
+    assert (got[0].n_grams, got[0].n_dup_grams) == (3, 1)
+    assert abs(got[0].dup_span_frac - 1 / 3) < 1e-9
+    # doc 1: 4 positions, position 2 shared
+    assert (got[1].n_grams, got[1].n_dup_grams) == (4, 1)
+    assert (got[2].n_grams, got[2].n_dup_grams) == (2, 0)
+
+
+def test_cross_doc_dup_spans_within_doc_repeat_not_cross(spark):
+    from htm_streamer_spark.operators.repetition import cross_doc_dup_spans
+
+    # the same 5-gram repeated WITHIN one doc is not cross-doc duplication
+    docs = _docs(spark, [(0, "a b c d e a b c d e"), (1, "p q r s t u")])
+    got = {r.doc_id: r for r in cross_doc_dup_spans(docs, n=5, min_docs=2).collect()}
+    assert got[0].n_dup_grams == 0
+    # ... but min_docs=1 marks every position duplicated
+    got1 = {r.doc_id: r for r in cross_doc_dup_spans(docs, n=5, min_docs=1).collect()}
+    assert got1[0].n_dup_grams == got1[0].n_grams
