@@ -2662,6 +2662,111 @@ WHERE ('0x'||substr(md5(d.doc_id::VARCHAR || ':mixture-v1'), 1, 8))::BIGINT % 10
 """
 
 
+def q_blamed_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting) adapted to
+    this schema: per supplier, finished orders where ONLY this
+    supplier's lineitem came back flagged ('R') among a multi-supplier
+    order. Exercises correlated EXISTS / NOT EXISTS as left-semi /
+    left-anti self-joins with a non-equi residual (l2.suppkey <>
+    l1.suppkey). All three lineitem branches key on l_orderkey — at
+    scale, bucketing lineitem by orderkey co-locates every join; the
+    returnflag filters push into the scans; the supplier dim stays
+    unhinted (AQE broadcasts at bench scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l3")
+    base = l1.join(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l1.l_orderkey") == F.col("o_orderkey"),
+    )
+    semi = base.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        anti.join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+SQL_BLAMED_SUPPLIERS = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM supplier, lineitem l1, orders o
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+def q_snapshot_diff_docs(spark, sf_dir):
+    """Incremental snapshot delta (operators/delta.py snapshot_diff):
+    documents vs a deterministically perturbed second snapshot
+    (doc_id%13==0 removed, %17==0 text-revised, %19==0 re-added under
+    a shifted key). Hash-only full-outer join — the shuffle carries
+    (key, md5), never text; co-located (zero-shuffle) when both
+    snapshots share a bucket layout."""
+    from htm_streamer_spark.operators.delta import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id")
+    b_kept = d.filter(m % 13 != 0).withColumn(
+        "text",
+        F.when(m % 17 == 0, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    b_new = d.filter(m % 19 == 0).select(
+        (m + 1000000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    return snapshot_diff(d, b_kept.unionByName(b_new), key_col="doc_id")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (SELECT doc_id AS key, md5(COALESCE(text, '')) AS h FROM documents),
+b AS (
+  SELECT doc_id AS key,
+         md5(CASE WHEN doc_id % 17 = 0 THEN COALESCE(text, '') || ' rev2'
+                  ELSE COALESCE(text, '') END) AS h
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000 AS key, md5('new ' || COALESCE(text, '')) AS h
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN 'added'
+            WHEN b.key IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       a.h AS old_hash,
+       b.h AS new_hash
+FROM a FULL OUTER JOIN b ON a.key = b.key
+WHERE a.key IS NULL OR b.key IS NULL OR a.h <> b.h
+"""
+
+
 def q_dup_spans_docs(spark, sf_dir):
     """Cross-document duplicated-span fraction
     (operators/repetition.py cross_doc_dup_spans): per doc, the share
@@ -2816,6 +2921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts_events": q_retention_cohorts_events,
         "chunk_docs": q_chunk_docs,
         "dup_spans_docs": q_dup_spans_docs,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
+        "blamed_suppliers": q_blamed_suppliers,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -2898,6 +3005,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts_events": SQL_RETENTION_COHORTS,
         "chunk_docs": SQL_CHUNK_DOCS,
         "dup_spans_docs": SQL_DUP_SPANS,
+        "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
+        "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -182,6 +182,8 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "region_revenue",
         "unigram_nll_docs",
         "retention_cohorts_events",
+        "chunk_docs",
+        "dup_spans_docs",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
