@@ -2662,6 +2662,56 @@ WHERE ('0x'||substr(md5(d.doc_id::VARCHAR || ':mixture-v1'), 1, 8))::BIGINT % 10
 """
 
 
+def q_fuzzy_sources_docs(spark, sf_dir):
+    """Edit-distance canonicalization (operators/fuzzy.py
+    fuzzy_match): every third doc's source label is deterministically
+    corrupted (2nd char dropped), then matched back onto the distinct
+    true labels within 2 edits. Broadcast nested-loop with a sound
+    length-band prefilter; JVM levenshtein; (dist, name) struct-min
+    tie-break."""
+    from htm_streamer_spark.operators.fuzzy import fuzzy_match
+
+    d = _t(spark, sf_dir, "documents")
+    corrupted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.substring("source", 1, 1), F.expr("substring(source, 3)")
+            ),
+        )
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    ref = d.select(F.col("source").alias("name")).distinct()
+    return fuzzy_match(corrupted, ref, col="source", max_dist=2)
+
+
+SQL_FUZZY_SOURCES = """
+WITH ref AS (SELECT DISTINCT source AS name FROM documents),
+corr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN substr(source, 1, 1) || substr(source, 3)
+              ELSE source END AS value
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc_id, c.value, r.name,
+         levenshtein(c.value, r.name) AS d,
+         row_number() OVER (
+           PARTITION BY c.doc_id
+           ORDER BY levenshtein(c.value, r.name) ASC, r.name ASC
+         ) AS rn
+  FROM corr c LEFT JOIN ref r
+    ON abs(length(c.value) - length(r.name)) <= 2
+   AND levenshtein(c.value, r.name) <= 2
+)
+SELECT doc_id, value, name AS match, d::INT AS dist
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_blamed_suppliers(spark, sf_dir):
     """TPC-H Q21 shape (suppliers-who-kept-orders-waiting) adapted to
     this schema: per supplier, finished orders where ONLY this
@@ -2923,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": q_dup_spans_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
+        "fuzzy_sources_docs": q_fuzzy_sources_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -3007,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_docs": SQL_DUP_SPANS,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
+        "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
