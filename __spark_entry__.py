@@ -2662,6 +2662,38 @@ WHERE ('0x'||substr(md5(d.doc_id::VARCHAR || ':mixture-v1'), 1, 8))::BIGINT % 10
 """
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Exact PPS systematic sample (operators/sampling.py
+    weighted_systematic_sample): ~50 docs drawn proportional to
+    n_chars along the deterministic hash order. All-integer prefix
+    sums + ceiling division — bit-identical selection on any engine
+    (transcendental-free by design; see module docstring)."""
+    from htm_streamer_spark.operators.sampling import weighted_systematic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_systematic_sample(d, k=50, weight_col="n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, n_chars AS wt,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':wsample-v1'), 1, 8))::BIGINT
+           % 1000000 AS h
+  FROM documents WHERE n_chars > 0
+),
+ord AS (
+  SELECT doc_id, wt,
+         COALESCE(sum(wt) OVER (ORDER BY h % 256, h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM w
+),
+tot AS (SELECT sum(wt) AS W FROM w)
+SELECT doc_id, wt::BIGINT AS weight, s::BIGINT AS cum_before
+FROM ord, tot
+WHERE ((s + wt) * 50 + W - 1) // W > (s * 50 + W - 1) // W
+"""
+
+
 def q_fuzzy_sources_docs(spark, sf_dir):
     """Edit-distance canonicalization (operators/fuzzy.py
     fuzzy_match): every third doc's source label is deterministically
@@ -2974,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -3059,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
+        "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

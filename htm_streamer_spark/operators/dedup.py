@@ -102,16 +102,14 @@ def _gram_array(words, n: int):
     """Word n-grams as an O(len) expression: zip the array with its
     shifted copies instead of slicing per position (slice-per-gram is
     O(len^2) per row — measured 11.7s → <1s on 5k docs of ~380 words).
-    Currently supports the common n=2/3."""
-    if n == 2:
-        grams = F.zip_with(words, F.slice(words, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b))
-    elif n == 3:
-        pair = F.zip_with(words, F.slice(words, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b))
-        grams = F.zip_with(pair, F.slice(words, 3, 1 << 30), lambda ab, c: F.concat_ws(" ", ab, c))
-    else:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    Any n: chain of n-1 zip_with ops — O(len·n) total. (The obvious
+    transform(sequence, i -> slice(words, i+1, n)) alternative is
+    O(len^2) per row and was measured 169s for what the chain does in
+    seconds on 37M grams — never reintroduce it.)"""
+    grams = words
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(words, i + 1, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
         )
     # zip_with pads the shorter side with null; concat_ws skips nulls,
     # leaving (n-1)..1-grams at the tail — cut them off

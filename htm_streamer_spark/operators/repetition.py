@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from htm_streamer_spark.operators.dedup import _gram_array, normalized_text
+from htm_streamer_spark.operators.dedup import (
+    _gram_array,
+    fan_out_narrow_scans,
+    normalized_text,
+)
 
 
 def _words(text_col: str):
@@ -90,8 +94,11 @@ def cross_doc_dup_spans(
     """
     words = _words(text_col)
     gh = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
+    # per-gram md5 is CPU-bound: fan a degenerate (few-file) scan out to
+    # all slots first — no-op whenever the scan already has enough splits
     grams = (
-        df.select("doc_id", F.explode(_gram_array(words, n)).alias("_g"))
+        fan_out_narrow_scans(df.select("doc_id", text_col))
+        .select("doc_id", F.explode(_gram_array(words, n)).alias("_g"))
         .select("doc_id", gh.alias("gh"))
         .persist()
     )

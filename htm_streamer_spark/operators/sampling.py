@@ -149,3 +149,82 @@ def global_shuffle_positions(
             (F.col("__off") + F.col("__rn") - 1).cast("long").alias("shuffle_pos"),
         )
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+    n_buckets: int = 256,
+    method: str = "md5",
+) -> DataFrame:
+    """Exact probability-proportional-to-size (PPS) systematic sample
+    of ~``k`` rows: lay every row's integer weight end-to-end along a
+    deterministic hash order and take one row at each of ``k`` evenly
+    spaced points. Inclusion probability is proportional to weight —
+    the classic survey-sampling design for token-weighted corpus
+    subsets (a 10k-token doc is 10x likelier than a 1k-token doc).
+
+    Why this instead of Efraimidis-Spirakis exponential keys: E-S needs
+    ``ln``/``pow`` whose last-ulp behavior differs across engines, so
+    selection near the k-th boundary is not bit-reproducible. This
+    design is ALL integer arithmetic (prefix sums + ceiling division)
+    — the same rows are chosen on any engine, any partitioning, any
+    retry. Rows with non-positive weight are excluded. A row heavier
+    than W/k spans several points but is returned once, so the output
+    can be slightly under ``k`` (certainty items) — standard systematic
+    PPS behavior.
+
+    Scale shape (same two-phase pattern as global_shuffle_positions):
+    the global prefix sum is per-bucket totals (tiny agg → broadcast
+    offsets over n_buckets METADATA rows) + a PARTITIONED within-bucket
+    running sum — no global sort, no single-partition window over data.
+    Returns (id_col, weight, cum_before); join back on id for payloads.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    b = hash_bucket(F.col(id_col), salt, method)
+    rows = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("__w"),
+            b.alias("__h"),
+            F.pmod(b, F.lit(n_buckets)).cast("int").alias("__b"),
+        )
+        .filter(F.col("__w") > 0)
+        .persist()
+    )
+    totals = rows.groupBy("__b").agg(F.sum("__w").alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    # grand total rides on the (metadata-sized) offsets frame; NOTE the
+    # name must differ from `__w` under Spark's CASE-INSENSITIVE
+    # resolution — `__W` here makes every later `__w` reference
+    # ambiguous
+    grand = totals.agg(F.sum("__n").alias("__tot"))
+    offsets = offsets.crossJoin(F.broadcast(grand))
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        rows.withColumn("__cumin", F.coalesce(F.sum("__w").over(w_in), F.lit(0)))
+        .join(F.broadcast(offsets), "__b")
+        .withColumn("__s", F.col("__off") + F.col("__cumin"))
+    )
+    # points sit at ceil(j*W/k) boundaries; row selected iff a point
+    # falls in [s, s+w): ceil((s+w)k/W) > ceil(s*k/W), all-integer
+    pts_before = F.expr(f"(__s * {int(k)} + __tot - 1) div __tot")
+    pts_through = F.expr(f"((__s + __w) * {int(k)} + __tot - 1) div __tot")
+    return staged.filter(pts_through > pts_before).select(
+        id_col,
+        F.col("__w").alias("weight"),
+        F.col("__s").cast("long").alias("cum_before"),
+    )

@@ -114,3 +114,35 @@ def test_wide_lsh_driver_query_uses_arrow_kernel(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection_on_fact_side(spark):
+    """At 100 TB, a selective dim filter should prune fact-table rows
+    BEFORE the shuffle: Spark's runtime bloom filter rewrites
+    fact JOIN (filtered dim) into fact WHERE might_contain(...) JOIN dim.
+    The injection thresholds are sized for clusters, so force them down
+    and pin that the rewrite actually fires on this engine version —
+    regression cover for the session defaults that enable it."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter" in plan or "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -135,3 +135,60 @@ def test_global_shuffle_no_single_partition_data_window(spark):
     # the data-carrying window is hash-partitioned by bucket; the only
     # SinglePartition exchange feeds the n_buckets-row offsets frame
     assert "hashpartitioning(__b" in plan, plan
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Selection must equal the sequential PPS reference computed in
+    plain python over the same hash order."""
+    import hashlib
+
+    from htm_streamer_spark.operators.sampling import weighted_systematic_sample
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    k = 17
+
+    def h(i):
+        return int(hashlib.md5(f"{i}:wsample-v1".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    ordered = sorted(rows, key=lambda r: (h(r[0]) % 256, h(r[0]), r[0]))
+    W = sum(w for _, w in ordered)
+    expect, s = set(), 0
+    for i, w in ordered:
+        if -(-(s + w) * k // W) > -(-s * k // W):  # ceil((s+w)k/W) > ceil(sk/W)
+            expect.add(i)
+        s += w
+    got = {r.doc_id for r in weighted_systematic_sample(df, k=k, weight_col="n_chars").collect()}
+    assert got == expect
+    assert len(got) <= k
+
+
+def test_weighted_sample_certainty_and_counts(spark):
+    from htm_streamer_spark.operators.sampling import weighted_systematic_sample
+
+    # one row owns >W/k of the mass -> always selected (certainty item)
+    rows = [(0, 10_000)] + [(i, 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r.doc_id for r in weighted_systematic_sample(df, k=10, weight_col="n_chars").collect()}
+    assert 0 in got
+    # k >= W selects every positive-weight row exactly once
+    small = spark.createDataFrame([(i, 1) for i in range(5)], "doc_id long, n_chars long")
+    out = weighted_systematic_sample(small, k=100, weight_col="n_chars").collect()
+    assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_weighted_sample_partitioning_invariant_and_guards(spark):
+    import pytest as _pytest
+
+    from htm_streamer_spark.operators.sampling import weighted_systematic_sample
+
+    rows = [(i, (i % 5) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = {r.doc_id for r in weighted_systematic_sample(df, k=20, weight_col="n_chars").collect()}
+    b = {r.doc_id for r in weighted_systematic_sample(df.repartition(13), k=20, weight_col="n_chars").collect()}
+    assert a == b
+    # zero/negative weights excluded, never crash
+    wz = spark.createDataFrame([(1, 0), (2, -5), (3, 4)], "doc_id long, n_chars long")
+    assert {r.doc_id for r in weighted_systematic_sample(wz, k=2, weight_col="n_chars").collect()} == {3}
+    with _pytest.raises(ValueError):
+        weighted_systematic_sample(df, k=0, weight_col="n_chars")

@@ -59,6 +59,16 @@ def run(name):
         # fixed per-job overhead dominates the ratio (cf global_shuffle)
         from htm_streamer_spark.operators.lm import unigram_nll
         df = unigram_nll(big)
+    elif name == "chunk":
+        # zero-shuffle codegen family: tokenize-once + explode + slice;
+        # 500k docs so per-job overhead doesn't dominate
+        from htm_streamer_spark.operators.chunking import chunk_tokens
+        df = chunk_tokens(big, chunk_size=64, stride=48)
+    elif name == "dup_spans":
+        # shuffle-heavy gram family: explode 5-grams -> doc frequency
+        # -> join back -> per-doc rollup
+        from htm_streamer_spark.operators.repetition import cross_doc_dup_spans
+        df = cross_doc_dup_spans(d, n=5, min_docs=2)
     else:
         raise ValueError(name)
     t0 = time.time()
@@ -66,10 +76,15 @@ def run(name):
     return time.time() - t0, n
 
 out = {{}}
-for name in ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll"):
+for name in ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans"):
     rows = None
     times = []
     for _ in range(repeats):
+        # several operators persist() intermediates; Spark's
+        # CacheManager matches identical plans, so a repeat would
+        # silently reuse the previous run's cache and time only the
+        # post-cache stages — clear it so every repeat is cold
+        spark.catalog.clearCache()
         sec, rows = run(name)
         times.append(sec)
     out[name] = {{"best_sec": round(min(times), 3), "times": [round(t,3) for t in times], "rows": rows}}
