@@ -92,13 +92,24 @@ def cross_doc_dup_spans(
     At real scale widen gh to a 128-bit hash; 60 bits is the portable
     oracle-checkable form.
     """
+    # Gram stream in the chunking.py shape — explode positions, slice
+    # the SHARED token array, join, hash — deliberately NOT the
+    # zip_with chain (_gram_array): higher-order functions run in the
+    # interpreted evaluator outside whole-stage codegen, and measured
+    # 23s for 5M grams WITHOUT scaling across cores; this codegen form
+    # does the same grams in ~2s and scales with the scan.
     words = _words(text_col)
-    gh = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
-    # per-gram md5 is CPU-bound: fan a degenerate (few-file) scan out to
-    # all slots first — no-op whenever the scan already has enough splits
+    gram = F.array_join(F.slice(F.col("_t"), F.col("_p"), n), " ")
+    gh = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
     grams = (
         fan_out_narrow_scans(df.select("doc_id", text_col))
-        .select("doc_id", F.explode(_gram_array(words, n)).alias("_g"))
+        .select("doc_id", words.alias("_t"))
+        .where(F.size("_t") >= n)
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(F.sequence(F.lit(1), F.size("_t") - (n - 1))).alias("_p"),
+        )
         .select("doc_id", gh.alias("gh"))
         .persist()
     )
