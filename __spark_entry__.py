@@ -2928,6 +2928,231 @@ FROM ch
 """
 
 
+def q_ks_drift_events(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift per event_type
+    (operators/stattests.py ks_two_sample): the continuous-column
+    complement to the binned PSI check (reference gate:
+    htm_streamer/utils/anomaly.py moving-window comparison). Samples
+    are the deterministic even/odd event_id halves — the stand-in for
+    baseline-epoch vs current-epoch. Tie-safe exact ECDFs over
+    distinct values; one shuffle + per-group window."""
+    from htm_streamer_spark.operators.stattests import ks_two_sample
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 2).alias("half")
+    )
+    return ks_two_sample(e, "event_type", "value", "half")
+
+
+SQL_KS_DRIFT = """
+WITH pv AS (
+  SELECT event_type, value,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM events GROUP BY 1, 2
+),
+ecdf AS (
+  SELECT event_type,
+         sum(c0) OVER (PARTITION BY event_type ORDER BY value)
+           / sum(c0) OVER (PARTITION BY event_type)::DOUBLE AS f0,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY value)
+           / sum(c1) OVER (PARTITION BY event_type)::DOUBLE AS f1,
+         sum(c0) OVER (PARTITION BY event_type) AS n0,
+         sum(c1) OVER (PARTITION BY event_type) AS n1
+  FROM pv
+)
+SELECT event_type,
+       round(max(abs(f0 - f1)), 6) + 0.0 AS ks_stat,
+       max(n0)::BIGINT AS n0,
+       max(n1)::BIGINT AS n1
+FROM ecdf GROUP BY 1
+"""
+
+
+def q_chisq_docs(spark, sf_dir):
+    """Chi-squared independence test between lang and source
+    (operators/stattests.py chi_squared_independence): did the
+    lang×source mix shift from independent? Full r×c grid from the
+    marginals so zero-observed cells still contribute expected mass.
+    One scan of documents; marginal frames broadcast."""
+    from htm_streamer_spark.operators.stattests import (
+        chi_squared_independence,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return chi_squared_independence(d, "lang", "source")
+
+
+SQL_CHISQ_DOCS = """
+WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS obs FROM documents GROUP BY 1, 2
+),
+rm AS (SELECT lang, sum(obs)::BIGINT AS row_n FROM cells GROUP BY 1),
+cm AS (SELECT source, sum(obs)::BIGINT AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT sum(obs)::BIGINT AS n FROM cells),
+grid AS (
+  SELECT rm.lang, cm.source,
+         coalesce(c.obs, 0)::DOUBLE AS obs,
+         row_n::DOUBLE * col_n / n AS exp,
+         n
+  FROM rm CROSS JOIN cm CROSS JOIN tot
+  LEFT JOIN cells c ON c.lang = rm.lang AND c.source = cm.source
+)
+SELECT round(sum((obs - exp) * (obs - exp) / exp), 6) + 0.0 AS chi2,
+       ((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1))::BIGINT
+         AS dof,
+       max(n)::BIGINT AS n
+FROM grid
+"""
+
+
+def q_benford_docs(spark, sf_dir):
+    """Benford first-significant-digit divergence of n_chars per
+    source (operators/stattests.py benford_divergence) — the
+    fabricated-magnitude detector. All nine digits enter via a spine
+    join (a never-observed digit still has expected mass)."""
+    from htm_streamer_spark.operators.stattests import benford_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return benford_divergence(d, "n_chars", "source")
+
+
+SQL_BENFORD = """
+WITH pos AS (
+  SELECT source,
+         floor(n_chars / pow(10, floor(log10(n_chars))))::INT AS digit
+  FROM documents WHERE n_chars > 0
+),
+obs AS (SELECT source, digit, count(*)::BIGINT AS obs FROM pos GROUP BY 1, 2),
+totals AS (SELECT source, sum(obs)::BIGINT AS n FROM obs GROUP BY 1),
+spine AS (
+  SELECT d::INT AS digit, log10(1 + 1.0 / d) AS p_exp
+  FROM (SELECT unnest(range(1, 10)) AS d)
+),
+grid AS (
+  SELECT t.source, t.n,
+         coalesce(o.obs, 0) / t.n::DOUBLE AS p_obs,
+         s.p_exp
+  FROM totals t CROSS JOIN spine s
+  LEFT JOIN obs o ON o.source = t.source AND o.digit = s.digit
+)
+SELECT source,
+       round(sum(n * (p_obs - p_exp) * (p_obs - p_exp) / p_exp), 6) + 0.0
+         AS benford_chi2,
+       max(n)::BIGINT AS n
+FROM grid GROUP BY 1
+"""
+
+
+def q_entropy_docs(spark, sf_dir):
+    """Shannon entropy (nats) of the source distribution within each
+    lang (operators/stattests.py categorical_entropy) — the
+    distribution-collapse signal (entropy → 0 means a lang went
+    single-source) a min/max/null-rate profile can't see."""
+    from htm_streamer_spark.operators.stattests import categorical_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return categorical_entropy(d, "lang", "source")
+
+
+SQL_ENTROPY = """
+WITH c AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+p AS (
+  SELECT lang,
+         c / sum(c) OVER (PARTITION BY lang)::DOUBLE AS p
+  FROM c
+)
+SELECT lang,
+       round(-sum(p * ln(p)), 6) + 0.0 AS entropy,
+       count(*)::BIGINT AS n_categories
+FROM p GROUP BY 1
+"""
+
+
+def q_fd_check_events(spark, sf_dir):
+    """Approximate functional-dependency discovery
+    (operators/stattests.py fd_violation_summary): does user_id
+    determine event_type? Reports total keys, violating keys (>1
+    distinct rhs), and the violation rate — the implication-style
+    invariant the per-column reference checks can't express. Two
+    map-side-combinable aggregations, no count_distinct re-shuffle."""
+    from htm_streamer_spark.operators.stattests import fd_violation_summary
+
+    e = _t(spark, sf_dir, "events")
+    return fd_violation_summary(e, "user_id", "event_type")
+
+
+SQL_FD_CHECK = """
+WITH pk AS (
+  SELECT user_id, count(DISTINCT event_type) AS n_rhs
+  FROM events GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       round(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) + 0.0 AS violation_rate
+FROM pk
+"""
+
+
+def q_moments_events(spark, sf_dir):
+    """Per-event_type skewness and excess kurtosis from raw power
+    sums (operators/stattests.py moments_profile). Deliberately NOT
+    the engine built-ins — engines disagree on bias correction, so the
+    validator pins the raw-moment formula both engines reproduce
+    exactly. Single map-side-combinable aggregation."""
+    from htm_streamer_spark.operators.stattests import moments_profile
+
+    e = _t(spark, sf_dir, "events")
+    return moments_profile(e, "event_type", "value")
+
+
+SQL_MOMENTS = """
+WITH a AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         avg(value) AS s1, avg(value * value) AS s2,
+         avg(value * value * value) AS s3,
+         avg(value * value * value * value) AS s4
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       round((s3 - 3 * s1 * s2 + 2 * s1 * s1 * s1)
+             / pow(s2 - s1 * s1, 1.5), 6) + 0.0 AS skewness,
+       round((s4 - 4 * s1 * s3 + 6 * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+             / pow(s2 - s1 * s1, 2) - 3.0, 6) + 0.0 AS excess_kurtosis
+FROM a
+"""
+
+
+def q_volume_outliers_events(spark, sf_dir):
+    """MAD-based anomalous-partition detection on ingest volume
+    (operators/stattests.py mad_count_outliers): hourly event counts,
+    exact median + median-absolute-deviation, flag |c - med| >
+    k·1.4826·MAD. Robust where mean/stddev gates fail (the burst
+    being hunted poisons the mean). k=2 so the synthetic data's
+    natural edge-hour dips surface as a non-empty verified result."""
+    from htm_streamer_spark.operators.stattests import mad_count_outliers
+
+    e = _t(spark, sf_dir, "events")
+    return mad_count_outliers(e, F.date_trunc("hour", F.col("ts")), k=2.0)
+
+
+SQL_VOLUME_OUTLIERS = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+m AS (SELECT quantile_cont(c::DOUBLE, 0.5) AS med FROM c),
+d AS (SELECT bucket, c, abs(c - med) AS ad, med FROM c CROSS JOIN m),
+md AS (SELECT quantile_cont(ad, 0.5) AS mad FROM d)
+SELECT bucket, c,
+       round(abs(c - med) / (1.4826 * greatest(mad, 1e-12)), 6) + 0.0
+         AS robust_z
+FROM d CROSS JOIN md
+WHERE round(abs(c - med) / (1.4826 * greatest(mad, 1e-12)), 6) > 2.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -3003,6 +3228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts_events": q_retention_cohorts_events,
         "chunk_docs": q_chunk_docs,
         "dup_spans_docs": q_dup_spans_docs,
+        "ks_drift_events": q_ks_drift_events,
+        "chisq_docs": q_chisq_docs,
+        "benford_docs": q_benford_docs,
+        "entropy_docs": q_entropy_docs,
+        "fd_check_events": q_fd_check_events,
+        "moments_events": q_moments_events,
+        "volume_outliers_events": q_volume_outliers_events,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3089,6 +3321,13 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts_events": SQL_RETENTION_COHORTS,
         "chunk_docs": SQL_CHUNK_DOCS,
         "dup_spans_docs": SQL_DUP_SPANS,
+        "ks_drift_events": SQL_KS_DRIFT,
+        "chisq_docs": SQL_CHISQ_DOCS,
+        "benford_docs": SQL_BENFORD,
+        "entropy_docs": SQL_ENTROPY,
+        "fd_check_events": SQL_FD_CHECK,
+        "moments_events": SQL_MOMENTS,
+        "volume_outliers_events": SQL_VOLUME_OUTLIERS,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,

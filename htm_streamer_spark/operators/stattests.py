@@ -1,0 +1,310 @@
+"""Statistical hypothesis-test checks for the validation engine.
+
+The reference's drift story is a single mechanism (HTM anomaly
+likelihood, reinterpreted here as PSI/KL over token histograms —
+``operators/drift.py``). A production data validator needs the rest of
+the classical test battery, each expressible as pure DataFrame
+aggregation (zero Python in the plan, one or two shuffles):
+
+- two-sample Kolmogorov–Smirnov distance (continuous-column drift,
+  complementing the binned PSI check; reference's likelihood gate is
+  htm_streamer/utils/anomaly.py's moving-window comparison),
+- chi-squared independence between two categorical columns
+  (cross-field consistency: did the lang×source mix shift?),
+- Benford first-significant-digit divergence (fabricated-numeric
+  detection on magnitude columns),
+- Shannon entropy of a categorical distribution (collapse detection:
+  a source whose lang entropy drops to ~0 went monolingual),
+- functional-dependency discovery (does A determine B in the data —
+  the implication-style invariant Deequ calls `hasUniqueness` over
+  pairs; reference checks only per-column invariants),
+- higher-moment profile (skewness/kurtosis from raw power sums, the
+  same formula run on any engine),
+- MAD-based anomalous-partition detection (robust z-score on
+  per-bucket row counts; flags ingest gaps/bursts that a mean/stddev
+  gate misses because the outliers poison the mean).
+
+Scale notes: every function is one `groupBy` over the fact table
+followed by arithmetic on a group-count-sized frame (≤ |groups| rows).
+The second phase never touches the fact table again, so at 100 TB the
+cost is the one aggregation shuffle; the tiny marginal/median frames
+broadcast. No collect, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ks_two_sample",
+    "chi_squared_independence",
+    "benford_divergence",
+    "categorical_entropy",
+    "fd_violation_summary",
+    "moments_profile",
+    "mad_count_outliers",
+]
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sample_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group.
+
+    ``sample_col`` must be an int column in {0, 1} tagging which sample
+    each row belongs to (e.g. baseline epoch vs current epoch). The KS
+    statistic is ``max over v of |F0(v) - F1(v)|`` where ``F`` are the
+    empirical CDFs. Tie-safe by construction: rows are first collapsed
+    to one row per distinct value (counting members of each sample), so
+    the ECDF is only ever evaluated *after* all ties at a value — the
+    textbook definition, and the same answer any SQL engine computes.
+
+    Plan: one ``groupBy(group, value)`` shuffle, then a per-group
+    window cumsum over distinct values (|distinct values| rows, not
+    |rows|), then a per-group max. Skew bound: one group's distinct
+    values sort in a single task — same accepted bound as every other
+    per-series window in this engine (see operators/likelihood.py).
+    """
+    per_value = df.groupBy(group_col, value_col).agg(
+        F.sum(F.when(F.col(sample_col) == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col(sample_col) == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(group_col)
+    ecdf = per_value.select(
+        group_col,
+        (F.sum("c0").over(w) / F.sum("c0").over(tot)).alias("f0"),
+        (F.sum("c1").over(w) / F.sum("c1").over(tot)).alias("f1"),
+        F.sum("c0").over(tot).alias("n0"),
+        F.sum("c1").over(tot).alias("n1"),
+    )
+    return ecdf.groupBy(group_col).agg(
+        F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), 6).alias("ks_stat"),
+        F.first("n0").alias("n0"),
+        F.first("n1").alias("n1"),
+    )
+
+
+def chi_squared_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-squared statistic of independence between two
+    categorical columns, over the full contingency table (zero cells
+    included — the r×c grid is materialized from the marginals, so a
+    cell observed 0 times still contributes its expected count).
+
+    Returns one row: (chi2, dof, n). Plan: one shuffle to count cells;
+    the marginal frames are |r| and |c| rows and broadcast into the
+    grid join. The fact table is scanned once.
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("obs"))
+    cells = cells.persist()
+    row_m = cells.groupBy(col_a).agg(F.sum("obs").alias("row_n"))
+    col_m = cells.groupBy(col_b).agg(F.sum("obs").alias("col_n"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    grid = (
+        row_m.crossJoin(F.broadcast(col_m))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(cells), [col_a, col_b], "left")
+        .select(
+            col_a,
+            col_b,
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            # cast before multiplying: long*long marginal products
+            # overflow at 10^12-row scale
+            (
+                F.col("row_n").cast("double")
+                * F.col("col_n")
+                / F.col("n")
+            ).alias("exp"),
+            "n",
+        )
+    )
+    out = grid.agg(
+        F.round(
+            F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")), 6
+        ).alias("chi2"),
+        (
+            (F.count_distinct(F.col(col_a)) - F.lit(1))
+            * (F.count_distinct(F.col(col_b)) - F.lit(1))
+        ).cast("long").alias("dof"),
+        F.first("n").alias("n"),
+    )
+    return out
+
+
+def benford_divergence(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-group chi-squared divergence of the first-significant-digit
+    distribution of a positive numeric column from Benford's law
+    (P(d) = log10(1 + 1/d)). Large values flag fabricated or
+    artificially clamped magnitudes.
+
+    All nine digits enter the statistic (a digit never observed still
+    has expected mass), via a 9-row spine cross-joined onto the group
+    list. One shuffle; the digit spine is constant-sized.
+    """
+    pos = df.filter(F.col(value_col) > 0)
+    digit = F.floor(
+        F.col(value_col)
+        / F.pow(F.lit(10.0), F.floor(F.log10(F.col(value_col))))
+    ).cast("int")
+    obs = pos.groupBy(F.col(group_col), digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    totals = obs.groupBy(group_col).agg(F.sum("obs").alias("n"))
+    spine = obs.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.log10(1.0 + 1.0 / F.col("id")).alias("p_exp"),
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(spine))
+        .join(F.broadcast(obs), [group_col, "digit"], "left")
+        .select(
+            group_col,
+            "n",
+            (F.coalesce(F.col("obs"), F.lit(0)) / F.col("n")).alias("p_obs"),
+            "p_exp",
+        )
+    )
+    return grid.groupBy(group_col).agg(
+        F.round(
+            F.sum(
+                F.col("n")
+                * (F.col("p_obs") - F.col("p_exp")) ** 2
+                / F.col("p_exp")
+            ),
+            6,
+        ).alias("benford_chi2"),
+        F.first("n").alias("n"),
+    )
+
+
+def categorical_entropy(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Shannon entropy (nats) of ``cat_col``'s distribution within each
+    group, plus the category count. Entropy collapsing toward 0 means
+    the group went single-valued — the distribution-collapse signal a
+    min/max/null-rate profile can't see. One shuffle."""
+    counts = df.groupBy(group_col, cat_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = Window.partitionBy(group_col)
+    p = counts.select(
+        group_col, (F.col("c") / F.sum("c").over(tot)).alias("p")
+    )
+    return p.groupBy(group_col).agg(
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+
+
+def fd_violation_summary(
+    df: DataFrame, lhs_col: str, rhs_col: str
+) -> DataFrame:
+    """Does ``lhs_col`` functionally determine ``rhs_col``? Returns one
+    row: total keys, keys mapping to >1 distinct rhs value, and the
+    violation rate — the approximate-FD discovery primitive (an FD
+    "holds approximately" when the rate is under a tolerance).
+
+    Exact distinct-per-key via one composite groupBy (two map-side
+    combinable aggregations, no count_distinct re-shuffle): first
+    collapse (lhs, rhs) pairs, then count pairs per lhs.
+    """
+    pairs = df.groupBy(lhs_col, rhs_col).agg(F.count(F.lit(1)).alias("c"))
+    per_key = pairs.groupBy(lhs_col).agg(
+        F.count(F.lit(1)).alias("n_rhs")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+            "n_violating"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("violation_rate"),
+    )
+
+
+def moments_profile(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from raw power sums
+    (avg(x), avg(x²), avg(x³), avg(x⁴) → central moments → g1, g2).
+
+    Deliberately NOT Spark's built-in ``skewness``/``kurtosis``: engine
+    built-ins disagree on bias correction (sample vs population), so a
+    cross-engine validator pins the raw-moment formula that any engine
+    reproduces exactly. Single map-side-combinable aggregation.
+    """
+    x = F.col(value_col).cast("double")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("s1"),
+        F.avg(x * x).alias("s2"),
+        F.avg(x * x * x).alias("s3"),
+        F.avg(x * x * x * x).alias("s4"),
+    )
+    m2 = F.col("s2") - F.col("s1") ** 2
+    m3 = F.col("s3") - 3 * F.col("s1") * F.col("s2") + 2 * F.col("s1") ** 3
+    m4 = (
+        F.col("s4")
+        - 4 * F.col("s1") * F.col("s3")
+        + 6 * F.col("s1") ** 2 * F.col("s2")
+        - 3 * F.col("s1") ** 4
+    )
+    return agg.select(
+        group_col,
+        F.col("n"),
+        F.round(m3 / m2 ** 1.5, 6).alias("skewness"),
+        F.round(m4 / m2 ** 2 - 3.0, 6).alias("excess_kurtosis"),
+    )
+
+
+def mad_count_outliers(
+    df: DataFrame, bucket_expr, k: float = 3.0
+) -> DataFrame:
+    """Anomalous-partition detection on ingest volume: count rows per
+    bucket, compute the median count and the median absolute deviation
+    (both exact), and flag buckets whose robust z-score
+    ``|c - median| / (1.4826 · MAD)`` exceeds ``k``. Robust where a
+    mean/stddev gate fails — the burst being hunted inflates the mean.
+
+    ``bucket_expr`` is any Column (e.g. ``F.date_trunc('hour', ts)``).
+    Plan: one shuffle to count buckets; medians are computed on the
+    bucket-count frame (|buckets| rows) and broadcast back. Returns
+    only the flagged buckets with their counts and robust z.
+    """
+    counts = df.groupBy(bucket_expr.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = counts.persist()
+    med = counts.agg(
+        F.percentile(F.col("c").cast("double"), 0.5).alias("med")
+    )
+    dev = counts.crossJoin(F.broadcast(med)).select(
+        "bucket", "c", "med", F.abs(F.col("c") - F.col("med")).alias("ad")
+    )
+    mad = dev.agg(F.percentile("ad", 0.5).alias("mad"))
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "bucket",
+        "c",
+        F.round(
+            F.abs(F.col("c") - F.col("med"))
+            / (F.lit(1.4826) * F.greatest(F.col("mad"), F.lit(1e-12))),
+            6,
+        ).alias("robust_z"),
+    )
+    return scored.filter(F.col("robust_z") > k)
