@@ -3153,6 +3153,87 @@ WHERE round(abs(c - med) / (1.4826 * greatest(mad, 1e-12)), 6) > 2.0
 """
 
 
+def q_trend_events(spark, sf_dir):
+    """Monotone-trend detection per event_type
+    (operators/rankstats.py spearman_corr): Spearman rank correlation
+    between event time and value — "is this column drifting with
+    time", the check Pearson misses on nonlinear trends and outliers
+    poison. Midranks (tie-correct), Pearson on ranks; ranking by ts
+    directly (Spearman only sees order, so no epoch conversion that
+    engines could disagree on)."""
+    from htm_streamer_spark.operators.rankstats import spearman_corr
+
+    e = _t(spark, sf_dir, "events")
+    return spearman_corr(e, "event_type", "ts", "value")
+
+
+SQL_TREND = """
+WITH ranked AS (
+  SELECT event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY ts)
+           + (count(*) OVER (PARTITION BY event_type, ts) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY event_type ORDER BY value)
+           + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS ry
+  FROM events
+),
+a AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         avg(rx) AS mx, avg(ry) AS my, avg(rx * ry) AS mxy,
+         avg(rx * rx) AS mxx, avg(ry * ry) AS myy
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n,
+       round((mxy - mx * my)
+             / sqrt((mxx - mx * mx) * (myy - my * my)), 6) + 0.0
+         AS spearman_rho
+FROM a
+"""
+
+
+def q_mwu_events(spark, sf_dir):
+    """Mann-Whitney U location-shift test per event_type
+    (operators/rankstats.py mann_whitney_u) between the even/odd
+    event_id halves: the robust median-shift complement to the KS
+    distance (ks_drift_events). Tie-corrected z over pooled
+    midranks."""
+    from htm_streamer_spark.operators.rankstats import mann_whitney_u
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 2).alias("half")
+    )
+    return mann_whitney_u(e, "event_type", "value", "half")
+
+
+SQL_MWU = """
+WITH ranked AS (
+  SELECT event_type, event_id % 2 AS s,
+         rank() OVER (PARTITION BY event_type ORDER BY value)
+           + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS r,
+         count(*) OVER (PARTITION BY event_type, value) AS t
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN s = 1 THEN r END) AS r1,
+         sum(t::DOUBLE * t - 1.0) AS tie_sum
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n0, n1,
+       round(r1 - n1 * (n1 + 1) / 2.0, 6) + 0.0 AS u1,
+       round(CASE WHEN n0 * n1 / 12.0
+                       * ((n0 + n1 + 1)
+                          - tie_sum / ((n0 + n1) * (n0 + n1 - 1.0))) > 0
+                  THEN (r1 - n1 * (n1 + 1) / 2.0 - n0 * n1 / 2.0)
+                       / sqrt(n0 * n1 / 12.0
+                              * ((n0 + n1 + 1)
+                                 - tie_sum / ((n0 + n1) * (n0 + n1 - 1.0))))
+             END, 6) + 0.0 AS mwu_z
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -3235,6 +3316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check_events": q_fd_check_events,
         "moments_events": q_moments_events,
         "volume_outliers_events": q_volume_outliers_events,
+        "trend_events": q_trend_events,
+        "mwu_events": q_mwu_events,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3328,6 +3411,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_check_events": SQL_FD_CHECK,
         "moments_events": SQL_MOMENTS,
         "volume_outliers_events": SQL_VOLUME_OUTLIERS,
+        "trend_events": SQL_TREND,
+        "mwu_events": SQL_MWU,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
