@@ -3234,6 +3234,115 @@ FROM a
 """
 
 
+def q_join_profile_orders(spark, sf_dir):
+    """Pre-join relationship profile of orders vs lineitem on orderkey
+    (operators/profiling.py join_profile): cardinality class, worst
+    fanout per side, orphan keys, and the EXACT row count an inner
+    join would produce — the row-explosion estimate checked BEFORE
+    running a 10^12-row join. The shuffle carries one row per distinct
+    key (both sides pre-aggregated), never the fact rows."""
+    from htm_streamer_spark.operators.profiling import join_profile
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return join_profile(o, l, "k")
+
+
+SQL_JOIN_PROFILE = """
+WITH lc AS (SELECT o_orderkey AS k, count(*)::BIGINT AS lc
+            FROM orders GROUP BY 1),
+rc AS (SELECT l_orderkey AS k, count(*)::BIGINT AS rc
+       FROM lineitem GROUP BY 1),
+j AS (SELECT lc.lc, rc.rc FROM lc FULL OUTER JOIN rc USING (k))
+SELECT CASE WHEN max(CASE WHEN rc IS NOT NULL THEN lc ELSE 0 END) <= 1
+                 AND max(CASE WHEN lc IS NOT NULL THEN rc ELSE 0 END) <= 1
+            THEN '1:1'
+            WHEN max(CASE WHEN rc IS NOT NULL THEN lc ELSE 0 END) <= 1
+            THEN '1:N'
+            WHEN max(CASE WHEN lc IS NOT NULL THEN rc ELSE 0 END) <= 1
+            THEN 'N:1'
+            ELSE 'M:N' END AS cardinality,
+       max(lc)::BIGINT AS max_left_fanout,
+       max(rc)::BIGINT AS max_right_fanout,
+       sum(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 ELSE 0
+           END)::BIGINT AS matched_keys,
+       sum(CASE WHEN rc IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS left_only_keys,
+       sum(CASE WHEN lc IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS right_only_keys,
+       sum(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN lc * rc
+                ELSE 0 END)::BIGINT AS inner_join_rows
+FROM j
+"""
+
+
+def q_worst_segments_docs(spark, sf_dir):
+    """Segment drill-down (operators/profiling.py worst_segments):
+    short-document rate (n_chars < 100) per source vs the global rate,
+    top-10 by absolute deviation — surfaces the per-segment failures a
+    global quality gate masks (Simpson-style). One aggregation + a
+    broadcast of the 1-row global frame."""
+    from htm_streamer_spark.operators.profiling import worst_segments
+
+    d = _t(spark, sf_dir, "documents")
+    metric = F.round(
+        F.avg((F.col("n_chars") < 100).cast("double")), 6
+    )
+    return worst_segments(
+        d, "source", metric, metric_name="short_rate", top_k=10
+    )
+
+
+SQL_WORST_SEGMENTS = """
+WITH per AS (
+  SELECT source,
+         round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 6) + 0.0
+           AS short_rate,
+         count(*)::BIGINT AS n_rows
+  FROM documents GROUP BY 1
+),
+overall AS (
+  SELECT round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 6) + 0.0
+           AS global_short_rate
+  FROM documents
+)
+SELECT source, short_rate, global_short_rate,
+       abs(short_rate - global_short_rate) AS abs_dev, n_rows
+FROM per CROSS JOIN overall
+ORDER BY abs_dev DESC, source ASC
+LIMIT 10
+"""
+
+
+def q_order_count_dist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers (the outer-join-then-double-aggregate OLAP
+    shape). Aggregate-before-join: orders collapse to per-custkey
+    counts first, so the join input is |customers| + |distinct
+    custkeys| rows, never the raw orders."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_cust = c.join(
+        o, c.c_custkey == o.o_custkey, "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SQL_ORDER_COUNT_DIST = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, count(*)::BIGINT AS n_customers
+FROM per_cust GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -3318,6 +3427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_outliers_events": q_volume_outliers_events,
         "trend_events": q_trend_events,
         "mwu_events": q_mwu_events,
+        "join_profile_orders": q_join_profile_orders,
+        "worst_segments_docs": q_worst_segments_docs,
+        "order_count_dist": q_order_count_dist,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3413,6 +3525,9 @@ def oracle_sql() -> dict[str, str]:
         "volume_outliers_events": SQL_VOLUME_OUTLIERS,
         "trend_events": SQL_TREND,
         "mwu_events": SQL_MWU,
+        "join_profile_orders": SQL_JOIN_PROFILE,
+        "worst_segments_docs": SQL_WORST_SEGMENTS,
+        "order_count_dist": SQL_ORDER_COUNT_DIST,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,

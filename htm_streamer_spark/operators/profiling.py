@@ -1,0 +1,118 @@
+"""Relationship and segment profiling — the pre-flight checks a
+validator runs before trusting a join or a global metric.
+
+- ``join_profile``: what relationship do two tables actually have on a
+  key (1:1, 1:N, N:1, M:N), what's the worst fanout, and how many keys
+  are orphaned on each side? A join that "should be" 1:N but is M:N
+  multiplies rows silently — at 10^12-row scale that's the difference
+  between a result and an OOM. The reference validates single-table
+  invariants only (htm_streamer/utils/validation.py); cross-table
+  shape is the missing pre-join gate.
+- ``worst_segments``: per-segment metric vs the global metric, ranked
+  by absolute deviation — the drill-down that finds "null rate is fine
+  globally but 40% in one source" failures that global gates
+  structurally cannot see (Simpson-style masking).
+
+Scale notes: ``join_profile`` aggregates each side to per-key counts
+first (map-side combinable), then joins the two *key-counts* frames —
+the shuffle carries one row per distinct key, never the fact rows.
+``worst_segments`` is one aggregation plus a broadcast of the 1-row
+global frame. No collect, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["join_profile", "worst_segments"]
+
+
+def join_profile(
+    left: DataFrame, right: DataFrame, key: str
+) -> DataFrame:
+    """One-row relationship profile of ``left`` vs ``right`` on
+    ``key``: cardinality class ('1:1' | '1:N' | 'N:1' | 'M:N'),
+    max/avg fanout per side, matched-key count, orphan-key counts, and
+    the exact row count an inner join on ``key`` would produce
+    (Σ left_count·right_count over matched keys — the row-explosion
+    estimate to check BEFORE running the join)."""
+    lc = left.groupBy(key).agg(F.count(F.lit(1)).alias("lc"))
+    rc = right.groupBy(key).agg(F.count(F.lit(1)).alias("rc"))
+    j = lc.join(rc, key, "full_outer").select(
+        F.col("lc"), F.col("rc")
+    )
+    agg = j.agg(
+        F.max("lc").alias("max_left_fanout"),
+        F.max("rc").alias("max_right_fanout"),
+        F.sum(
+            F.when(F.col("lc").isNotNull() & F.col("rc").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("matched_keys"),
+        F.sum(F.when(F.col("rc").isNull(), 1).otherwise(0)).alias(
+            "left_only_keys"
+        ),
+        F.sum(F.when(F.col("lc").isNull(), 1).otherwise(0)).alias(
+            "right_only_keys"
+        ),
+        F.sum(
+            F.when(
+                F.col("lc").isNotNull() & F.col("rc").isNotNull(),
+                F.col("lc") * F.col("rc"),
+            ).otherwise(F.lit(0))
+        ).alias("inner_join_rows"),
+        F.max(
+            F.when(F.col("rc").isNotNull(), F.col("lc")).otherwise(0)
+        ).alias("_ml"),
+        F.max(
+            F.when(F.col("lc").isNotNull(), F.col("rc")).otherwise(0)
+        ).alias("_mr"),
+    )
+    # cardinality judged on MATCHED keys only: orphans affect
+    # completeness (reported separately), not multiplicity
+    card = (
+        F.when((F.col("_ml") <= 1) & (F.col("_mr") <= 1), "1:1")
+        .when(F.col("_ml") <= 1, "1:N")
+        .when(F.col("_mr") <= 1, "N:1")
+        .otherwise("M:N")
+    )
+    return agg.select(
+        card.alias("cardinality"),
+        "max_left_fanout",
+        "max_right_fanout",
+        "matched_keys",
+        "left_only_keys",
+        "right_only_keys",
+        "inner_join_rows",
+    )
+
+
+def worst_segments(
+    df: DataFrame,
+    segment_col: str,
+    metric: Column,
+    metric_name: str = "metric",
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-segment value of an aggregate ``metric`` (any aggregate
+    Column, e.g. ``F.avg(F.col('x').isNull().cast('double'))``) next
+    to the global value, ranked by absolute deviation, top-k. Exposes
+    segments a global gate masks. Output columns: segment (as named),
+    <metric_name>, global_<metric_name>, abs_dev, n_rows."""
+    per = df.groupBy(segment_col).agg(
+        metric.alias(metric_name), F.count(F.lit(1)).alias("n_rows")
+    )
+    glob = df.agg(metric.alias(f"global_{metric_name}"))
+    scored = per.crossJoin(F.broadcast(glob)).select(
+        segment_col,
+        metric_name,
+        f"global_{metric_name}",
+        F.abs(F.col(metric_name) - F.col(f"global_{metric_name}")).alias(
+            "abs_dev"
+        ),
+        "n_rows",
+    )
+    # deterministic: deviation desc, then segment asc tie-break
+    return scored.orderBy(
+        F.col("abs_dev").desc(), F.col(segment_col).asc()
+    ).limit(top_k)

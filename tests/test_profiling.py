@@ -1,0 +1,79 @@
+"""Relationship/segment profiling (operators/profiling.py)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from htm_streamer_spark.operators.profiling import (
+    join_profile,
+    worst_segments,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_join_profile_one_to_n(spark):
+    left = _df(spark, [(i,) for i in range(10)], "k long")
+    right = _df(
+        spark, [(i // 3,) for i in range(30)], "k long"
+    )  # keys 0..9, 3 rows each
+    p = join_profile(left, right, "k").collect()[0]
+    assert p["cardinality"] == "1:N"
+    assert p["max_left_fanout"] == 1 and p["max_right_fanout"] == 3
+    assert p["matched_keys"] == 10
+    assert p["left_only_keys"] == 0 and p["right_only_keys"] == 0
+    assert p["inner_join_rows"] == 30
+
+
+def test_join_profile_m_to_n_explosion_estimate(spark):
+    left = _df(spark, [(1,), (1,), (1,), (2,)], "k long")
+    right = _df(spark, [(1,), (1,), (3,)], "k long")
+    p = join_profile(left, right, "k").collect()[0]
+    assert p["cardinality"] == "M:N"
+    assert p["inner_join_rows"] == 6  # 3*2 on key 1, key 2/3 orphaned
+    assert p["left_only_keys"] == 1 and p["right_only_keys"] == 1
+    # verify the estimate against the actual join
+    assert left.join(right, "k").count() == 6
+
+
+def test_join_profile_orphans_dont_set_cardinality(spark):
+    # left key 9 is duplicated but UNMATCHED: multiplicity on matched
+    # keys is still 1:1
+    left = _df(spark, [(1,), (2,), (9,), (9,)], "k long")
+    right = _df(spark, [(1,), (2,)], "k long")
+    p = join_profile(left, right, "k").collect()[0]
+    assert p["cardinality"] == "1:1"
+    assert p["max_left_fanout"] == 2  # reported, just not classifying
+    assert p["left_only_keys"] == 1
+
+
+def test_join_profile_one_to_one(spark):
+    left = _df(spark, [(i,) for i in range(5)], "k long")
+    right = _df(spark, [(i,) for i in range(5)], "k long")
+    p = join_profile(left, right, "k").collect()[0]
+    assert p["cardinality"] == "1:1" and p["inner_join_rows"] == 5
+
+
+def test_worst_segments_finds_masked_segment(spark):
+    # global null-ish rate is low, one segment is 100% bad
+    rows = [("ok%d" % (i % 9), 0.0) for i in range(900)]
+    rows += [("bad", 1.0) for _ in range(100)]
+    df = _df(spark, rows, "seg string, flag double")
+    out = worst_segments(
+        df, "seg", F.round(F.avg("flag"), 6), "bad_rate", top_k=3
+    ).collect()
+    assert out[0]["seg"] == "bad"
+    assert out[0]["bad_rate"] == 1.0
+    assert out[0]["global_bad_rate"] == 0.1
+    assert out[0]["abs_dev"] == 0.9
+    assert out[0]["n_rows"] == 100
+    # the remaining segments all deviate equally; tie-break is by name
+    assert [r["seg"] for r in out[1:]] == ["ok0", "ok1"]
+
+
+def test_worst_segments_respects_top_k(spark):
+    rows = [(f"s{i:02d}", float(i)) for i in range(30) for _ in range(2)]
+    df = _df(spark, rows, "seg string, v double")
+    out = worst_segments(df, "seg", F.avg("v"), "m", top_k=5)
+    assert out.count() == 5
