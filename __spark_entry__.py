@@ -3343,6 +3343,40 @@ FROM per_cust GROUP BY 1
 """
 
 
+def q_profile_metrics_docs(spark, sf_dir):
+    """One-pass long-format profile (operators/metrics_repo.py
+    profile_metrics): row_count + mean/null_rate of n_chars at BOTH
+    the global and per-source levels from a single cube aggregation —
+    the snapshot the MetricsRepository persists per run for cross-run
+    regression gating (run-over-run diffs are pytest-verified in
+    test_metrics_repo.py; this pins the profile itself)."""
+    from htm_streamer_spark.operators.metrics_repo import profile_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_metrics(d, "source", ["n_chars"]).withColumn(
+        "value", F.round("value", 6)
+    )
+
+
+SQL_PROFILE_METRICS = """
+WITH cube_f AS (
+  SELECT coalesce(source, '_global_') AS segment,
+         count(*)::DOUBLE AS row_count,
+         avg(n_chars::DOUBLE) AS mean_n_chars,
+         avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END)
+           AS null_rate_n_chars
+  FROM documents GROUP BY GROUPING SETS ((source), ())
+)
+SELECT metric, segment, round(value, 6) + 0.0 AS value FROM (
+  SELECT 'row_count' AS metric, segment, row_count AS value FROM cube_f
+  UNION ALL
+  SELECT 'mean_n_chars', segment, mean_n_chars FROM cube_f
+  UNION ALL
+  SELECT 'null_rate_n_chars', segment, null_rate_n_chars FROM cube_f
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -3430,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_profile_orders": q_join_profile_orders,
         "worst_segments_docs": q_worst_segments_docs,
         "order_count_dist": q_order_count_dist,
+        "profile_metrics_docs": q_profile_metrics_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3528,6 +3563,7 @@ def oracle_sql() -> dict[str, str]:
         "join_profile_orders": SQL_JOIN_PROFILE,
         "worst_segments_docs": SQL_WORST_SEGMENTS,
         "order_count_dist": SQL_ORDER_COUNT_DIST,
+        "profile_metrics_docs": SQL_PROFILE_METRICS,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
