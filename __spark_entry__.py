@@ -3377,6 +3377,119 @@ SELECT metric, segment, round(value, 6) + 0.0 AS value FROM (
 """
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: monthly share of revenue from promo-branded
+    parts — conditional aggregation over a fact⋈dim join. The part
+    side is left UNHINTED: AQE broadcasts it at bench scale and
+    shuffle-joins past the threshold (forcing broadcast of a
+    web-scale part dim would OOM). Month filter pushed into the
+    lineitem scan."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev)
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) + 0.0
+         AS promo_share_pct,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+
+def q_forecast_revenue_lineitem(spark, sf_dir):
+    """TPC-H Q6 shape: revenue delta from a discount-band what-if —
+    THE predicate-pushdown query: all three range filters
+    (shipdate year, discount band, quantity cap) reach the parquet
+    scan (plan-asserted in tests/test_plans.py lineage: PushedFilters),
+    and the aggregation is a single map-side-combinable sum."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 6) + 0.0 AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_user_growth_events(spark, sf_dir):
+    """New-user growth curve: per day, the count of FIRST-SEEN users
+    plus the cumulative total — the running-count-distinct shape done
+    scalably (exact running distinct is impossible map-side; the
+    first-seen reduction makes it one user-keyed agg + a
+    days-sized cumulative window, never a per-row distinct state)."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        # ISO string: engine-independent day representation (python
+        # date objects vs datetime64 hash differently)
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+SQL_USER_GROWTH = """
+WITH fs AS (
+  SELECT user_id, min(ts::DATE) AS first_day FROM events GROUP BY 1
+),
+pd AS (SELECT first_day, count(*)::BIGINT AS new_users FROM fs GROUP BY 1)
+SELECT strftime(first_day, '%Y-%m-%d') AS first_day, new_users,
+       sum(new_users) OVER (ORDER BY first_day
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM pd
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -3465,6 +3578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "worst_segments_docs": q_worst_segments_docs,
         "order_count_dist": q_order_count_dist,
         "profile_metrics_docs": q_profile_metrics_docs,
+        "promo_revenue": q_promo_revenue,
+        "forecast_revenue_lineitem": q_forecast_revenue_lineitem,
+        "user_growth_events": q_user_growth_events,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3564,6 +3680,9 @@ def oracle_sql() -> dict[str, str]:
         "worst_segments_docs": SQL_WORST_SEGMENTS,
         "order_count_dist": SQL_ORDER_COUNT_DIST,
         "profile_metrics_docs": SQL_PROFILE_METRICS,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "forecast_revenue_lineitem": SQL_FORECAST_REVENUE,
+        "user_growth_events": SQL_USER_GROWTH,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
