@@ -3280,16 +3280,18 @@ def q_worst_segments_docs(spark, sf_dir):
     """Segment drill-down (operators/profiling.py worst_segments):
     short-document rate (n_chars < 100) per source vs the global rate,
     top-10 by absolute deviation — surfaces the per-segment failures a
-    global quality gate masks (Simpson-style). One aggregation + a
-    broadcast of the 1-row global frame."""
-    from htm_streamer_spark.operators.profiling import worst_segments
+    global quality gate masks (Simpson-style). The mean-decomposable
+    path: global rate derived from the per-segment sums, so documents
+    is scanned ONCE (the generic-aggregate path needs two scans)."""
+    from htm_streamer_spark.operators.profiling import worst_segments_mean
 
     d = _t(spark, sf_dir, "documents")
-    metric = F.round(
-        F.avg((F.col("n_chars") < 100).cast("double")), 6
-    )
-    return worst_segments(
-        d, "source", metric, metric_name="short_rate", top_k=10
+    return worst_segments_mean(
+        d,
+        "source",
+        (F.col("n_chars") < 100).cast("double"),
+        metric_name="short_rate",
+        top_k=10,
     )
 
 

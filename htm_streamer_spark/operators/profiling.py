@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["join_profile", "worst_segments"]
+__all__ = ["join_profile", "worst_segments", "worst_segments_mean"]
 
 
 def join_profile(
@@ -103,6 +103,49 @@ def worst_segments(
         metric.alias(metric_name), F.count(F.lit(1)).alias("n_rows")
     )
     glob = df.agg(metric.alias(f"global_{metric_name}"))
+    return _rank_segments(per, glob, segment_col, metric_name, top_k)
+
+
+def worst_segments_mean(
+    df: DataFrame,
+    segment_col: str,
+    value: Column,
+    metric_name: str = "metric",
+    top_k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """`worst_segments` specialized to MEAN metrics (rates, averages —
+    the common case): because a mean decomposes as Σv/Σn, the global
+    value derives from the per-segment sums, so the fact table is
+    scanned ONCE (the generic version necessarily scans twice; at
+    100 TB that second scan is the whole cost). ``value`` is a per-row
+    expression (e.g. ``(col('x') < 100).cast('double')``)."""
+    per = df.groupBy(segment_col).agg(
+        F.sum(value.cast("double")).alias("_sum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).persist()
+    glob = per.agg(
+        F.round(F.sum("_sum") / F.sum("n_rows"), decimals).alias(
+            f"global_{metric_name}"
+        )
+    )
+    seg_metric = per.select(
+        segment_col,
+        F.round(F.col("_sum") / F.col("n_rows"), decimals).alias(
+            metric_name
+        ),
+        "n_rows",
+    )
+    return _rank_segments(seg_metric, glob, segment_col, metric_name, top_k)
+
+
+def _rank_segments(
+    per: DataFrame,
+    glob: DataFrame,
+    segment_col: str,
+    metric_name: str,
+    top_k: int,
+) -> DataFrame:
     scored = per.crossJoin(F.broadcast(glob)).select(
         segment_col,
         metric_name,

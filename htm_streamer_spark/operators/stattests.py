@@ -161,6 +161,10 @@ def benford_divergence(
     obs = pos.groupBy(F.col(group_col), digit.alias("digit")).agg(
         F.count(F.lit(1)).alias("obs")
     )
+    # persist the ≤ 9·|groups|-row counts frame: totals and the grid
+    # both derive from it, and without the persist each derivation
+    # re-scans the fact table
+    obs = obs.persist()
     totals = obs.groupBy(group_col).agg(F.sum("obs").alias("n"))
     spine = obs.sparkSession.range(1, 10).select(
         F.col("id").cast("int").alias("digit"),

@@ -77,3 +77,40 @@ def test_worst_segments_respects_top_k(spark):
     df = _df(spark, rows, "seg string, v double")
     out = worst_segments(df, "seg", F.avg("v"), "m", top_k=5)
     assert out.count() == 5
+
+
+def test_worst_segments_mean_matches_generic_single_scan(spark, tmp_path):
+    rows = [("s%d" % (i % 7), float(i % 13 < 2)) for i in range(700)]
+    _df(spark, rows, "seg string, flag double").write.parquet(
+        str(tmp_path / "t")
+    )
+    df = spark.read.parquet(str(tmp_path / "t"))
+    generic = worst_segments(
+        df, "seg", F.round(F.avg("flag"), 6), "rate", top_k=7
+    ).collect()
+    from htm_streamer_spark.operators.profiling import worst_segments_mean
+
+    mean_df = worst_segments_mean(df, "seg", F.col("flag"), "rate", top_k=7)
+    assert sorted(map(tuple, mean_df.collect())) == sorted(
+        map(tuple, generic)
+    )
+    # the specialization's point: ONE parquet scan of the fact table
+    # (the generic path needs two); the persisted per-segment frame
+    # shows up as InMemoryTableScan re-reads, not source scans.
+    # formatted explain dedups operator nodes (raw toString repeats
+    # the cached subtree at every reference)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    def n_scans(frame):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            frame.explain("formatted")
+        return len(re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.M))
+
+    assert n_scans(mean_df) <= 1
+    assert (
+        n_scans(worst_segments(df, "seg", F.round(F.avg("flag"), 6), "rate", 7))
+        == 2
+    )

@@ -12,6 +12,7 @@ parallelism levels, each in its own JVM subprocess, best-of-``repeats``:
 - tfidf          (ranking family: tokenize -> tf -> df -> window top-k)
 - global_shuffle (order-index family: bucket counts -> offsets -> rank)
 - unigram_nll    (LM family: tokenize -> corpus counts -> model join -> agg)
+- spearman       (rank-stats family: per-group sort windows + power sums)
 
 Usage: python tools/ops_scaling_bench.py [repeats] [lo] [hi]
 Writes BENCH/ops_scaling.json.
@@ -69,6 +70,12 @@ def run(name):
         # -> join back -> per-doc rollup
         from htm_streamer_spark.operators.repetition import cross_doc_dup_spans
         df = cross_doc_dup_spans(d, n=5, min_docs=2)
+    elif name == "spearman":
+        # rank-statistics family: two per-group sort windows over the
+        # 500k-row frame (20 source groups) + power-sum agg — the
+        # sort-dominated shape of the stattests/rankstats battery
+        from htm_streamer_spark.operators.rankstats import spearman_corr
+        df = spearman_corr(big, "source", "doc_id", "n_chars")
     else:
         raise ValueError(name)
     t0 = time.time()
@@ -76,7 +83,7 @@ def run(name):
     return time.time() - t0, n
 
 out = {{}}
-for name in ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans"):
+for name in ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman"):
     rows = None
     times = []
     for _ in range(repeats):
