@@ -3492,6 +3492,68 @@ FROM pd
 """
 
 
+def q_suggested_checks_docs(spark, sf_dir):
+    """Constraint-suggestion loop (operators/suggestions.py): profile
+    documents once, derive the spec it satisfies (not-null, padded
+    numeric bounds, exact low-cardinality domains gated by an approx
+    probe), then enforce the whole spec in ONE aggregation pass on the
+    same table — the self-check property (everything passes) plus the
+    exact per-constraint counts, both recomputed independently by the
+    oracle."""
+    from htm_streamer_spark.operators.suggestions import (
+        check_constraints,
+        suggest_constraints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    spec = suggest_constraints(
+        d, ["n_chars"], ["lang", "source"], domain_max=50, pad_frac=0.05
+    )
+    return check_constraints(d, spec)
+
+
+SQL_SUGGESTED_CHECKS = """
+WITH b AS (
+  SELECT min(n_chars)::DOUBLE AS lo, max(n_chars)::DOUBLE AS hi
+  FROM documents
+)
+SELECT constraint_id, "column", kind, n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'n_chars.not_null' AS constraint_id, 'n_chars' AS "column",
+         'not_null' AS kind,
+         (SELECT count(*) FROM documents WHERE n_chars IS NULL)::BIGINT
+           AS n_violations
+  UNION ALL
+  SELECT 'lang.not_null', 'lang', 'not_null',
+         (SELECT count(*) FROM documents WHERE lang IS NULL)::BIGINT
+  UNION ALL
+  SELECT 'source.not_null', 'source', 'not_null',
+         (SELECT count(*) FROM documents WHERE source IS NULL)::BIGINT
+  UNION ALL
+  SELECT 'n_chars.min_bound', 'n_chars', 'min_bound',
+         (SELECT count(*) FROM documents, b
+          WHERE n_chars IS NOT NULL
+            AND n_chars < lo - 0.05 * (hi - lo))::BIGINT
+  UNION ALL
+  SELECT 'n_chars.max_bound', 'n_chars', 'max_bound',
+         (SELECT count(*) FROM documents, b
+          WHERE n_chars IS NOT NULL
+            AND n_chars > hi + 0.05 * (hi - lo))::BIGINT
+  UNION ALL
+  SELECT 'lang.in_domain', 'lang', 'in_domain',
+         (SELECT count(*) FROM documents WHERE lang IS NOT NULL
+          AND lang NOT IN (SELECT DISTINCT lang FROM documents
+                           WHERE lang IS NOT NULL))::BIGINT
+  UNION ALL
+  SELECT 'source.in_domain', 'source', 'in_domain',
+         (SELECT count(*) FROM documents WHERE source IS NOT NULL
+          AND source NOT IN (SELECT DISTINCT source FROM documents
+                             WHERE source IS NOT NULL))::BIGINT
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -3583,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "forecast_revenue_lineitem": q_forecast_revenue_lineitem,
         "user_growth_events": q_user_growth_events,
+        "suggested_checks_docs": q_suggested_checks_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3685,6 +3748,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": SQL_PROMO_REVENUE,
         "forecast_revenue_lineitem": SQL_FORECAST_REVENUE,
         "user_growth_events": SQL_USER_GROWTH,
+        "suggested_checks_docs": SQL_SUGGESTED_CHECKS,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,

@@ -143,3 +143,140 @@ class MetricsRepository:
             ).alias("rel_change"),
             status.alias("status"),
         )
+
+    def control_chart(
+        self,
+        spark: SparkSession,
+        run_id: int,
+        lam: float = 0.3,
+        k: float = 3.0,
+        min_history: int = 3,
+        anchor_n: int = 5,
+    ) -> DataFrame:
+        """Two-gate control chart over the FULL run history (Deequ's
+        anomaly-detection strategies), per (metric, segment):
+
+        - **jump gate** ('anomaly'): current value more than ``k``
+          residual-sigmas from the EWMA forecast of the prior runs
+          (weight ``lam`` on the newest). Catches step changes while
+          tolerating metrics that are just noisy (their sigma is wide).
+        - **drift gate** ('drift'): current value more than ``k``
+          anchor-sigmas from the mean of the FIRST ``anchor_n`` runs
+          (CUSUM-style fixed reference). A slow drift is invisible to
+          any adaptive forecast — the EWMA follows it and the drift
+          inflates its own residual sigma — so only a fixed early
+          anchor can catch "4% per run, forever". The anchor sigma is
+          floored at 0.5% of the anchor level so a zero-noise history
+          doesn't flag measurement dust.
+
+        All array work is JVM-side HOFs (`aggregate` over the sorted
+        run history) on a |metrics|·|segments|-row frame — metadata
+        scale by construction. Keys with fewer than ``min_history``
+        prior runs are reported 'insufficient_history', never flagged.
+        Returns (metric, segment, forecast, sigma, anchor_mean,
+        cur_value, status) with status ∈ {'ok','anomaly','drift',
+        'insufficient_history'}; 'anomaly' wins when both gates fire.
+        """
+        hist = self.history(spark)
+        schema = (
+            "metric string, segment string, forecast double, "
+            "sigma double, anchor_mean double, cur_value double, "
+            "status string"
+        )
+        if hist is None:
+            return spark.createDataFrame([], schema)
+        prior = (
+            hist.filter(F.col("run_id") < run_id)
+            .groupBy("metric", "segment")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("run_id", "value"))
+                ).alias("h")
+            )
+            .select(
+                "metric",
+                "segment",
+                F.transform(F.col("h"), lambda s: s["value"]).alias("xs"),
+            )
+        )
+        # EWMA over the sorted history: fold λ·x + (1−λ)·acc, seeded
+        # with the first observation
+        ewma = F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.element_at(F.col("xs"), 1).cast("double"),
+            lambda acc, x: F.lit(lam) * x + F.lit(1.0 - lam) * acc,
+        )
+        # residual spread of the history against its own running EWMA:
+        # fold carrying (ewma, sum_sq, n) through the sequence
+        resid_state = F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.struct(
+                F.element_at(F.col("xs"), 1).cast("double").alias("m"),
+                F.lit(0.0).alias("ss"),
+                F.lit(0).cast("long").alias("n"),
+            ),
+            lambda acc, x: F.struct(
+                (F.lit(lam) * x + F.lit(1.0 - lam) * acc["m"]).alias("m"),
+                (acc["ss"] + (x - acc["m"]) ** 2).alias("ss"),
+                (acc["n"] + 1).alias("n"),
+            ),
+        )
+        anchor = F.slice(F.col("xs"), 1, anchor_n)
+        anchor_mean = F.aggregate(
+            anchor, F.lit(0.0), lambda a, x: a + x
+        ) / F.size(anchor)
+        scored = prior.select(
+            "metric",
+            "segment",
+            F.size("xs").alias("n_hist"),
+            ewma.alias("forecast"),
+            resid_state.alias("_rs"),
+            anchor_mean.alias("anchor_mean"),
+            anchor.alias("_anchor"),
+        ).select(
+            "metric",
+            "segment",
+            "n_hist",
+            "forecast",
+            F.when(
+                F.col("_rs.n") > 0, F.sqrt(F.col("_rs.ss") / F.col("_rs.n"))
+            ).alias("sigma"),
+            "anchor_mean",
+            F.sqrt(
+                F.aggregate(
+                    F.col("_anchor"),
+                    F.lit(0.0),
+                    lambda a, x: a + (x - F.col("anchor_mean")) ** 2,
+                )
+                / F.size("_anchor")
+            ).alias("anchor_sigma"),
+        )
+        cur = hist.filter(F.col("run_id") == run_id).select(
+            "metric", "segment", F.col("value").alias("cur_value")
+        )
+        j = scored.join(cur, ["metric", "segment"], "inner")
+        dev = F.abs(F.col("cur_value") - F.col("forecast"))
+        anchor_dev = F.abs(F.col("cur_value") - F.col("anchor_mean"))
+        anchor_floor = F.greatest(
+            F.col("anchor_sigma"),
+            F.lit(0.005) * F.abs(F.col("anchor_mean")),
+            F.lit(1e-12),
+        )
+        status = (
+            F.when(F.col("n_hist") < min_history, "insufficient_history")
+            .when(
+                dev > F.lit(k) * F.greatest(F.col("sigma"), F.lit(1e-12)),
+                "anomaly",
+            )
+            .when(anchor_dev > F.lit(k) * anchor_floor, "drift")
+            .otherwise("ok")
+        )
+        return j.select(
+            "metric",
+            "segment",
+            F.round("forecast", 6).alias("forecast"),
+            F.round("sigma", 6).alias("sigma"),
+            F.round("anchor_mean", 6).alias("anchor_mean"),
+            "cur_value",
+            status.alias("status"),
+        )

@@ -124,3 +124,66 @@ def test_tolerances_respected(spark, tmp_path):
     tight_b = {r["metric"]: r["status"] for r in tight if r["segment"] == "b"}
     assert loose_b["mean_v"] == "ok"
     assert tight_b["mean_v"] == "breach"
+
+
+def _save_runs(spark, repo, series):
+    """series: list of (run_id, mean_b-ish value) — store one metric."""
+    for rid, val in series:
+        df = spark.createDataFrame(
+            [("m", "s", float(val))], "metric string, segment string, value double"
+        )
+        repo.save(df, run_id=rid)
+
+
+def test_control_chart_flags_jump_after_stable_history(spark, tmp_path):
+    repo = MetricsRepository(ManifestCatalog(tmp_path / "cat"))
+    noise = [10.0, 10.2, 9.9, 10.1, 10.0, 9.8, 10.1]
+    _save_runs(spark, repo, list(enumerate(noise, start=1)))
+    repo.save(
+        spark.createDataFrame(
+            [("m", "s", 14.0)], "metric string, segment string, value double"
+        ),
+        run_id=8,
+    )
+    out = repo.control_chart(spark, run_id=8).collect()[0]
+    assert out["status"] == "anomaly"
+    assert 9.5 < out["forecast"] < 10.5
+    # a same-noise value is ok
+    repo.save(
+        spark.createDataFrame(
+            [("m", "s", 10.15)], "metric string, segment string, value double"
+        ),
+        run_id=9,
+    )
+    out9 = [
+        r for r in repo.control_chart(spark, run_id=9).collect()
+    ][0]
+    assert out9["status"] == "ok"
+
+
+def test_control_chart_catches_slow_drift_regressions_misses(spark, tmp_path):
+    # +4% per run: the single-prev-run gate at 10% rel_tol never fires,
+    # but the cumulative move away from the EWMA of a long stable
+    # prefix does
+    repo = MetricsRepository(ManifestCatalog(tmp_path / "cat"))
+    vals = [10.0] * 6 + [10.0 * 1.04 ** i for i in range(1, 6)]
+    _save_runs(spark, repo, list(enumerate(vals, start=1)))
+    rid = len(vals)
+    reg = {
+        (r["metric"], r["segment"]): r["status"]
+        for r in repo.regressions(spark, run_id=rid).collect()
+    }
+    assert reg[("m", "s")] == "ok"  # blind to the drift
+    cc = repo.control_chart(spark, run_id=rid).collect()[0]
+    # the adaptive EWMA follows the drift (and the drift inflates its
+    # own residual sigma), so the jump gate stays quiet — the fixed
+    # early-anchor gate is what fires
+    assert cc["status"] == "drift"
+    assert cc["anchor_mean"] == pytest.approx(10.0)
+
+
+def test_control_chart_insufficient_history(spark, tmp_path):
+    repo = MetricsRepository(ManifestCatalog(tmp_path / "cat"))
+    _save_runs(spark, repo, [(1, 10.0), (2, 99.0)])
+    out = repo.control_chart(spark, run_id=2).collect()[0]
+    assert out["status"] == "insufficient_history"
