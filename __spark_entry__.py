@@ -3554,6 +3554,93 @@ FROM (
 """
 
 
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20 — fact filter pushed into the lineitem scan, aggregate
+    BEFORE the customer join (per-orderkey revenue collapses first, so
+    the join input is orders-sized, not lineitem-sized), customer dim
+    unhinted for AQE. Deterministic top-20 via (revenue desc,
+    c_custkey asc) tie-break."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev_per_order = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    per_cust = (
+        rev_per_order.join(o, rev_per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("rev"), 4).alias("revenue"))
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_REVENUE = """
+WITH rpo AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+pc AS (
+  SELECT o_custkey, round(sum(rev), 4) + 0.0 AS revenue
+  FROM rpo JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, revenue
+FROM pc JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): orders whose total
+    lineitem quantity exceeds a threshold, with customer attribution —
+    the HAVING-subquery shape lowered to aggregate-then-semi-join:
+    quantities collapse per orderkey first (map-side combinable), the
+    threshold filter runs on the orders-sized frame, and only
+    qualifying orders join to customer."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = l.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("total_qty")
+    ).filter(F.col("total_qty") > 150)
+    return (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+SQL_BIG_ORDERS = """
+WITH qty AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 4) + 0.0 AS o_totalprice,
+       round(total_qty, 4) + 0.0 AS total_qty
+FROM qty JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -3646,6 +3733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_lineitem": q_forecast_revenue_lineitem,
         "user_growth_events": q_user_growth_events,
         "suggested_checks_docs": q_suggested_checks_docs,
+        "returned_revenue": q_returned_revenue,
+        "big_orders": q_big_orders,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3749,6 +3838,8 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue_lineitem": SQL_FORECAST_REVENUE,
         "user_growth_events": SQL_USER_GROWTH,
         "suggested_checks_docs": SQL_SUGGESTED_CHECKS,
+        "returned_revenue": SQL_RETURNED_REVENUE,
+        "big_orders": SQL_BIG_ORDERS,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,

@@ -184,6 +184,10 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "retention_cohorts_events",
         "chunk_docs",
         "dup_spans_docs",
+        "ks_drift_events",
+        "trend_events",
+        "order_count_dist",
+        "suggested_checks_docs",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
