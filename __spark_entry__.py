@@ -30,6 +30,7 @@ from htm_streamer_spark.config import EngineConfig
 from htm_streamer_spark.operators.dedup import (
     exact_duplicates,
     minhash_near_duplicates,
+    normalized_text,
     simhash_fingerprints,
 )
 from htm_streamer_spark.operators.likelihood import anomaly_likelihood_windowed
@@ -1069,6 +1070,39 @@ SELECT doc_id,
                   THEN (len(g) - len(list_distinct(g))) / len(g)::DOUBLE
                   ELSE 0.0 END + 1e-9, 6) + 0.0 AS dup_frac
 FROM grams
+"""
+
+
+def q_heavy_words_docs(spark, sf_dir):
+    """Two-pass exact heavy hitters (operators/heavy.py): Misra-Gries
+    mapInArrow sketch bounds pass-1 output to sketch_k rows/partition;
+    pass 2 exact-recounts only the broadcast candidate set, so the
+    shuffle never carries the full distinct-word domain. Result equals
+    exact top-20 because the 20th count beats N/sketch_k (asserted in
+    tests/test_heavy.py)."""
+    from htm_streamer_spark.operators.heavy import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(normalized_text(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    top, _ = heavy_hitters(words, "w", k=20, sketch_k=256)
+    return top.select(F.col("value").alias("word"), F.col("cnt"))
+
+
+SQL_HEAVY_WORDS = r"""
+WITH norm AS (
+  SELECT regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+),
+w AS (
+  SELECT t.w FROM norm s, unnest(s.ws) AS t(w) WHERE t.w <> ''
+)
+SELECT w AS word, count(*)::BIGINT AS cnt
+FROM w GROUP BY 1
+ORDER BY cnt DESC, word ASC
+LIMIT 20
 """
 
 
@@ -3735,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggested_checks_docs": q_suggested_checks_docs,
         "returned_revenue": q_returned_revenue,
         "big_orders": q_big_orders,
+        "heavy_words_docs": q_heavy_words_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3840,6 +3875,7 @@ def oracle_sql() -> dict[str, str]:
         "suggested_checks_docs": SQL_SUGGESTED_CHECKS,
         "returned_revenue": SQL_RETURNED_REVENUE,
         "big_orders": SQL_BIG_ORDERS,
+        "heavy_words_docs": SQL_HEAVY_WORDS,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
