@@ -1073,6 +1073,47 @@ FROM grams
 """
 
 
+def q_contaminated_ngram_docs(spark, sf_dir):
+    """Word-n-gram decontamination with NO probe broadcast / driver
+    collect (operators/contamination.py contaminated_pairs_ngram):
+    doc grams ship as (doc_id, xxhash64) into a plain equi-join, the
+    tiny candidate set joins back for an exact array_contains confirm.
+    Probe cardinality unbounded — the path that survives when the eval
+    suite is too big to broadcast."""
+    from htm_streamer_spark.operators.contamination import (
+        contaminated_pairs_ngram,
+        derive_ngram_probes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = derive_ngram_probes(docs, every=13, start=4, n=3)
+    return contaminated_pairs_ngram(docs, probes, n=3)
+
+
+SQL_CONTAMINATED_NGRAM = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                           '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+probes AS (
+  SELECT doc_id AS probe_id, array_to_string(list_slice(ws, 4, 6), ' ') AS gram
+  FROM norm WHERE doc_id % 13 = 0 AND len(ws) >= 6
+),
+grams AS (
+  SELECT doc_id, t.g AS gram
+  FROM (SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                 i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS gs
+        FROM norm) s, unnest(s.gs) AS t(g)
+)
+SELECT DISTINCT g.doc_id, p.probe_id
+FROM grams g JOIN probes p USING (gram)
+WHERE g.doc_id <> p.probe_id
+"""
+
+
 def q_heavy_words_docs(spark, sf_dir):
     """Two-pass exact heavy hitters (operators/heavy.py): Misra-Gries
     mapInArrow sketch bounds pass-1 output to sketch_k rows/partition;
@@ -3770,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": q_returned_revenue,
         "big_orders": q_big_orders,
         "heavy_words_docs": q_heavy_words_docs,
+        "contaminated_ngram_docs": q_contaminated_ngram_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3876,6 +3918,7 @@ def oracle_sql() -> dict[str, str]:
         "returned_revenue": SQL_RETURNED_REVENUE,
         "big_orders": SQL_BIG_ORDERS,
         "heavy_words_docs": SQL_HEAVY_WORDS,
+        "contaminated_ngram_docs": SQL_CONTAMINATED_NGRAM,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,

@@ -21,6 +21,21 @@ Two Spark-first strategies, tested equal:
 Probes longer than a few words are near-unique, so match cardinality
 is tiny; the output pair set is never the bottleneck.
 
+A third strategy removes the one scale ceiling the first two share —
+both materialize the probe set on the driver (collect for the regex,
+broadcast for the nested-loop). ``contaminated_pairs_ngram`` is the
+word-n-gram membership check (the GPT-3/PaLM decontamination unit is
+an n-gram, 8-13 words) with NO driver collect and NO probe broadcast:
+
+1. doc side explodes word n-grams but ships only ``(doc_id,
+   xxhash64(gram))`` — 16 bytes/row — into a plain shuffle hash join
+   against ``(probe_id, xxhash64(gram))``. Probe cardinality is
+   unbounded; the join is an ordinary distributed equi-join.
+2. the (tiny) candidate pairs join back to the corpus on doc_id and
+   are CONFIRMED exactly via ``array_contains`` on the recomputed gram
+   array — hash collisions only ever cost a re-check, never a wrong
+   answer.
+
 Reference analog: the referential/membership checks of the validation
 layer (/root/reference/htm_streamer/validation.py) applied to raw text.
 """
@@ -31,6 +46,8 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from htm_streamer_spark.operators.dedup import _gram_array, normalized_text
 
 
 def derive_probes(
@@ -104,3 +121,65 @@ def contaminated_pairs_regex(
         .filter(F.col("doc_id") != F.col("probe_id"))
         .select("doc_id", "probe_id")
     )
+
+
+def _word_array(text_col: str):
+    return F.filter(
+        F.split(normalized_text(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+
+
+def derive_ngram_probes(
+    docs: DataFrame,
+    text_col: str = "text",
+    every: int = 97,
+    start: int = 4,
+    n: int = 5,
+) -> DataFrame:
+    """Deterministic word-n-gram probe set: from every ``every``-th
+    doc, the n words starting at 1-based word index ``start``. The
+    DuckDB oracle rebuilds the identical table from the same parquet;
+    real pipelines load eval-set n-grams instead."""
+    words = _word_array(text_col)
+    return (
+        docs.filter(F.col("doc_id") % every == 0)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.when(
+                F.size(words) >= start + n - 1,
+                F.concat_ws(" ", F.slice(words, start, n)),
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+
+
+def contaminated_pairs_ngram(
+    docs: DataFrame, probes: DataFrame, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(doc_id, probe_id): documents whose word-n-gram set contains a
+    probe n-gram, excluding the probe's own document — exact, with no
+    driver collect and no probe broadcast (see module docstring).
+
+    Scale shape: the doc-side shuffle carries (doc_id, int64 hash) per
+    DISTINCT gram per doc; the probe side shuffles its own rows; AQE is
+    free to pick broadcast when one side happens to be small, but
+    nothing requires it. The confirm join touches only candidate
+    doc_ids and re-derives the gram array for exactly those rows."""
+    grams = _gram_array(_word_array(text_col), n)
+    doc_side = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("_g")
+    ).select("doc_id", F.xxhash64("_g").alias("_h"))
+    probe_side = probes.select(
+        "probe_id", "gram", F.xxhash64("gram").alias("_h")
+    )
+    cand = (
+        doc_side.join(probe_side, "_h")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select("doc_id", "probe_id", "gram")
+        .distinct()
+    )
+    confirmed = cand.join(docs.select("doc_id", text_col), "doc_id").filter(
+        F.array_contains(_gram_array(_word_array(text_col), n), F.col("gram"))
+    )
+    return confirmed.select("doc_id", "probe_id")

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 
 from htm_streamer_spark.operators.contamination import (
     contaminated_pairs,
+    contaminated_pairs_ngram,
     contaminated_pairs_regex,
+    derive_ngram_probes,
     derive_probes,
 )
 from htm_streamer_spark.operators.repetition import dup_ngram_stats, top_ngram
@@ -56,6 +58,64 @@ def test_regex_variant_escapes_metacharacters(spark):
     got = sorted(map(tuple, contaminated_pairs_regex(docs, probes).collect()))
     # '.' must not match 'X'; '(' must be literal
     assert got == [(0, 7)]
+
+
+def test_ngram_variant_known_answer_word_boundaries(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "xx alpha beta gamma delta epsilon yy"),   # contains the 5-gram
+            (2, "xalpha beta gamma delta epsilon"),        # substring, NOT word gram
+            (3, "alpha beta gamma delta"),                 # too short
+        ],
+    )
+    probes = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon")], "probe_id long, gram string"
+    )
+    got = sorted(map(tuple, contaminated_pairs_ngram(docs, probes, n=5).collect()))
+    assert got == [(0, 9), (1, 9)]
+
+
+def test_ngram_variant_matches_padded_contains_on_corpus(spark):
+    # on single-spaced normalized text, word-n-gram membership equals
+    # ' '||text||' ' CONTAINS ' '||gram||' ' — cross-check the hash-join
+    # path against that independent broadcast formulation on real data
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probes = derive_ngram_probes(docs, every=31, start=4, n=5)
+    a = sorted(map(tuple, contaminated_pairs_ngram(docs, probes, n=5).collect()))
+    padded = (
+        docs.join(
+            F.broadcast(probes),
+            F.contains(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("gram"), F.lit(" ")),
+            )
+            & (F.col("doc_id") != F.col("probe_id")),
+        )
+        .select("doc_id", "probe_id")
+    )
+    b = sorted(map(tuple, padded.collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_ngram_variant_no_probe_broadcast_no_collect(spark):
+    # the plan must not hinge on broadcasting probes: works with the
+    # auto-broadcast threshold disabled (every join falls back to
+    # shuffle joins) and produces the identical answer
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probes = derive_ngram_probes(docs, every=31, start=4, n=5)
+    base = sorted(map(tuple, contaminated_pairs_ngram(docs, probes, n=5).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = sorted(
+            map(tuple, contaminated_pairs_ngram(docs, probes, n=5).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == base
 
 
 def test_derive_probes_deterministic_and_self_excluded(spark):
