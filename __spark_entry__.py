@@ -1073,6 +1073,178 @@ FROM grams
 """
 
 
+def q_late_ship_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders with at least one lineitem shipped >90
+    days after the order date, counted by priority — EXISTS lowered to
+    a LEFT SEMI join (equi-key + cross-side residual predicate stays
+    inside the hash semi-join; each order emits at most once, no
+    distinct needed), then a 5-group aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_LATE_SHIP_PRIORITY = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue lost to small-quantity
+    orders of one brand's parts. The correlated scalar subquery
+    (0.2 * avg qty per part) becomes a per-partkey aggregate joined
+    back — and the brand filter prunes BOTH sides before the heavy
+    join, so the avg is computed only for the brand's parts instead of
+    the whole catalog."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgq = lb.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        lb.join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH lb AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+cut AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut FROM lb GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) + 0.0 AS avg_yearly,
+       count(*)::BIGINT AS n_small
+FROM lb JOIN cut USING (l_partkey)
+WHERE l_quantity < qty_cut
+"""
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a disjunction of brand/size/
+    quantity bands. One lineitem scan, broadcast part join, the OR
+    evaluated as a codegen predicate AFTER the join — with the
+    common-factor conjunct (size>=1, qty<=30) pushed into both scans
+    so Catalyst prunes rows before the join."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = l.filter(F.col("l_quantity") <= 30).join(
+        F.broadcast(p.filter(F.col("p_size") >= 1)),
+        l.l_partkey == p.p_partkey,
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers above the average positive balance
+    who never placed an URGENT order, grouped by market segment. The
+    scalar subquery (global avg) joins in as a broadcast 1-row frame —
+    no driver collect; the "never ordered urgent" test is a LEFT ANTI
+    join with the priority filter pushed into the build-side scan, the
+    only join shape that proves absence without a distinct."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cut = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("bal_cut")
+    )
+    rich = c.join(F.broadcast(cut)).filter(F.col("c_acctbal") > F.col("bal_cut"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_cust,
+       round(sum(c_acctbal), 4) + 0.0 AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_contaminated_ngram_docs(spark, sf_dir):
     """Word-n-gram decontamination with NO probe broadcast / driver
     collect (operators/contamination.py contaminated_pairs_ngram):
@@ -3812,6 +3984,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "heavy_words_docs": q_heavy_words_docs,
         "contaminated_ngram_docs": q_contaminated_ngram_docs,
+        "late_ship_priority": q_late_ship_priority,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -3919,6 +4095,10 @@ def oracle_sql() -> dict[str, str]:
         "big_orders": SQL_BIG_ORDERS,
         "heavy_words_docs": SQL_HEAVY_WORDS,
         "contaminated_ngram_docs": SQL_CONTAMINATED_NGRAM,
+        "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
+        "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+        "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+        "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
