@@ -1073,6 +1073,48 @@ FROM grams
 """
 
 
+def q_running_zscore_events(spark, sf_dir):
+    """Expanding-window z-score per user (streaming/tws.py batch twin —
+    the exact semantics the transformWithStateInPandas processor runs
+    live, state TTL aside): prior-row cumulative moments as ONE window
+    chain, single shuffle on user_id, O(n) running sums."""
+    from htm_streamer_spark.streaming.tws import running_zscore_batch
+
+    e = _t(spark, sf_dir, "events")
+    out = running_zscore_batch(
+        e, "user_id", "ts", "value",
+        order_cols=("event_id",), keep_cols=("event_id",),
+    )
+    return out.select(
+        "event_id",
+        F.col("key").cast("long").alias("user_id"),
+        "n_seen",
+        F.round(F.col("zscore") + F.lit(1e-9), 6).alias("zscore"),
+    )
+
+
+SQL_RUNNING_ZSCORE = """
+WITH b AS (
+  SELECT event_id, user_id, value AS x,
+         count(*) OVER wp AS cprev,
+         sum(value) OVER wp AS s1,
+         sum(value * value) OVER wp AS s2,
+         count(*) OVER wc AS n_seen
+  FROM events
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_seen::BIGINT AS n_seen,
+       round(CASE WHEN cprev >= 2
+                  THEN (x - s1 / cprev)
+                       / sqrt(greatest(s2 / cprev - (s1 / cprev) * (s1 / cprev), 1e-9))
+                  ELSE 0.0 END + 1e-9, 6) + 0.0 AS zscore
+FROM b
+"""
+
+
 def q_late_ship_priority(spark, sf_dir):
     """TPC-H Q4 shape: orders with at least one lineitem shipped >90
     days after the order date, counted by priority — EXISTS lowered to
@@ -3988,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_rich_customers": q_idle_rich_customers,
+        "running_zscore_events": q_running_zscore_events,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -4099,6 +4142,7 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
         "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
         "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+        "running_zscore_events": SQL_RUNNING_ZSCORE,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
