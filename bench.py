@@ -188,6 +188,11 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "trend_events",
         "order_count_dist",
         "suggested_checks_docs",
+        "heavy_words_docs",
+        "contaminated_ngram_docs",
+        "running_zscore_events",
+        "returned_revenue",
+        "big_orders",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
