@@ -1073,6 +1073,59 @@ FROM grams
 """
 
 
+def q_ivm_counts_docs(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): the per-source
+    (count, char-total) view updated from a snapshot_diff delta —
+    removed %13, value-changed %17 (+5 chars), added %19 under shifted
+    keys. Spark maintains INCREMENTALLY (delta-sized shuffles only);
+    the oracle recomputes the view from scratch on the new snapshot —
+    equality IS the IVM invariant."""
+    from htm_streamer_spark.operators.delta import snapshot_diff
+    from htm_streamer_spark.operators.ivm import (
+        grouped_totals,
+        incremental_totals,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    m = F.col("doc_id")
+    kept = d.filter(m % 13 != 0).withColumn(
+        "n_chars",
+        F.when(m % 17 == 0, F.col("n_chars") + 5).otherwise(F.col("n_chars")),
+    )
+    added = d.filter(m % 19 == 0).select(
+        (m + 1000000000).alias("doc_id"),
+        F.lit("synthetic").alias("source"),
+        (F.col("n_chars") + 3).alias("n_chars"),
+    )
+    new = kept.unionByName(added)
+    old_view = grouped_totals(d, ["source"], "n_chars")
+    diff = snapshot_diff(
+        d, new, key_col="doc_id", content_cols=("source", "n_chars")
+    )
+    view = incremental_totals(
+        old_view, d, new, diff, "doc_id", ["source"], "n_chars"
+    )
+    return view.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("total").cast("long").alias("total_chars"),
+    )
+
+
+SQL_IVM_COUNTS = """
+WITH newsnap AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 17 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000, 'synthetic', n_chars + 3
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM newsnap GROUP BY 1
+"""
+
+
 def q_running_zscore_events(spark, sf_dir):
     """Expanding-window z-score per user (streaming/tws.py batch twin —
     the exact semantics the transformWithStateInPandas processor runs
@@ -4031,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_rich_customers": q_idle_rich_customers,
         "running_zscore_events": q_running_zscore_events,
+        "ivm_counts_docs": q_ivm_counts_docs,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
@@ -4143,6 +4197,7 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
         "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "running_zscore_events": SQL_RUNNING_ZSCORE,
+        "ivm_counts_docs": SQL_IVM_COUNTS,
         "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
