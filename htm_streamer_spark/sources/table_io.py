@@ -88,6 +88,41 @@ def list_hive_partition_files(
     return out
 
 
+def _footer_minmax(path: Path, cols: tuple[str, ...]) -> dict:
+    """File-level [min, max] per requested column from the parquet
+    FOOTER (row-group statistics aggregated across groups) — metadata
+    only, no data pages touched. Columns whose statistics are absent
+    or whose values don't JSON-serialize are simply omitted: manifests
+    must stay readable by `json`, and a missing stat only disables
+    pruning for that column, never correctness."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(path)).metadata
+    idx = {md.schema.column(j).name: j for j in range(md.num_columns)}
+    out: dict = {}
+    for col in cols:
+        j = idx.get(col)
+        if j is None:
+            continue
+        mn = mx = None
+        ok = True
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if not ok or mn is None:
+            continue
+        if not isinstance(mn, (int, float, str)) or not isinstance(
+            mx, (int, float, str)
+        ):
+            continue
+        out[col] = [mn, mx]
+    return out
+
+
 class ManifestCatalog:
     """Multi-table catalog under one directory with atomic multi-table
     commits (one manifest swap publishes every staged file — the analog
@@ -104,6 +139,7 @@ class ManifestCatalog:
     def _manifest_path(self) -> Path:
         return self.root / "manifest.json"
 
+
     def _manifest(self) -> dict:
         if not self._manifest_path.exists():
             return {"version": 0, "entries": []}
@@ -112,17 +148,31 @@ class ManifestCatalog:
 
     # -- write path ---------------------------------------------------
 
-    def stage_spark(self, table: str, df: DataFrame, bucket: int | None = None) -> None:
+    def stage_spark(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket: int | None = None,
+        stats_cols: tuple[str, ...] | None = None,
+    ) -> None:
         """Stage a Spark DataFrame as parquet files (not yet visible).
         ``bucket`` tags the staged files with a key-hash bucket id so a
         later merge can rewrite only affected buckets (Iceberg-style
-        copy-on-write granularity)."""
+        copy-on-write granularity). ``stats_cols`` records file-level
+        min/max for those columns in the manifest entry (read from the
+        parquet footers — metadata only, no data scan), enabling
+        :meth:`read_pruned` to skip whole files on range predicates the
+        way Iceberg prunes on its manifest stats."""
         stage_dir = self.root / "data" / f"{table}-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(stage_dir))
         for p in sorted(stage_dir.glob("*.parquet")):
             e = {"table": table, "file": str(p.relative_to(self.root))}
             if bucket is not None:
                 e["bucket"] = int(bucket)
+            if stats_cols:
+                stats = _footer_minmax(p, stats_cols)
+                if stats:
+                    e["stats"] = stats
             self._staged.append(e)
 
     def restage(self, table: str, entries: list[dict]) -> None:
@@ -208,6 +258,51 @@ class ManifestCatalog:
         if not files:
             return None
         return spark.read.parquet(*files)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        latest_only: bool = False,
+        as_of: int | None = None,
+    ) -> tuple[DataFrame | None, dict]:
+        """Range read with manifest-level file skipping: only files
+        whose recorded [min, max] for ``col`` intersects [lo, hi] are
+        handed to the reader (files staged WITHOUT stats are kept —
+        pruning must never be allowed to lose rows). The residual
+        filter is still applied, so correctness never depends on the
+        stats; they only cut the file list. Returns (df, report) where
+        report carries files_total / files_read / files_skipped —
+        the evidence number, mirroring prune_stats in zorder.py."""
+        entries = self.entries(table, latest_only, as_of=as_of)
+        kept = []
+        for e in entries:
+            s = e.get("stats", {}).get(col)
+            if s is None:
+                kept.append(e)
+                continue
+            mn, mx = s
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                continue
+            kept.append(e)
+        report = {
+            "files_total": len(entries),
+            "files_read": len(kept),
+            "files_skipped": len(entries) - len(kept),
+        }
+        if not kept:
+            return None, report
+        df = spark.read.parquet(*[str(self.root / e["file"]) for e in kept])
+        from pyspark.sql import functions as F
+
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df, report
 
     # -- maintenance ---------------------------------------------------
 
