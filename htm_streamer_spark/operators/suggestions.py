@@ -109,7 +109,9 @@ def check_constraints(df: DataFrame, spec: list[dict]) -> DataFrame:
     becomes a conditional sum in the same agg. Returns one row per
     constraint: (constraint_id, column, kind, n_violations, passed)."""
     aggs = [
-        F.sum(_violates(con).cast("long")).alias(f"_v{i}")
+        # coalesce: sum over an EMPTY batch is NULL, and an empty batch
+        # has zero violations, not an unknown count
+        F.coalesce(F.sum(_violates(con).cast("long")), F.lit(0)).alias(f"_v{i}")
         for i, con in enumerate(spec)
     ]
     row = df.agg(*aggs).collect()[0] if aggs else {}
