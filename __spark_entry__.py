@@ -3983,6 +3983,38 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_corr_matrix_lineitem(spark, sf_dir):
+    """One-pass Pearson correlation matrix over lineitem's numeric
+    columns (operators/corrmatrix.py): all C(4,2)=6 pairwise r values
+    from power sums in a SINGLE combinable aggregation — one scan, one
+    reduce round, where the naive df.stat.corr loop runs a job per
+    pair (k² scans at 100 TB). Pairwise-complete null masking; NULL r
+    on degenerate pairs. Extends the reference's per-feature profiling
+    (htm_streamer/validation.py min/max) to cross-column structure."""
+    from htm_streamer_spark.operators.corrmatrix import correlation_matrix
+
+    l = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], round_to=6
+    )
+
+
+SQL_CORR_MATRIX = """
+WITH s AS (SELECT l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS e,
+                  l_discount::DOUBLE AS d, l_tax::DOUBLE AS t FROM lineitem),
+pairs AS (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         count(*)::BIGINT AS n, corr(q, e) AS raw FROM s
+  UNION ALL SELECT 'l_quantity', 'l_discount', count(*)::BIGINT, corr(q, d) FROM s
+  UNION ALL SELECT 'l_quantity', 'l_tax', count(*)::BIGINT, corr(q, t) FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', count(*)::BIGINT, corr(e, d) FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', count(*)::BIGINT, corr(e, t) FROM s
+  UNION ALL SELECT 'l_discount', 'l_tax', count(*)::BIGINT, corr(d, t) FROM s
+)
+SELECT col_a, col_b, n, round(raw + 1e-12, 6) + 0.0 AS r FROM pairs
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -4089,6 +4121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blamed_suppliers": q_blamed_suppliers,
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -4202,6 +4235,7 @@ def oracle_sql() -> dict[str, str]:
         "blamed_suppliers": SQL_BLAMED_SUPPLIERS,
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
+        "corr_matrix_lineitem": SQL_CORR_MATRIX,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
