@@ -4015,6 +4015,243 @@ SELECT col_a, col_b, n, round(raw + 1e-12, 6) + 0.0 AS r FROM pairs
 """
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (two-nation trade volume by year): supplier and
+    customer nation dims are pre-filtered to the two nations of
+    interest BEFORE touching the fact (both join build sides shrink
+    25×), the shipdate band is pushed into the lineitem scan, and the
+    cross-pair predicate runs post-join as one codegen filter. Joins
+    unhinted — AQE broadcasts the pruned dims at bench scale and
+    shuffle-joins past the threshold."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): of ECONOMY-part revenue
+    sold into ASIA-region customers per order year, the share supplied
+    from NATION_3. The part-type filter prunes the fact FIRST (the
+    most selective join), the region membership prunes customers
+    through two stacked dim joins, and the share is a conditional-sum
+    ratio in one aggregation — the 6-table join tree Catalyst reorders
+    freely because every dim is declared, not hand-scheduled."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    asia = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(asia, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT year(o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) + 0.0 AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate BETWEEN '1996-01-01' AND '1997-12-31'
+GROUP BY 1
+"""
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by interval revenue): the view
+    becomes a per-suppkey aggregate over the shipdate-pruned scan; the
+    global max joins back as a broadcast 1-row frame (no driver
+    collect, same pattern as idle_rich_customers' scalar cut).
+    Revenue rounds to 4 BEFORE the max comparison so both engines
+    resolve near-ties identically."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue + 0.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_checksum_orders(spark, sf_dir):
+    """Order-independent cross-engine content digest of orders per
+    orderstatus (operators/checksum.py): canonical row rendering →
+    60-bit md5 → exact-arithmetic SUM mod 10^18. One scan, map-side
+    combinable, no sort — the replica/snapshot equality check that
+    works at 10^12 rows. The oracle recomputing the digest from the
+    documented canonical form IS the cross-engine claim."""
+    from htm_streamer_spark.operators.checksum import table_digest
+
+    o = _t(spark, sf_dir, "orders")
+    return table_digest(
+        o,
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"],
+        group_by="o_orderstatus",
+    )
+
+
+SQL_CHECKSUM_ORDERS = r"""
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_rows,
+       (sum(('0x' || substr(md5(concat_ws(chr(31),
+              coalesce(o_orderkey::VARCHAR, chr(1)),
+              coalesce(o_custkey::VARCHAR, chr(1)),
+              coalesce(o_totalprice::DECIMAL(28,6)::VARCHAR, chr(1)),
+              coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), chr(1)),
+              coalesce(o_orderpriority, chr(1)))), 1, 15))::BIGINT)::HUGEINT
+        % 1000000000000000000)::BIGINT AS digest
+FROM orders GROUP BY 1
+"""
+
+
+_RP_OUT_DIM, _RP_SEED = 8, 7
+
+
+def q_rp_embeddings(spark, sf_dir):
+    """Seeded JL random projection of the 64-dim embeddings to 8 dims
+    (operators/projection.py): the Rademacher matrix ships as column
+    literals, each output dim one codegen zip_with/aggregate fold —
+    one scan, ZERO shuffle, no UDF. Long format keeps the comparison
+    scalar; the oracle rebuilds the identical matrix from the same
+    seed."""
+    from htm_streamer_spark.operators.projection import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    return random_projection(
+        e, "vec_id", "embedding", in_dim=64, out_dim=_RP_OUT_DIM, seed=_RP_SEED,
+        round_to=6,
+    )
+
+
+def _sql_rp_embeddings() -> str:
+    from htm_streamer_spark.operators.projection import rademacher_matrix
+
+    mat = rademacher_matrix(_RP_OUT_DIM, 64, seed=_RP_SEED)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(w)) for w in mat[j])}]::DOUBLE[])"
+        for j in range(_RP_OUT_DIM)
+    )
+    return f"""
+WITH m(j, w) AS (VALUES {rows})
+SELECT e.vec_id, m.j,
+       round(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), m.w)
+             + 1e-12, 6) + 0.0 AS value
+FROM embeddings e CROSS JOIN m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -4122,6 +4359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_sources_docs": q_fuzzy_sources_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "top_supplier": q_top_supplier,
+        "checksum_orders": q_checksum_orders,
+        "rp_embeddings": q_rp_embeddings,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -4236,6 +4478,11 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_sources_docs": SQL_FUZZY_SOURCES,
         "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
         "corr_matrix_lineitem": SQL_CORR_MATRIX,
+        "volume_shipping": SQL_VOLUME_SHIPPING,
+        "market_share": SQL_MARKET_SHARE,
+        "top_supplier": SQL_TOP_SUPPLIER,
+        "checksum_orders": SQL_CHECKSUM_ORDERS,
+        "rp_embeddings": _sql_rp_embeddings(),
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness
