@@ -1097,11 +1097,18 @@ def q_ivm_counts_docs(spark, sf_dir):
         F.lit("synthetic").alias("source"),
         (F.col("n_chars") + 3).alias("n_chars"),
     )
-    new = kept.unionByName(added)
+    # In production both snapshots are materialized tables and the diff
+    # is delta-sized; here `new` is DERIVED from `d`, so without a
+    # persist every downstream reference re-derives it and the plan
+    # re-scans documents 13× (caught by test_plan_lint's scan bound).
+    # Persisting exactly (new, diff) mirrors the real shape: snapshots
+    # read at most twice (hash pass + semi-join pull), diff once each
+    # side.
+    new = kept.unionByName(added).persist()
     old_view = grouped_totals(d, ["source"], "n_chars")
     diff = snapshot_diff(
         d, new, key_col="doc_id", content_cols=("source", "n_chars")
-    )
+    ).persist()
     view = incremental_totals(
         old_view, d, new, diff, "doc_id", ["source"], "n_chars"
     )
@@ -4252,6 +4259,58 @@ FROM embeddings e CROSS JOIN m
 """
 
 
+def q_leak_split_docs(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.py
+    leakage_safe_split): the split unit is the near-dup CLUSTER, so a
+    test doc can never have a near-copy in train — the leakage a
+    doc-level hash split silently permits. Connected components over
+    the confirmed MinHash pair list, then the standard content-hash
+    split keyed on cluster_id (zero-shuffle projection). Oracle:
+    recursive-CTE transitive closure + the identical md5 bucket
+    recipe on the closure's cluster id."""
+    from htm_streamer_spark.operators.dedup import minhash_near_duplicates
+    from htm_streamer_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5, method="md5")
+    out = leakage_safe_split(
+        d.select("doc_id"), pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+SQL_LEAK_SPLIT = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({SQL_MINHASH_PAIRS}) q
+  UNION
+  SELECT doc_b, doc_a FROM ({SQL_MINHASH_PAIRS}) q2
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+m AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         ('0x'||substr(md5(cluster_id::VARCHAR || ':split-v1'), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM m
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -4364,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "checksum_orders": q_checksum_orders,
         "rp_embeddings": q_rp_embeddings,
+        "leak_split_docs": q_leak_split_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -4483,6 +4543,7 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": SQL_TOP_SUPPLIER,
         "checksum_orders": SQL_CHECKSUM_ORDERS,
         "rp_embeddings": _sql_rp_embeddings(),
+        "leak_split_docs": SQL_LEAK_SPLIT,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -228,3 +228,35 @@ def weighted_systematic_sample(
         F.col("__w").alias("weight"),
         F.col("__s").cast("long").alias("cum_before"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    method: str = "md5",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """:func:`hash_split` with the near-duplicate CLUSTER as the split
+    unit: every member of a connected near-dup component lands on the
+    SAME side, so a test doc can never have a near-copy in train —
+    the leakage a doc-level split silently permits (near-dups are
+    precisely the rows most likely to exist; arXiv v1/v2, mirrored
+    pages, boilerplate variants).
+
+    Composition: connected components over the pair list →
+    (doc, cluster) mapping (docs in no pair are their own cluster) →
+    the standard content-hash split keyed on ``cluster_id``. Adds the
+    clustering's label-propagation rounds; the split itself stays a
+    zero-shuffle projection. Returns docs + ``cluster_id`` + ``split``.
+    """
+    from htm_streamer_spark.operators.clustering import dedup_clusters
+
+    cc = dedup_clusters(docs.select(F.col(id_col).alias("doc_id")), pairs, src, dst)
+    mapped = docs.join(
+        cc.select(F.col("doc_id").alias(id_col), "cluster_id"), id_col
+    )
+    return hash_split(mapped, weights, id_col="cluster_id", salt=salt, method=method)

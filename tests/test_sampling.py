@@ -192,3 +192,37 @@ def test_weighted_sample_partitioning_invariant_and_guards(spark):
     assert {r.doc_id for r in weighted_systematic_sample(wz, k=2, weight_col="n_chars").collect()} == {3}
     with _pytest.raises(ValueError):
         weighted_systematic_sample(df, k=0, weight_col="n_chars")
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Every member of a near-dup component lands on the same side;
+    singleton docs split exactly as a plain hash_split of their own id
+    (cluster_id == doc_id for them)."""
+    from htm_streamer_spark.operators.sampling import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    # chain 0-1-2, pair (10,11), pair (10,12) → component {10,11,12}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (10, 12)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 300
+    for comp in ([0, 1, 2], [10, 11, 12]):
+        sides = {by_id[i].split for i in comp}
+        clusters = {by_id[i].cluster_id for i in comp}
+        assert len(sides) == 1 and clusters == {min(comp)}
+    # singletons: identical assignment to plain hash_split on doc_id
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    for i in range(13, 300):
+        assert by_id[i].split == plain[i]
+    # weights roughly honored over 300 clusters
+    n_train = sum(1 for r in out if r.split == "train")
+    assert 0.7 * 300 < n_train < 0.9 * 300
