@@ -4311,6 +4311,81 @@ FROM b
 """
 
 
+def q_gaps_events(spark, sf_dir):
+    """Ingestion-hole detection (operators/profiling.py time_gaps):
+    hourly slots between each event_type's first and last event with
+    ZERO rows — the feed-dropped-a-window failure row-level checks
+    can't see. Facts touched once (one agg to the bucket grain); the
+    sequence() explode is bounded by groups × slots (metadata-scale),
+    anti-join broadcast-eligible."""
+    from htm_streamer_spark.operators.profiling import time_gaps
+
+    e = _t(spark, sf_dir, "events")
+    return time_gaps(e, "ts", "event_type", bucket="hour")
+
+
+SQL_GAPS_EVENTS = """
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS b
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1
+),
+expected AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gap_start
+  FROM bounds
+)
+SELECT e.event_type, e.gap_start
+FROM expected e LEFT JOIN obs o
+  ON e.event_type = o.event_type AND e.gap_start = o.b
+WHERE o.b IS NULL
+"""
+
+
+def q_dup_component_sizes_docs(spark, sf_dir):
+    """Near-dup component SIZE distribution: (cluster size, number of
+    clusters) over the full corpus — the shape check run before
+    trusting a dedup pass (one giant component usually means the
+    similarity threshold collapsed; millions of pairs is normal,
+    one 10^8-doc cluster is not). Derived from connected components
+    with two metadata-scale aggregations; singletons included (size
+    1 = docs in no pair). Oracle: recursive-CTE transitive closure."""
+    from htm_streamer_spark.operators.clustering import dedup_clusters
+    from htm_streamer_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5, method="md5")
+    cc = dedup_clusters(d, pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+SQL_DUP_COMPONENT_SIZES = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({SQL_MINHASH_PAIRS}) q
+  UNION
+  SELECT doc_b, doc_a FROM ({SQL_MINHASH_PAIRS}) q2
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+m AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+s AS (
+  SELECT cluster_id, count(*)::BIGINT AS size FROM m GROUP BY 1
+)
+SELECT size, count(*)::BIGINT AS n_clusters FROM s GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -4424,6 +4499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checksum_orders": q_checksum_orders,
         "rp_embeddings": q_rp_embeddings,
         "leak_split_docs": q_leak_split_docs,
+        "gaps_events": q_gaps_events,
+        "dup_component_sizes_docs": q_dup_component_sizes_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -4544,6 +4621,8 @@ def oracle_sql() -> dict[str, str]:
         "checksum_orders": SQL_CHECKSUM_ORDERS,
         "rp_embeddings": _sql_rp_embeddings(),
         "leak_split_docs": SQL_LEAK_SPLIT,
+        "gaps_events": SQL_GAPS_EVENTS,
+        "dup_component_sizes_docs": SQL_DUP_COMPONENT_SIZES,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

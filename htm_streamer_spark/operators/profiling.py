@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["join_profile", "worst_segments", "worst_segments_mean"]
+__all__ = ["join_profile", "time_gaps", "worst_segments", "worst_segments_mean"]
 
 
 def join_profile(
@@ -159,3 +159,47 @@ def _rank_segments(
     return scored.orderBy(
         F.col("abs_dev").desc(), F.col(segment_col).asc()
     ).limit(top_k)
+
+
+def time_gaps(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """(group, gap_start): every ``bucket``-grain time slot BETWEEN a
+    group's first and last event that contains NO rows — the
+    ingestion-hole detector (a feed that silently dropped Tuesday's
+    files passes every row-level check; the hole only exists at the
+    bucket grain).
+
+    Shape: one aggregation to the (group, bucket) grain, one min/max
+    reduction per group, then ``sequence()`` EXPLODES the expected
+    slots from the bounds — the expected frame is bounded by
+    groups × slots (metadata-scale: a year of hours is 8,760 rows per
+    group, whatever the fact-table size), and the anti-join against
+    the observed (group, bucket) frame is broadcast-eligible on both
+    sides. The 100 TB of raw rows are touched exactly once, by the
+    first aggregation.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("_b")
+    observed = df.select(F.col(group_col), b).groupBy(group_col, "_b").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    step = {"hour": "interval 1 hour", "day": "interval 1 day",
+            "minute": "interval 1 minute"}[bucket]
+    expected = (
+        observed.groupBy(group_col)
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(
+            group_col,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(step))
+            ).alias("gap_start"),
+        )
+    )
+    return expected.join(
+        observed.select(group_col, F.col("_b").alias("gap_start")),
+        [group_col, "gap_start"],
+        "left_anti",
+    )

@@ -114,3 +114,37 @@ def test_worst_segments_mean_matches_generic_single_scan(spark, tmp_path):
         n_scans(worst_segments(df, "seg", F.round(F.avg("flag"), 6), "rate", 7))
         == 2
     )
+
+
+def test_time_gaps_finds_planted_holes(spark):
+    """Two groups, hourly rows with known missing slots: exactly the
+    planted holes come back, interior-only (nothing before the first
+    or after the last event), dense group reports nothing."""
+    import datetime
+
+    from htm_streamer_spark.operators.profiling import time_gaps
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for h in range(12):
+        if h not in (3, 7, 8):  # planted holes in group a
+            rows.append(("a", t0 + datetime.timedelta(hours=h, minutes=17)))
+        rows.append(("b", t0 + datetime.timedelta(hours=h)))  # dense
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {
+        (r.g, r.gap_start)
+        for r in time_gaps(df, "ts", "g", bucket="hour").collect()
+    }
+    want = {("a", t0 + datetime.timedelta(hours=h)) for h in (3, 7, 8)}
+    assert got == want
+
+
+def test_time_gaps_single_bucket_group_has_no_gaps(spark):
+    import datetime
+
+    from htm_streamer_spark.operators.profiling import time_gaps
+
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1, 5, 30))], "g string, ts timestamp"
+    )
+    assert time_gaps(df, "ts", "g").count() == 0
