@@ -4386,6 +4386,43 @@ SELECT size, count(*)::BIGINT AS n_clusters FROM s GROUP BY 1
 """
 
 
+def q_winsorized_docs(spark, sf_dir):
+    """Per-source winsorized length profile (operators/stats.py
+    winsorize, exact tier): clip n_chars to the source's [p5, p95],
+    then the robust mean — the pre-step that stops one pathological
+    doc from owning a mean-based quality gate. One agg for the bounds
+    (one row per source, broadcast back), one codegen clip, one
+    profile agg. The approx-sketch tier is the 100-TB default; the
+    exact tier shares quantile_cont interpolation with DuckDB."""
+    from htm_streamer_spark.operators.stats import winsorize
+
+    d = _t(spark, sf_dir, "documents")
+    w = winsorize(d, "n_chars", group_col="source", lo=0.05, hi=0.95, exact=True)
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_raw"),
+        F.round(F.avg("n_chars_w"), 6).alias("mean_w"),
+        F.round(F.min("n_chars_w"), 6).alias("lo_w"),
+        F.round(F.max("n_chars_w"), 6).alias("hi_w"),
+    )
+
+
+SQL_WINSORIZED = """
+WITH b AS (
+  SELECT source, quantile_cont(n_chars, 0.05) AS q_lo,
+         quantile_cont(n_chars, 0.95) AS q_hi
+  FROM documents GROUP BY 1
+)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       round(avg(d.n_chars), 6) + 0.0 AS mean_raw,
+       round(avg(least(greatest(d.n_chars::DOUBLE, b.q_lo), b.q_hi)), 6) + 0.0 AS mean_w,
+       round(min(least(greatest(d.n_chars::DOUBLE, b.q_lo), b.q_hi)), 6) + 0.0 AS lo_w,
+       round(max(least(greatest(d.n_chars::DOUBLE, b.q_lo), b.q_hi)), 6) + 0.0 AS hi_w
+FROM documents d JOIN b USING (source)
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -4501,6 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leak_split_docs": q_leak_split_docs,
         "gaps_events": q_gaps_events,
         "dup_component_sizes_docs": q_dup_component_sizes_docs,
+        "winsorized_docs": q_winsorized_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -4623,6 +4661,7 @@ def oracle_sql() -> dict[str, str]:
         "leak_split_docs": SQL_LEAK_SPLIT,
         "gaps_events": SQL_GAPS_EVENTS,
         "dup_component_sizes_docs": SQL_DUP_COMPONENT_SIZES,
+        "winsorized_docs": SQL_WINSORIZED,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

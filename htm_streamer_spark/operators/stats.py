@@ -65,3 +65,57 @@ def column_profile(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.approx_count_distinct("doc_id").alias("approx_distinct_doc_id"),
         F.approx_count_distinct("source").alias("approx_distinct_source"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its [lo, hi] quantiles (per ``group_col``
+    if given) — the heavy-tail tamer applied before any mean-based
+    statistic or score (one 10^9-char pathological doc otherwise owns
+    the corpus mean; dropping outliers loses the rows, clipping keeps
+    them at the boundary).
+
+    Two tiers, same shape as the quantiles operators (SURVEY A1):
+    ``exact=False`` (default) uses ``percentile_approx`` — a mergeable
+    sketch, bounded memory at any group size, the 100-TB path;
+    ``exact=True`` uses exact interpolated ``percentile`` (per-group
+    value buffer — fine at oracle/test scale, engine-portable
+    semantics shared with DuckDB's quantile_cont).
+
+    Plan: one aggregation to the (group, q_lo, q_hi) frame (one row
+    per group — broadcast-eligible), one join back, one codegen
+    least/greatest clip. Adds the value at the boundary, never drops
+    a row; nulls pass through as null.
+    """
+    out_col = out_col or f"{value_col}_w"
+    pct = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, accuracy)
+    )
+    bounds_agg = [
+        pct(F.col(value_col), lo).alias("_q_lo"),
+        pct(F.col(value_col), hi).alias("_q_hi"),
+    ]
+    # greatest/least SKIP nulls (a null value would clip to the lower
+    # bound) — gate explicitly so nulls pass through as null
+    clip = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("_q_lo")),
+            F.col("_q_hi"),
+        ),
+    )
+    if group_col is None:
+        bounds = df.agg(*bounds_agg)
+        joined = df.crossJoin(F.broadcast(bounds))
+    else:
+        bounds = df.groupBy(group_col).agg(*bounds_agg)
+        joined = df.join(F.broadcast(bounds), group_col)
+    return joined.withColumn(out_col, clip).drop("_q_lo", "_q_hi")

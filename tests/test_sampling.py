@@ -226,3 +226,41 @@ def test_leakage_safe_split_cluster_atomicity(spark):
     # weights roughly honored over 300 clusters
     n_train = sum(1 for r in out if r.split == "train")
     assert 0.7 * 300 < n_train < 0.9 * 300
+
+
+def test_winsorize_exact_matches_numpy(spark):
+    """Exact tier == numpy clip at interpolated quantiles; nulls pass
+    through; approx tier lands within the sketch tolerance."""
+    import numpy as np
+
+    from htm_streamer_spark.operators.stats import winsorize
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(100, 10, 500), [10_000.0, -10_000.0]])
+    rows = [(int(i), float(v)) for i, v in enumerate(vals)] + [(9999, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    got = {r.id: r.v_w for r in winsorize(df, "v", lo=0.05, hi=0.95, exact=True).collect()}
+    q_lo, q_hi = np.quantile(vals, [0.05, 0.95])  # linear interpolation
+    want = np.clip(vals, q_lo, q_hi)
+    for i, w in enumerate(want):
+        assert abs(got[i] - w) < 1e-9
+    assert got[9999] is None  # null passes through
+
+    approx = {
+        r.id: r.v_w for r in winsorize(df, "v", lo=0.05, hi=0.95).collect()
+    }
+    # sketch bounds land on real data values near the exact quantile;
+    # every clipped value stays within the data's central range
+    assert max(approx[i] for i in range(len(vals))) <= np.quantile(vals, 0.97)
+    assert min(approx[i] for i in range(len(vals))) >= np.quantile(vals, 0.03)
+
+
+def test_winsorize_grouped_bounds_are_per_group(spark):
+    from htm_streamer_spark.operators.stats import winsorize
+
+    rows = [("a", float(v)) for v in range(101)] + [("b", float(v * 100)) for v in range(101)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", group_col="g", lo=0.0, hi=0.9, exact=True)
+    mx = {r.g: r.mx for r in out.groupBy("g").agg(F.max("v_w").alias("mx")).collect()}
+    assert mx == {"a": 90.0, "b": 9000.0}

@@ -14,8 +14,11 @@ parallelism levels, each in its own JVM subprocess, best-of-``repeats``:
 - unigram_nll    (LM family: tokenize -> corpus counts -> model join -> agg)
 - spearman       (rank-stats family: per-group sort windows + power sums)
 
-Usage: python tools/ops_scaling_bench.py [repeats] [lo] [hi]
-Writes BENCH/ops_scaling.json.
+Usage: python tools/ops_scaling_bench.py [repeats] [lo] [hi] [out.json]
+Writes BENCH/ops_scaling.json (or the given filename under BENCH/).
+SPARK_GRAFT_FAMILIES=a,b restricts to a family subset (used to bench
+newly added families in their own session file without re-running the
+full battery).
 """
 
 from __future__ import annotations
@@ -76,14 +79,48 @@ def run(name):
         # sort-dominated shape of the stattests/rankstats battery
         from htm_streamer_spark.operators.rankstats import spearman_corr
         df = spearman_corr(big, "source", "doc_id", "n_chars")
+    elif name == "table_digest":
+        # scan-bound md5 family: canonical render + hash per row, one
+        # map-side-combinable agg — the shape that should track the
+        # pure-CPU ceiling most closely (no shuffle beyond 1 row/group).
+        # 500k rows hash in <1s (fixed per-job overhead dominates, cf
+        # global_shuffle) so the probe inflates to 4M rows via a
+        # crossJoin replication — compute-dominated at every level
+        from htm_streamer_spark.operators.checksum import table_digest
+        wide8 = big.crossJoin(
+            big.sparkSession.range(8).select(F.col("id").alias("rep"))
+        ).select(
+            (F.col("doc_id") * 8 + F.col("rep")).alias("doc_id"),
+            "source", "n_chars", "lang",
+        )
+        df = table_digest(wide8, ["doc_id", "source", "n_chars"], group_by="lang")
+    elif name == "corr_matrix":
+        # power-sum aggregation family: 6 pairwise correlations = 37
+        # conditional sums in ONE agg, single reduce; inflated to 4M
+        # rows for the same per-job-overhead reason as table_digest
+        from htm_streamer_spark.operators.corrmatrix import correlation_matrix
+        wide = big.crossJoin(
+            big.sparkSession.range(8).select(F.col("id").alias("rep"))
+        ).select(
+            (F.col("n_chars") + F.col("rep")).alias("n_chars"),
+            F.length("text").alias("text_len"),
+            (F.col("doc_id") % 997).alias("id_mod"),
+            ((F.col("n_chars") * (F.col("rep") + 1)) % 101).alias("chars_mod"),
+        )
+        df = correlation_matrix(wide, ["n_chars", "text_len", "id_mod", "chars_mod"])
     else:
         raise ValueError(name)
     t0 = time.time()
     n = df.count()
     return time.time() - t0, n
 
+import os as _os
+_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix")
+_only = _os.environ.get("SPARK_GRAFT_FAMILIES")
+if _only:
+    _names = tuple(n for n in _names if n in _only.split(","))
 out = {{}}
-for name in ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman"):
+for name in _names:
     rows = None
     times = []
     for _ in range(repeats):
@@ -168,7 +205,7 @@ def main() -> None:
         report["speedup"][name] = round(s, 2)
         report.setdefault("raw_eff", {})[name] = round(s / (hi / lo), 2)
         report.setdefault("normalized_eff", {})[name] = round(s / hw_speedup, 2)
-    out = REPO / "BENCH" / "ops_scaling.json"
+    out = REPO / "BENCH" / (sys.argv[4] if len(sys.argv) > 4 else "ops_scaling.json")
     out.write_text(json.dumps(report, indent=1))
     print("wrote", out, json.dumps(report["speedup"]), json.dumps(report["raw_eff"]))
 
