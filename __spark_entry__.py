@@ -62,6 +62,9 @@ SQL_MULTIMODAL_GOLDEN = (
 SQL_KMEANS_GOLDEN = (
     f"SELECT * FROM read_parquet('{GOLDEN_DIR}/kmeans_embeddings.sf0.01.parquet')"
 )
+SQL_SEMDEDUP_GOLDEN = (
+    f"SELECT * FROM read_parquet('{GOLDEN_DIR}/semdedup_embeddings.sf0.01.parquet')"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2664,6 +2667,22 @@ def q_kmeans_embeddings(spark, sf_dir):
     return kmeans_cluster_profile(e, n_clusters=8)
 
 
+def q_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/semdedup.py): k-means-blocked
+    within-cluster cosine pruning — per-vector (cluster_id, cent_sim,
+    kept) verdicts under the paper's keep-least-prototypical policy
+    (Abbas et al. 2023, arXiv:2303.09540). Seeded training sample +
+    id-sorted per-cluster matmul make it bit-deterministic, so the
+    oracle is a golden parquet (tools/make_goldens.py), same mechanism
+    as IVF/PQ/kmeans."""
+    from htm_streamer_spark.operators.semdedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    # eps tuned to the synthetic corpus's cosine range (max pairwise sim
+    # ~0.51; 0.40 drops ~5% — a non-trivial verdict set at sf0.01)
+    return semantic_dedup(e, n_clusters=8, eps=0.40, train_sample=1000)
+
+
 def q_top_orders_per_segment(spark, sf_dir):
     """Top-3 orders by total price per customer market segment,
     expressed through the spark.sql SURFACE (temp views + ANSI window
@@ -4487,6 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "shuffle_docs": q_shuffle_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "top_orders_per_segment": q_top_orders_per_segment,
         "region_revenue": q_region_revenue,
         "unigram_nll_docs": q_unigram_nll_docs,
@@ -4610,6 +4630,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events": SQL_PIVOT_EVENTS,
         "shuffle_docs": SQL_SHUFFLE_DOCS,
         "kmeans_embeddings": SQL_KMEANS_GOLDEN,
+        "semdedup_embeddings": SQL_SEMDEDUP_GOLDEN,
         "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
         "region_revenue": SQL_REGION_REVENUE,
         "unigram_nll_docs": SQL_UNIGRAM_NLL,

@@ -36,6 +36,7 @@ def entry_mod():
         "multimodal_features",
         "pq_topk_embeddings",
         "kmeans_embeddings",
+        "semdedup_embeddings",
     ],
 )
 def test_golden_matches_live_query(spark, entry_mod, name):

@@ -37,6 +37,7 @@ GOLDEN_QUERIES = (
     "multimodal_features",
     "pq_topk_embeddings",
     "kmeans_embeddings",
+    "semdedup_embeddings",
 )
 
 
@@ -47,7 +48,8 @@ def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="make-goldens", cores=8)
     qs = entry_mod.queries()
-    for name in GOLDEN_QUERIES:
+    names = sys.argv[1:] or GOLDEN_QUERIES
+    for name in names:
         pdf = qs[name](spark, SF_DIR).toPandas()
         out = GOLDEN_DIR / f"{name}.sf0.01.parquet"
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), out)
