@@ -35,6 +35,7 @@ ARROW_OK = {
     "lsh_topk_wide_embeddings",
     "multimodal_features",
     "pq_topk_embeddings",
+    "semdedup_embeddings",
     "simhash_docs",
     "simhash_pairs_docs",
     "validation_verdicts",
