@@ -4211,6 +4211,266 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): the correlated
+    MIN-subquery becomes one (part, supplier) aggregate plus a window
+    min per part — the offers frame is aggregated ONCE and the
+    correlated comparison is a zero-join window equality, not a
+    re-scan per part. Part and region-pruned supplier dims shrink
+    before touching the fact (AQE broadcasts both); the unit-price
+    min compares unrounded doubles computed with identical operand
+    order in both engines, rounding only the published column."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    eu = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(eu, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "s_name", "n_name",
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH offers AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT o.pk AS p_partkey, s_name, n_name,
+       round(unit_price, 6) + 0.0 AS unit_price
+FROM offers o
+JOIN supplier ON o.sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE unit_price = (SELECT min(unit_price) FROM offers oo WHERE oo.pk = o.pk)
+"""
+
+
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year):
+    profit = revenue − a part-cost proxy (``p_retailprice·qty·0.1`` —
+    the testdata carries no partsupp table, cited deviation). The
+    name-LIKE filter prunes part FIRST so the most selective dim
+    drives the join order; supplier→nation resolves the group key
+    via broadcast; orders joins only for the year column."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1), 4) + 0.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (value-concentration screen): per-part shipped
+    quantity from one nation's suppliers, kept only where it exceeds
+    a fixed fraction of the nation's total — the HAVING-vs-scalar-
+    subquery lowered to ONE aggregate reused for both sides (the
+    total is a 1-row broadcast re-aggregated from the per-part frame,
+    not a second scan). Quantities are integral doubles so the
+    threshold comparison is exact in both engines."""
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("total_value") * F.lit(0.001))
+        .select("p_partkey", F.round("value", 4).alias("value"))
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey, sum(l_quantity) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT p_partkey, round(value, 4) + 0.0 AS value
+FROM per_part
+WHERE value > (SELECT sum(value) FROM per_part) * 0.001
+"""
+
+
+def q_supplier_cnt_parts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count per part attribute): the NOT-IN
+    complaints subquery lowered to a broadcast LEFT ANTI join (the
+    excluded-supplier set is dim-sized), then COUNT(DISTINCT suppkey)
+    per (brand, size) — a two-phase distinct aggregate Spark plans as
+    partial-distinct + final, no row explosion."""
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_CNT_PARTS = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q_excess_ship_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (excess-share suppliers): suppliers who shipped
+    >20% of a part's total 1996 quantity for any 'small%' part, kept
+    via an aggregate-to-aggregate join per partkey (the correlated
+    half-of-availqty threshold, with lineitem standing in for the
+    absent partsupp), then DISTINCT suppliers semi-joined into the
+    nation-filtered dim. Integral quantities make the 0.2·total
+    comparison exact in both engines."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    l96 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_supp = l96.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = l96.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
+    heavy = (
+        per_supp.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > F.col("part_qty") * F.lit(0.2))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return sn.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+
+
+SQL_EXCESS_SHIP_SUPPLIERS = """
+WITH l96 AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+),
+per_supp AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM l96 GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, sum(l_quantity) AS part_qty FROM l96 GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT DISTINCT ps.l_suppkey
+    FROM per_supp ps JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+    WHERE ps.supp_qty > pp.part_qty * 0.2
+  )
+"""
+
+
 def q_checksum_orders(spark, sf_dir):
     """Order-independent cross-engine content digest of orders per
     orderstatus (operators/checksum.py): canonical row rendering →
@@ -4553,6 +4813,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
         "top_supplier": q_top_supplier,
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_profit": q_nation_profit,
+        "important_parts": q_important_parts,
+        "supplier_cnt_parts": q_supplier_cnt_parts,
+        "excess_ship_suppliers": q_excess_ship_suppliers,
         "checksum_orders": q_checksum_orders,
         "rp_embeddings": q_rp_embeddings,
         "leak_split_docs": q_leak_split_docs,
@@ -4677,6 +4942,11 @@ def oracle_sql() -> dict[str, str]:
         "volume_shipping": SQL_VOLUME_SHIPPING,
         "market_share": SQL_MARKET_SHARE,
         "top_supplier": SQL_TOP_SUPPLIER,
+        "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "nation_profit": SQL_NATION_PROFIT,
+        "important_parts": SQL_IMPORTANT_PARTS,
+        "supplier_cnt_parts": SQL_SUPPLIER_CNT_PARTS,
+        "excess_ship_suppliers": SQL_EXCESS_SHIP_SUPPLIERS,
         "checksum_orders": SQL_CHECKSUM_ORDERS,
         "rp_embeddings": _sql_rp_embeddings(),
         "leak_split_docs": SQL_LEAK_SPLIT,
