@@ -4346,6 +4346,8 @@ def q_important_parts(spark, sf_dir):
         .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum("l_quantity").alias("value"))
+        .persist()  # parts-grain; both the output and the total read it,
+        # and without it Catalyst recomputes the subtree = 2 fact scans
     )
     total = per_part.agg(F.sum("value").alias("total_value"))
     return (
@@ -4426,8 +4428,12 @@ def q_excess_ship_suppliers(spark, sf_dir):
     )
     per_supp = l96.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("supp_qty")
+    ).persist()  # (part, supplier)-grain, far below fact size
+    # the per-part total is an exact re-aggregation of per_supp — ONE
+    # fact scan total instead of recomputing l96 for a second rollup
+    per_part = per_supp.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty")
     )
-    per_part = l96.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
     heavy = (
         per_supp.join(per_part, "l_partkey")
         .filter(F.col("supp_qty") > F.col("part_qty") * F.lit(0.2))

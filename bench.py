@@ -193,6 +193,8 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "running_zscore_events",
         "returned_revenue",
         "big_orders",
+        "nation_profit",
+        "supplier_cnt_parts",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
