@@ -106,3 +106,25 @@ def test_real_corpus_verdict_covers_every_row(spark):
     out = semantic_dedup(emb, n_clusters=8, eps=0.97, train_sample=1000)
     assert out.count() == emb.count()
     assert out.select("vec_id").distinct().count() == emb.count()
+
+
+def test_precomputed_centroids_match_trained(spark):
+    """centroids= skips training but must produce the identical verdict
+    frame (the train-once-reuse-everywhere contract)."""
+    from htm_streamer_spark.operators.similarity import train_coarse_quantizer
+
+    df = _corpus(spark)
+    cents = train_coarse_quantizer(df, 2, train_sample=100)
+    trained = _verdicts(df)
+    given = _verdicts(df, centroids=cents)
+    assert set(trained) == set(given)
+    for vid in trained:
+        assert trained[vid] == given[vid]
+
+
+def test_precomputed_centroids_shape_guard(spark):
+    with pytest.raises(ValueError, match="n_clusters"):
+        semantic_dedup(
+            _corpus(spark), n_clusters=2, eps=0.9,
+            centroids=np.eye(3, 4),
+        ).collect()

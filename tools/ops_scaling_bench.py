@@ -33,9 +33,16 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 DOCS = REPO / ".data" / "docs20x"
 DOCS_BIG = REPO / ".data" / "docs100x"
+EMB_BIG = REPO / ".data" / "emb500x"
 
 _WORKER = """
-import sys, time
+import os, sys, time
+# pin BLAS to one thread per python worker: a multi-threaded matmul
+# inside one Spark task would launder hardware parallelism into the
+# low-cores level and corrupt the N->4N ratio (tasks get 1 core each
+# on a real cluster)
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[_v] = "1"
 sys.path.insert(0, {repo!r})
 from htm_streamer_spark import get_spark
 from pyspark.sql import functions as F
@@ -108,6 +115,19 @@ def run(name):
             ((F.col("n_chars") * (F.col("rep") + 1)) % 101).alias("chars_mod"),
         )
         df = correlation_matrix(wide, ["n_chars", "text_len", "id_mod", "chars_mod"])
+    elif name == "semdedup":
+        # embedding family: one Arrow matmul assignment pass + one
+        # shuffle on cluster_id + per-cluster O(m^2) numpy pruning —
+        # the compute lives in python workers (BLAS pinned to 1
+        # thread), so this probes Arrow-stage scaling specifically.
+        # 1M dim-64 vectors, 256 clusters => ~4k-row clusters; ~250
+        # GFLOP of pinned-f32 blocked-prefix work (the kernel's rank-
+        # ordered block pass) — minutes per run at the low level, so
+        # per-job overhead and the serial training step are noise
+        from htm_streamer_spark.operators.semdedup import semantic_dedup
+        emb = spark.read.parquet({emb_big!r})
+        df = semantic_dedup(emb, n_clusters=256, eps=0.95,
+                            train_sample=20_000, max_cluster_rows=40_000)
     else:
         raise ValueError(name)
     t0 = time.time()
@@ -115,7 +135,7 @@ def run(name):
     return time.time() - t0, n
 
 import os as _os
-_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix")
+_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup")
 _only = _os.environ.get("SPARK_GRAFT_FAMILIES")
 if _only:
     _names = tuple(n for n in _names if n in _only.split(","))
@@ -137,6 +157,28 @@ print("RESULT " + __import__("json").dumps(out))
 
 
 def synthesize() -> None:
+    if not EMB_BIG.exists():
+        # 500x embedding replication (1M vectors): per-copy perturbation of the first
+        # component keeps copies NEAR-duplicate (not bit-identical) so
+        # the pruning pass sees realistic above/below-eps structure
+        code = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from htm_streamer_spark import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(cores=8, driver_memory="8g")
+e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+copies = spark.range(500).select(F.col("id").cast("int").alias("copy"))
+big = (e.crossJoin(copies)
+       .select((F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+               F.concat(
+                   F.array((F.element_at("embedding", 1) + F.col("copy") * F.lit(0.003)).cast("float")),
+                   F.slice("embedding", 2, 63),
+               ).alias("embedding")))
+big.repartition(8).write.mode("overwrite").parquet({str(EMB_BIG)!r})
+print("synthesized", big.count())
+"""
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
     todo = [(DOCS, 20), (DOCS_BIG, 100)]
     todo = [(p, n) for p, n in todo if not p.exists()]
     if not todo:
@@ -161,7 +203,9 @@ print("synthesized", big.count())
 
 
 def run_level(cores: int, repeats: int) -> dict:
-    code = _WORKER.format(repo=str(REPO), docs=str(DOCS), docs_big=str(DOCS_BIG))
+    code = _WORKER.format(
+        repo=str(REPO), docs=str(DOCS), docs_big=str(DOCS_BIG), emb_big=str(EMB_BIG)
+    )
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(repeats)],
         capture_output=True, text=True, timeout=3000,
