@@ -291,17 +291,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def plan_lsh_bands(
+    jaccard_threshold: float,
+    num_hashes: int = 32,
+    *,
+    min_rows: int = 2,
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for an LSH run targeting
+    ``jaccard_threshold``, from the standard S-curve analysis (Leskovec
+    et al., "Mining of Massive Datasets" ch. 3): a pair with Jaccard s
+    collides with probability 1 - (1 - s^r)^b, and the curve's
+    steepest-rise point sits near (1/b)^(1/r). Among the divisor
+    splits b*r = num_hashes (r >= min_rows, so single-row bands never
+    degenerate to per-hash equality), choose the split whose threshold
+    approximation is closest to the target from BELOW when possible —
+    preferring recall (a too-low knee admits extra candidates that the
+    exact-Jaccard confirm then filters; a too-high knee silently loses
+    true pairs, which nothing downstream can recover).
+
+    Returns (bands, rows_per_band). Pure driver-side math — use it to
+    derive ``minhash_near_duplicates``'s band parameters instead of
+    hand-tuning:
+
+    >>> plan_lsh_bands(0.8, 32)
+    (8, 4)
+    """
+    if not 0.0 < jaccard_threshold < 1.0:
+        raise ValueError(f"jaccard_threshold must be in (0, 1), got {jaccard_threshold}")
+    if num_hashes < min_rows:
+        raise ValueError(f"num_hashes={num_hashes} < min_rows={min_rows}")
+    splits = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0 and num_hashes // b >= min_rows
+    ]
+    knees = [(b, r, (1.0 / b) ** (1.0 / r)) for b, r in splits]
+    below = [(b, r, k) for b, r, k in knees if k <= jaccard_threshold]
+    pool = below or knees
+    b, r, _ = min(pool, key=lambda t: abs(t[2] - jaccard_threshold))
+    return b, r
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     method: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
-    bucket-join → exact-Jaccard confirm. Returns (doc_a, doc_b, jaccard)."""
+    bucket-join → exact-Jaccard confirm. Returns (doc_a, doc_b, jaccard).
+
+    ``bands=None`` derives the band split from the S-curve analysis
+    (``plan_lsh_bands``) so the LSH knee tracks ``jaccard_threshold``
+    instead of a hand-tuned constant (at the defaults both give 8×4)."""
+    if bands is None:
+        bands, _ = plan_lsh_bands(jaccard_threshold, num_hashes)
     df = fan_out_narrow_scans(df)
     sh = shingles(df, text_col, shingle_n)
     sigs = minhash_signatures(sh, num_hashes, method)

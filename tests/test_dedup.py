@@ -157,3 +157,48 @@ def test_fan_out_narrow_scans_guard(spark):
     wide = spark.range(1000).repartition(slots + 4)
     # already at/above parallelism: must be a NO-OP (no extra shuffle)
     assert fan_out_narrow_scans(wide) is wide
+
+
+class TestPlanLshBands:
+    """plan_lsh_bands: S-curve knee selection (pure math, no Spark)."""
+
+    def test_default_recipe_is_preserved(self):
+        from htm_streamer_spark.operators.dedup import plan_lsh_bands
+
+        # the repo's long-standing hand-tuned split falls out of the math
+        assert plan_lsh_bands(0.8, 32) == (8, 4)
+
+    def test_knee_tracks_threshold_from_below_when_possible(self):
+        from htm_streamer_spark.operators.dedup import plan_lsh_bands
+
+        for thr in (0.5, 0.6, 0.7, 0.8, 0.9):
+            b, r = plan_lsh_bands(thr, 64)
+            assert b * r == 64 and r >= 2
+            knee = (1.0 / b) ** (1.0 / r)
+            # below the target unless no divisor split sits below it
+            assert knee <= thr + 1e-9 or all(
+                (1.0 / bb) ** (1.0 / (64 // bb)) > thr
+                for bb in range(1, 65)
+                if 64 % bb == 0 and 64 // bb >= 2
+            )
+            # collision probability at the threshold is high (recall side)
+            p_at_thr = 1.0 - (1.0 - thr**r) ** b
+            assert p_at_thr > 0.5
+
+    def test_low_threshold_gets_more_bands(self):
+        from htm_streamer_spark.operators.dedup import plan_lsh_bands
+
+        b_low, _ = plan_lsh_bands(0.4, 32)
+        b_high, _ = plan_lsh_bands(0.9, 32)
+        assert b_low > b_high
+
+    def test_guards(self):
+        from htm_streamer_spark.operators.dedup import plan_lsh_bands
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            plan_lsh_bands(0.0, 32)
+        with _pytest.raises(ValueError):
+            plan_lsh_bands(1.0, 32)
+        with _pytest.raises(ValueError):
+            plan_lsh_bands(0.5, 1)
