@@ -2680,7 +2680,11 @@ def q_semdedup_embeddings(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     # eps tuned to the synthetic corpus's cosine range (max pairwise sim
     # ~0.51; 0.40 drops ~5% — a non-trivial verdict set at sf0.01)
-    return semantic_dedup(e, n_clusters=8, eps=0.40, train_sample=1000)
+    out = semantic_dedup(e, n_clusters=8, eps=0.40, train_sample=1000)
+    # kept/cluster verdicts are decided on full-precision sims inside the
+    # operator; the EMITTED similarity is rounded so the golden oracle is
+    # stable under accumulation-order ulp churn (e.g. blocked-gemm reworks)
+    return out.withColumn("cent_sim", F.round("cent_sim", 6))
 
 
 def q_top_orders_per_segment(spark, sf_dir):
