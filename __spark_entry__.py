@@ -4712,6 +4712,193 @@ GROUP BY 1
 """
 
 
+def q_jaccard_join_docs(spark, sf_dir):
+    """EXACT all-pairs Jaccard join at threshold 0.5 via prefix
+    filtering (operators/setjoin.py, Bayardo et al. 2007), over the
+    SAME 3-gram shingle space the MinHash tier hashes — this is the
+    ground truth minhash_pairs_docs' LSH recall approximates, with zero
+    recall loss. The oracle recomputes every pair from scratch with an
+    exploded co-count join — no shared candidate pruning, so a pruning
+    bug would show as a missing row, not a matching one."""
+    from htm_streamer_spark.operators.setjoin import jaccard_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_join(d, threshold=0.5, mode="shingles", n=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_JACCARD_JOIN = """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]),
+           g -> length(g) > 0)) AS gs
+  FROM norm
+),
+wx AS (
+  SELECT doc_id, len(gs) AS sz, unnest(gs) AS w FROM grams WHERE len(gs) > 0
+),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb,
+         count(*) AS c
+  FROM wx a JOIN wx b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(c / (sa + sb - c), 6)::DOUBLE + 0.0 AS jaccard
+FROM co WHERE c / (sa + sb - c) >= 0.5
+"""
+
+
+def q_wasserstein_events(spark, sf_dir):
+    """Per-event_type 1-D Wasserstein distance of the bucketized value
+    histogram vs the pooled baseline (operators/stattests.py
+    wasserstein_binned): the metric member of the drift family — PSI/KL
+    saturate on disjoint support, W1 reports how FAR the mass moved in
+    bucket units. Same single-scan shape as drift_psi_events: one
+    groupBy(event_type, bucket), all derivations from that tiny frame."""
+    from htm_streamer_spark.operators.stattests import wasserstein_binned
+
+    e = _t(spark, sf_dir, "events")
+    bucket = F.least(F.lit(15), F.floor(F.col("value") / 31.25)).cast("int")
+    per = (
+        e.select(F.col("event_type"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return wasserstein_binned(per, "event_type", "bucket", "cnt")
+
+
+SQL_WASSERSTEIN = """
+WITH per AS (
+  SELECT event_type, least(15, floor(value / 31.25))::INT AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT bucket, sum(cnt)::BIGINT AS qcnt FROM per GROUP BY 1),
+grid AS (
+  SELECT g.event_type, b.bucket, b.qcnt
+  FROM (SELECT DISTINCT event_type FROM per) g CROSS JOIN base b
+),
+j AS (
+  SELECT grid.event_type, grid.bucket, grid.qcnt,
+         coalesce(per.cnt, 0)::BIGINT AS cnt
+  FROM grid LEFT JOIN per
+    ON per.event_type = grid.event_type AND per.bucket = grid.bucket
+),
+c AS (
+  SELECT event_type,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+           / (sum(cnt) OVER (PARTITION BY event_type))::DOUBLE AS cp,
+         sum(qcnt) OVER (PARTITION BY event_type ORDER BY bucket)
+           / (sum(qcnt) OVER (PARTITION BY event_type))::DOUBLE AS cq,
+         coalesce(lead(bucket) OVER (PARTITION BY event_type ORDER BY bucket)
+                    - bucket, 1) AS width
+  FROM j
+)
+SELECT event_type, round(sum(abs(cp - cq) * width), 6) + 0.0 AS w1
+FROM c GROUP BY 1
+"""
+
+
+def q_fdr_drift_events(spark, sf_dir):
+    """Benjamini–Hochberg FDR-controlled drift alerting
+    (operators/stattests.py benjamini_hochberg): one two-sided z-test of
+    each event_type's mean value against the pooled mean (pooled-
+    variance normal approximation, p via the same A&S erfc polynomial
+    the likelihood gate uses — operators/likelihood.py erfc_expr), then
+    the BH step-up at q=0.05 across the m simultaneous tests. The
+    multiplicity correction is what makes per-partition drift testing
+    honest at fleet scale (thousands of partitions => a fixed alpha
+    guarantees false alarms). One scan: a single groupBy(event_type)
+    power-sum aggregate feeds z, p, and the BH rank."""
+    from htm_streamer_spark.operators.likelihood import erfc_expr
+    from htm_streamer_spark.operators.stattests import benjamini_hochberg
+
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    pool = agg.agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("sg"), F.sum("ss").alias("ssg")
+    )
+    mu = F.col("sg") / F.col("nn")
+    var = F.col("ssg") / F.col("nn") - mu * mu
+    z = (F.col("s") / F.col("n") - mu) / F.sqrt(var / F.col("n"))
+    scored = (
+        agg.crossJoin(F.broadcast(pool))
+        .withColumn("z", z)
+        .withColumn(
+            "p_value", erfc_expr(F.abs(F.col("z")) / F.lit(1.4142135623730951))
+        )
+        .select("event_type", "z", "p_value")
+    )
+    bh = benjamini_hochberg(scored, "p_value", q=0.05, tie_cols=("event_type",))
+    return bh.select(
+        "event_type",
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
+        F.col("rank").cast("long").alias("rank"),
+        "bh_threshold",
+        F.col("rejected").cast("int").alias("rejected"),
+    )
+
+
+SQL_FDR_DRIFT = """
+WITH agg AS (
+  SELECT event_type, count(*)::DOUBLE AS n, sum(value)::DOUBLE AS s,
+         sum(value * value)::DOUBLE AS ss
+  FROM events GROUP BY 1
+),
+pool AS (SELECT sum(n) AS nn, sum(s) AS sg, sum(ss) AS ssg FROM agg),
+zc AS (
+  SELECT event_type,
+         (s / n - sg / nn)
+           / sqrt((ssg / nn - (sg / nn) * (sg / nn)) / n) AS z
+  FROM agg, pool
+),
+pv AS (
+  SELECT event_type, z, 1.0 / (1.0 + 0.3275911 * x) AS t, x
+  FROM (SELECT event_type, z, abs(z) / 1.4142135623730951 AS x FROM zc)
+),
+p AS (
+  SELECT event_type, z,
+         (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429))))) * exp(-x * x)
+           AS p_value
+  FROM pv
+),
+ranked AS (
+  SELECT event_type, z, p_value,
+         row_number() OVER (ORDER BY p_value, event_type) AS rank,
+         count(*) OVER () AS m
+  FROM p
+),
+flags AS (
+  SELECT *,
+         CASE WHEN p_value <= rank * 0.05 / m THEN rank ELSE 0 END AS hit
+  FROM ranked
+),
+k AS (SELECT max(hit) AS k FROM flags)
+SELECT event_type, round(z, 6) + 0.0 AS z,
+       round(p_value, 6) + 0.0 AS p_value,
+       rank::BIGINT AS rank,
+       round(rank * 0.05 / m, 6) + 0.0 AS bh_threshold,
+       (CASE WHEN rank <= k.k AND k.k > 0 THEN 1 ELSE 0 END)::INT AS rejected
+FROM flags, k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -4790,6 +4977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": q_dup_spans_docs,
         "ks_drift_events": q_ks_drift_events,
         "chisq_docs": q_chisq_docs,
+        "jaccard_join_docs": q_jaccard_join_docs,
+        "wasserstein_events": q_wasserstein_events,
+        "fdr_drift_events": q_fdr_drift_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -4918,6 +5108,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": SQL_CHUNK_DOCS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "ks_drift_events": SQL_KS_DRIFT,
+        "jaccard_join_docs": SQL_JACCARD_JOIN,
+        "wasserstein_events": SQL_WASSERSTEIN,
+        "fdr_drift_events": SQL_FDR_DRIFT,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

@@ -44,6 +44,8 @@ __all__ = [
     "fd_violation_summary",
     "moments_profile",
     "mad_count_outliers",
+    "wasserstein_binned",
+    "benjamini_hochberg",
 ]
 
 
@@ -312,3 +314,94 @@ def mad_count_outliers(
         ).alias("robust_z"),
     )
     return scored.filter(F.col("robust_z") > k)
+
+
+def wasserstein_binned(
+    counts: DataFrame,
+    group_col: str = "group",
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Per-group 1-D Wasserstein (earth-mover) distance to the pooled
+    baseline, over a binned support — the metric member of the drift
+    family (PSI/KL in ``drift.py`` are density-ratio scores and explode
+    on disjoint support; W1 stays finite and proportional to how FAR the
+    mass moved, in bucket units).
+
+    Input is the already-aggregated (group, bucket, cnt) frame — the ONE
+    fact-table scan happens upstream, same contract as ``drift_scores``.
+    Baseline = the sum over groups (pooled), so every observed bucket is
+    in the baseline's support and a left join from the group×bucket grid
+    is exhaustive. For discrete distributions on an integer grid,
+    ``W1 = sum over buckets of |CDF_g(b) - CDF_pool(b)| * gap(b)`` where
+    ``gap(b)`` is the distance to the next observed bucket (1 on a dense
+    grid): the CDF difference is the optimal-transport flow through each
+    boundary and stays constant across unobserved buckets, so weighting
+    by the gap makes the result exact even when the pooled support has
+    holes.
+
+    Plan: arithmetic on the |groups|×|buckets| grid only; the windows
+    partition by group (tiny frames, never the fact table).
+    """
+    g, bkt, c = group_col, bucket_col, cnt_col
+    base = counts.groupBy(bkt).agg(F.sum(c).alias("qcnt"))
+    groups = counts.select(g).distinct()
+    grid = groups.crossJoin(F.broadcast(base))
+    j = grid.join(counts, [g, bkt], "left").fillna({c: 0})
+    p_tot = F.sum(c).over(Window.partitionBy(g))
+    q_tot = F.sum("qcnt").over(Window.partitionBy(g))
+    cum = Window.partitionBy(g).orderBy(bkt).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf_p = F.sum(c).over(cum) / p_tot
+    cdf_q = F.sum("qcnt").over(cum) / q_tot
+    width = F.coalesce(
+        F.lead(bkt).over(Window.partitionBy(g).orderBy(bkt)) - F.col(bkt),
+        F.lit(1),
+    )
+    return (
+        j.withColumn("gap", F.abs(cdf_p - cdf_q) * width)
+        .groupBy(g)
+        .agg(F.round(F.sum("gap"), 6).alias("w1"))
+    )
+
+
+def benjamini_hochberg(
+    pvals: DataFrame,
+    p_col: str = "p_value",
+    q: float = 0.05,
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over one p-value per test.
+
+    At fleet scale a validator runs one drift test per partition/source —
+    thousands of simultaneous hypotheses — and a fixed per-test alpha
+    guarantees a steady stream of false alarms (50 expected per 1000
+    clean partitions at alpha=0.05). BH (Benjamini & Hochberg 1995)
+    bounds the expected fraction of false alarms instead: sort p
+    ascending, find the largest rank k with ``p_(k) <= k*q/m``, reject
+    exactly ranks 1..k.
+
+    Adds (rank, m, bh_threshold, rejected) to every input row.
+    ``tie_cols`` breaks p-value ties so the rank — hence the output — is
+    total and deterministic. The input is one row per TEST (a group-
+    aggregate, metadata-sized), so the single-partition rank window is
+    by construction not a fact-table sort; documented bound, same class
+    as the likelihood operator's per-series window.
+    """
+    w_rank = Window.orderBy(p_col, *tie_cols)
+    w_all = Window.partitionBy()
+    ranked = pvals.withColumn("rank", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(w_all)
+    )
+    thresh = F.col("rank") * F.lit(float(q)) / F.col("m")
+    flagged = ranked.withColumn(
+        "hit_rank",
+        F.when(F.col(p_col) <= thresh, F.col("rank")).otherwise(F.lit(0)),
+    )
+    k = F.max("hit_rank").over(w_all)
+    return (
+        flagged.withColumn("bh_threshold", F.round(thresh, 6))
+        .withColumn("rejected", (F.col("rank") <= k) & (k > 0))
+        .drop("hit_rank")
+    )

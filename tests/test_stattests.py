@@ -199,3 +199,125 @@ def test_mad_constant_counts_flags_nothing(spark):
     rows = [(b, i) for b in range(20) for i in range(50)]
     df = spark.createDataFrame(rows, "bucket long, i long")
     assert mad_count_outliers(df, F.col("bucket"), k=3.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_binned
+# ---------------------------------------------------------------------------
+
+
+def _w1_ref(groups):
+    """groups: {g: np.array of bucket counts over a shared grid}."""
+    pooled = sum(groups.values())
+    qcdf = np.cumsum(pooled) / pooled.sum()
+    return {
+        g: float(np.abs(np.cumsum(c) / c.sum() - qcdf).sum())
+        for g, c in groups.items()
+    }
+
+
+def test_wasserstein_matches_numpy(spark):
+    from htm_streamer_spark.operators.stattests import wasserstein_binned
+
+    rng = np.random.default_rng(7)
+    groups = {f"g{i}": rng.integers(0, 50, size=12) for i in range(4)}
+    # zero out some buckets so the sparse-support left-join path runs
+    groups["g0"][3:6] = 0
+    rows = [
+        (g, b, int(c))
+        for g, cs in groups.items()
+        for b, c in enumerate(cs)
+        if c > 0
+    ]
+    df = spark.createDataFrame(rows, ["group", "bucket", "cnt"])
+    got = {
+        r.group: r.w1
+        for r in wasserstein_binned(df, "group", "bucket", "cnt").collect()
+    }
+    want = _w1_ref({g: c.astype(float) for g, c in groups.items()})
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=2e-6)
+
+
+def test_wasserstein_identical_is_zero_and_shift_is_k(spark):
+    from htm_streamer_spark.operators.stattests import wasserstein_binned
+
+    # g_same == pooled shape => W1 0 against a pooled baseline of itself;
+    # a point mass shifted k buckets from the (dominating) baseline mass
+    # reads ~k in CDF-sum units
+    rows = [("a", b, 100) for b in range(10)] + [("b", b, 100) for b in range(10)]
+    df = spark.createDataFrame(rows, ["group", "bucket", "cnt"])
+    out = {r.group: r.w1 for r in wasserstein_binned(df).collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+
+    rows = [("base", 0, 10_000), ("shifted", 3, 1)]
+    df = spark.createDataFrame(rows, ["group", "bucket", "cnt"])
+    out = {r.group: r.w1 for r in wasserstein_binned(df).collect()}
+    # point mass at bucket 3 vs pooled mass essentially at bucket 0:
+    # |CDF gap| is ~1 at buckets 0,1,2 => W1 ~ 3
+    assert out["shifted"] == pytest.approx(3.0, abs=1e-3)
+    assert out["base"] == pytest.approx(0.0, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# benjamini_hochberg
+# ---------------------------------------------------------------------------
+
+
+def _bh_ref(pvals, q):
+    """Classic step-up: reject ranks 1..k, k = max{i: p_(i) <= i*q/m}."""
+    order = np.argsort(pvals, kind="stable")
+    m = len(pvals)
+    ranked = np.asarray(pvals)[order]
+    hits = [i + 1 for i in range(m) if ranked[i] <= (i + 1) * q / m]
+    k = max(hits) if hits else 0
+    rejected = np.zeros(m, dtype=bool)
+    rejected[order[:k]] = True
+    return rejected
+
+
+@pytest.mark.parametrize(
+    "pvals",
+    [
+        [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.6],
+        [0.9, 0.95, 0.99],  # nothing rejects
+        [1e-9, 1e-8, 1e-7],  # everything rejects
+        [0.01, 0.01, 0.01, 0.8],  # ties
+    ],
+)
+def test_bh_matches_reference(spark, pvals):
+    from htm_streamer_spark.operators.stattests import benjamini_hochberg
+
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", float(p)) for i, p in enumerate(pvals)],
+        ["test_id", "p_value"],
+    )
+    out = benjamini_hochberg(df, "p_value", q=0.05, tie_cols=("test_id",))
+    got = {r.test_id: r.rejected for r in out.collect()}
+    want = _bh_ref(pvals, 0.05)
+    assert got == {f"t{i:02d}": bool(want[i]) for i in range(len(pvals))}
+    # rank is a permutation of 1..m and thresholds are monotone
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(pvals) + 1))
+    assert all(
+        rows[i].bh_threshold <= rows[i + 1].bh_threshold
+        for i in range(len(rows) - 1)
+    )
+
+
+def test_bh_rejection_set_is_p_prefix(spark):
+    """BH rejections are always a prefix of the p-ascending order —
+    never reject a larger p while keeping a smaller one."""
+    from htm_streamer_spark.operators.stattests import benjamini_hochberg
+
+    rng = np.random.default_rng(11)
+    pv = np.concatenate([rng.uniform(0, 0.01, 5), rng.uniform(0.2, 1.0, 20)])
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", float(p)) for i, p in enumerate(pv)],
+        ["test_id", "p_value"],
+    )
+    rows = benjamini_hochberg(df, "p_value", q=0.05, tie_cols=("test_id",)).collect()
+    rejected_ranks = sorted(r.rank for r in rows if r.rejected)
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+    assert len(rejected_ranks) >= 5  # the planted small p-values reject
