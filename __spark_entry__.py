@@ -4823,20 +4823,24 @@ def q_fdr_drift_events(spark, sf_dir):
     from htm_streamer_spark.operators.likelihood import erfc_expr
     from htm_streamer_spark.operators.stattests import benjamini_hochberg
 
+    from pyspark.sql import Window as W
+
     e = _t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("value").alias("s"),
         F.sum(F.col("value") * F.col("value")).alias("ss"),
     )
-    pool = agg.agg(
-        F.sum("n").alias("nn"), F.sum("s").alias("sg"), F.sum("ss").alias("ssg")
-    )
+    # pooled sums as window-over-() on the |types|-row frame: one fact
+    # scan total (a separate .agg() would re-derive agg => second scan)
+    w_all = W.partitionBy()
     mu = F.col("sg") / F.col("nn")
     var = F.col("ssg") / F.col("nn") - mu * mu
     z = (F.col("s") / F.col("n") - mu) / F.sqrt(var / F.col("n"))
     scored = (
-        agg.crossJoin(F.broadcast(pool))
+        agg.withColumn("nn", F.sum("n").over(w_all))
+        .withColumn("sg", F.sum("s").over(w_all))
+        .withColumn("ssg", F.sum("ss").over(w_all))
         .withColumn("z", z)
         .withColumn(
             "p_value", erfc_expr(F.abs(F.col("z")) / F.lit(1.4142135623730951))
@@ -4896,6 +4900,95 @@ SELECT event_type, round(z, 6) + 0.0 AS z,
        round(rank * 0.05 / m, 6) + 0.0 AS bh_threshold,
        (CASE WHEN rank <= k.k AND k.k > 0 THEN 1 ELSE 0 END)::INT AS rejected
 FROM flags, k
+"""
+
+
+def q_centroid_drift_embeddings(spark, sf_dir):
+    """Per-label embedding-centroid drift vs the corpus centroid
+    (operators/drift.py centroid_drift): cosine + L2 between mean
+    vectors — the SEMANTIC drift check the token-histogram family can't
+    see. One posexplode scan; the shuffle carries |labels|×dim rows;
+    the global centroid derives from the per-label sums (no second
+    scan)."""
+    from htm_streamer_spark.operators.drift import centroid_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = centroid_drift(e, "label", "embedding")
+    return out.select(
+        "label",
+        "n_vecs",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.round("l2_dist", 6).alias("l2_dist"),
+    )
+
+
+SQL_CENTROID_DRIFT = """
+WITH x AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+per AS (
+  SELECT label, pos, sum(v) AS s, count(*) AS n FROM x GROUP BY 1, 2
+),
+gtot AS (SELECT pos, sum(s) AS gs, sum(n) AS gn FROM per GROUP BY 1),
+j AS (
+  SELECT per.label, per.n, per.s / per.n AS m, gtot.gs / gtot.gn AS gm
+  FROM per JOIN gtot USING (pos)
+)
+SELECT label, max(n)::BIGINT AS n_vecs,
+       round(sum(m * gm) / sqrt(sum(m * m) * sum(gm * gm)), 6) + 0.0
+         AS cos_sim,
+       round(sqrt(sum((m - gm) * (m - gm))), 6) + 0.0 AS l2_dist
+FROM j GROUP BY 1
+"""
+
+
+def q_pmi_docs(spark, sf_dir):
+    """Top-50 collocations by pointwise mutual information
+    (operators/textstats.py pmi_collocations, Church & Hanks 1990),
+    min bigram count 5 — the phrase-mining signal over the documents
+    corpus. One tokenizing scan emits unigrams + bigrams together; PMI
+    arithmetic is per-row over exact integer counts, so the oracle's
+    recompute is bit-identical."""
+    from htm_streamer_spark.operators.textstats import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(d, min_count=5, top_k=50)
+    return out.select("w1", "w2", "c_ab", F.round("pmi", 6).alias("pmi"))
+
+
+SQL_PMI_DOCS = """
+WITH f AS (
+  SELECT list_filter(
+           regexp_split_to_array(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+'),
+           x -> length(x) > 0) AS ws
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM f) GROUP BY 1
+),
+bi AS (
+  SELECT g, count(*) AS c FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS g
+    FROM f
+  ) GROUP BY 1
+),
+n1 AS (SELECT sum(c)::BIGINT AS n FROM uni),
+n2 AS (SELECT sum(c)::BIGINT AS n FROM bi),
+scored AS (
+  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         bi.c AS c_ab,
+         ln((bi.c / n2.n) / ((ua.c / n1.n) * (ub.c / n1.n))) AS pmi
+  FROM bi, n1, n2
+  JOIN uni ua ON ua.w = split_part(g, ' ', 1)
+  JOIN uni ub ON ub.w = split_part(g, ' ', 2)
+  WHERE bi.c >= 5
+)
+SELECT w1, w2, c_ab::BIGINT AS c_ab, round(pmi, 6) + 0.0 AS pmi
+FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
 """
 
 
@@ -4980,6 +5073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_docs": q_jaccard_join_docs,
         "wasserstein_events": q_wasserstein_events,
         "fdr_drift_events": q_fdr_drift_events,
+        "centroid_drift_embeddings": q_centroid_drift_embeddings,
+        "pmi_docs": q_pmi_docs,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -5111,6 +5206,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_join_docs": SQL_JACCARD_JOIN,
         "wasserstein_events": SQL_WASSERSTEIN,
         "fdr_drift_events": SQL_FDR_DRIFT,
+        "centroid_drift_embeddings": SQL_CENTROID_DRIFT,
+        "pmi_docs": SQL_PMI_DOCS,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

@@ -150,3 +150,56 @@ def drift_scores(part_hist: DataFrame, baseline_hist: DataFrame, n_buckets: int)
         F.sum((p - q) * lr).alias("psi"),
         F.sum(p * lr).alias("kl"),
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding-centroid drift against the corpus centroid:
+    (group, n_vecs, cos_sim, l2_dist) where the centroids are the
+    per-group and global mean vectors. The SEMANTIC drift check the
+    token-histogram family can't see — a source whose token mix is
+    stable but whose meaning distribution shifted (new topic, new
+    language style, encoder regression) moves its centroid.
+
+    Plan: posexplode -> ONE groupBy(group, pos) partial-combinable sum
+    (the shuffle carries |groups|×dim rows, never vectors), the global
+    centroid derived from the per-group sums (no second fact scan), and
+    the cosine/L2 reductions are a second tiny aggregation over the
+    |groups|×dim frame. Zero Python, no collect; dim is the embedding
+    width, so the post-shuffle work is metadata-sized at any corpus
+    scale.
+    """
+    x = df.select(
+        F.col(group_col).alias("g"), F.posexplode(vec_col).alias("pos", "v")
+    ).select("g", "pos", F.col("v").cast("double").alias("v"))
+    per = x.groupBy("g", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = per.groupBy("pos").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    )
+    j = per.join(F.broadcast(glob), "pos").select(
+        "g",
+        "n",
+        (F.col("s") / F.col("n")).alias("m"),
+        (F.col("gs") / F.col("gn")).alias("gm"),
+    )
+    return (
+        j.groupBy("g")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("m") * F.col("gm")).alias("dot"),
+            F.sum(F.col("m") * F.col("m")).alias("na"),
+            F.sum(F.col("gm") * F.col("gm")).alias("ng"),
+            F.sum((F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))).alias("sq"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            (F.col("dot") / F.sqrt(F.col("na") * F.col("ng"))).alias("cos_sim"),
+            F.sqrt("sq").alias("l2_dist"),
+        )
+    )

@@ -180,3 +180,78 @@ def winnow_fingerprints(
         .select("doc_id", F.explode("_fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    ``pmi(a,b) = ln( (c_ab/N2) / ((c_a/N1)(c_b/N1)) )`` over corpus
+    bigram/unigram counts, bigrams below ``min_count`` dropped (PMI's
+    classic low-frequency blowup guard — Church & Hanks 1990). The
+    phrase-mining signal a token-frequency profile can't see: "los
+    angeles" vs two common words that co-occur by chance.
+
+    Plan: ONE tokenizing scan emits unigrams and bigrams together (a
+    tagged concat of the two transform arrays, one explode), one count
+    aggregation, totals as a 2-row broadcast derived from the counts
+    exchange (a per-kind window would serialize the vocab-sized frame
+    onto 2 tasks; never a second fact scan), two vocab-sized equi-joins
+    to attach c_a/c_b, and a global top-k (TakeOrderedAndProject). No
+    cross-row float accumulation besides the exact integer totals, so
+    any engine reproduces the scores bit-for-bit.
+    """
+    from htm_streamer_spark.operators.dedup import _gram_array, normalized_text
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    tagged = F.explode(
+        F.concat(
+            F.transform(
+                words, lambda w: F.struct(F.lit(1).alias("k"), w.alias("t"))
+            ),
+            F.transform(
+                _gram_array(words, 2),
+                lambda g: F.struct(F.lit(2).alias("k"), g.alias("t")),
+            ),
+        )
+    )
+    counts = (
+        df.select(tagged.alias("x"))
+        .select(F.col("x.k").alias("k"), F.col("x.t").alias("t"))
+        .groupBy("k", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("k").agg(F.sum("c").alias("tot"))
+    counts = counts.join(F.broadcast(totals), "k")
+    uni = counts.filter(F.col("k") == 1).select(
+        F.col("t").alias("w"), F.col("c").alias("cw"), F.col("tot").alias("n1")
+    )
+    bi = (
+        counts.filter(F.col("k") == 2)
+        .select(
+            F.substring_index("t", " ", 1).alias("w1"),
+            F.substring_index("t", " ", -1).alias("w2"),
+            F.col("c").alias("c_ab"),
+            F.col("tot").alias("n2"),
+        )
+        .filter(F.col("c_ab") >= min_count)
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"), "n1")
+    ub = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("n2"))
+        / ((F.col("ca") / F.col("n1")) * (F.col("cb") / F.col("n1")))
+    )
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
