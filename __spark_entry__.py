@@ -4992,6 +4992,43 @@ FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
 """
 
 
+def q_incremental_dedup_docs(spark, sf_dir):
+    """Incremental MinHash dedup (operators/dedup.py minhash_band_index
+    + incremental_near_duplicates): the increment (a deterministic
+    md5(doc_id)%5==0 ~20% slice) is deduped against the persisted band
+    index of the rest — the shape a 10^12-doc crawl-ingest runs instead
+    of re-deduping the corpus. The oracle recomputes the FULL batch
+    pairs in DuckDB and restricts to pairs touching the increment; the
+    pinned equivalence (test_dedup_incremental.py) says these must be
+    identical."""
+    from htm_streamer_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_band_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 5
+        == 0
+    )
+    new, old = d.filter(is_new), d.filter(~is_new)
+    idx = minhash_band_index(old, jaccard_threshold=0.5, method="md5")
+    pairs = incremental_near_duplicates(
+        new, idx, d, jaccard_threshold=0.5, method="md5"
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+SELECT doc_a, doc_b, jaccard FROM ({SQL_MINHASH_PAIRS}) q
+WHERE ('0x'||substr(md5(doc_a::VARCHAR),1,8))::BIGINT % 5 = 0
+   OR ('0x'||substr(md5(doc_b::VARCHAR),1,8))::BIGINT % 5 = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -5075,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_drift_events": q_fdr_drift_events,
         "centroid_drift_embeddings": q_centroid_drift_embeddings,
         "pmi_docs": q_pmi_docs,
+        "incremental_dedup_docs": q_incremental_dedup_docs,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -5208,6 +5246,7 @@ def oracle_sql() -> dict[str, str]:
         "fdr_drift_events": SQL_FDR_DRIFT,
         "centroid_drift_embeddings": SQL_CENTROID_DRIFT,
         "pmi_docs": SQL_PMI_DOCS,
+        "incremental_dedup_docs": SQL_INCREMENTAL_DEDUP,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

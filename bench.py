@@ -195,6 +195,11 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "big_orders",
         "nation_profit",
         "supplier_cnt_parts",
+        "jaccard_join_docs",
+        "centroid_drift_embeddings",
+        "pmi_docs",
+        "wasserstein_events",
+        "fdr_drift_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -179,6 +179,35 @@ def minhash_signatures(
     )
 
 
+def _banded_frame(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bsig) — the LSH band keys of each signature. The
+    ONE construction shared by the batch pipeline and the persistable
+    incremental index, so an index built yesterday buckets identically
+    to a signature computed today."""
+    return (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        # the band's min values joined as a string — grouping
+                        # key directly, no extra hash (and DuckDB-identical)
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bsig"),
+                    ),
+                )
+            ).alias("bs"),
+        ).select("doc_id", "bs.band", "bs.bsig")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 8, rows_per_band: int = 4, max_bucket: int = 64
 ) -> DataFrame:
@@ -195,26 +224,7 @@ def lsh_candidate_pairs(
     the source, the dominant cost at 100 TB. The cached frame is narrow
     (doc_id, band, bsig string), ~bands× the doc count, MEMORY_AND_DISK.
     """
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    # the band's min values joined as a string — grouping
-                    # key directly, no extra hash (and DuckDB-identical)
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("bsig"),
-                ),
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.bsig").persist()
+    banded = _banded_frame(sigs, bands, rows_per_band).persist()
     # count FIRST, collect only qualifying buckets: filtering after a
     # collect_list would still materialize a boilerplate mega-bucket on
     # one reducer before dropping it. The counts pass partial-merges
@@ -354,6 +364,91 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(sh, num_hashes, method)
     pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return ngram_jaccard_pairs(df, pairs, text_col, shingle_n, jaccard_threshold)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    method: str = "md5",
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (doc_id, band, bsig).
+
+    At 10^12-doc scale you never re-dedup the whole corpus per ingest —
+    you persist THIS frame (a narrow bands×|docs| table, text never
+    stored) and run ``incremental_near_duplicates`` on each increment
+    against it. Extending the index after an accepted increment is a
+    plain union: ``index ∪ minhash_band_index(new_docs)`` equals
+    ``minhash_band_index(old ∪ new)`` row-for-row because the band keys
+    are content-deterministic (same constants, same construction —
+    ``_banded_frame``)."""
+    if bands is None:
+        bands, _ = plan_lsh_bands(jaccard_threshold, num_hashes)
+    df = fan_out_narrow_scans(df)
+    sigs = minhash_signatures(shingles(df, text_col, shingle_n), num_hashes, method)
+    return _banded_frame(sigs, bands, num_hashes // bands)
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    method: str = "md5",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup pairs touching the increment, WITHOUT re-deduping the
+    corpus: exactly the rows of ``minhash_near_duplicates(corpus)``
+    where doc_a or doc_b is a new doc (pinned by test).
+
+    ``new_docs`` = the increment; ``index`` = ``minhash_band_index`` of
+    the pre-increment corpus; ``corpus`` = the full post-append table
+    (text source for the exact confirm — only candidate docs are
+    re-read, via the semi-join inside ``ngram_jaccard_pairs``).
+
+    Equivalence argument: bucket membership is index ∪ new bands =
+    full-corpus bands; the ``max_bucket`` cap counts the UNION (same
+    drop decision as batch); candidates are new×all within kept buckets
+    (canonicalized), which is precisely the batch candidate set
+    restricted to pairs touching new; the exact confirm is shared code.
+    Cost: one signature pass over the INCREMENT plus a bucket join —
+    the corpus contributes only its (already persisted) index rows and
+    the text of confirmed candidates."""
+    if bands is None:
+        bands, _ = plan_lsh_bands(jaccard_threshold, num_hashes)
+    banded_new = minhash_band_index(
+        new_docs, text_col, num_hashes, bands, shingle_n, jaccard_threshold, method
+    ).persist()
+    all_banded = index.unionByName(banded_new)
+    keep = (
+        all_banded.groupBy("band", "bsig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bsig")
+    )
+    newb = banded_new.join(keep, ["band", "bsig"], "left_semi").alias("x")
+    allb = all_banded.join(keep, ["band", "bsig"], "left_semi").alias("y")
+    pairs = (
+        newb.join(
+            allb,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_pairs(corpus, pairs, text_col, shingle_n, jaccard_threshold)
 
 
 # ---------------------------------------------------------------------------
