@@ -426,7 +426,11 @@ def incremental_near_duplicates(
     banded_new = minhash_band_index(
         new_docs, text_col, num_hashes, bands, shingle_n, jaccard_threshold, method
     ).persist()
-    all_banded = index.unionByName(banded_new)
+    # referenced by both the bucket-count filter and the join side; in
+    # production `index` is a read-back table (one scan by construction),
+    # but when it arrives as a lineage (e.g. built in the same job) the
+    # persist stops each reference re-deriving the whole corpus subtree
+    all_banded = index.unionByName(banded_new).persist()
     keep = (
         all_banded.groupBy("band", "bsig")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -175,9 +175,11 @@ def centroid_drift(
     x = df.select(
         F.col(group_col).alias("g"), F.posexplode(vec_col).alias("pos", "v")
     ).select("g", "pos", F.col("v").cast("double").alias("v"))
+    # |groups|×dim rows; persisted because the global centroid derives
+    # from it — without the persist that derivation re-scans the corpus
     per = x.groupBy("g", "pos").agg(
         F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
-    )
+    ).persist()
     glob = per.groupBy("pos").agg(
         F.sum("s").alias("gs"), F.sum("n").alias("gn")
     )

@@ -221,11 +221,15 @@ def pmi_collocations(
             ),
         )
     )
+    # vocab+bigram-vocab sized, narrow; persisted because totals/uni/bi
+    # all derive from it — unpersisted, each branch re-runs the whole
+    # tokenize+explode over the corpus text (measured: 6 scans -> 1)
     counts = (
         df.select(tagged.alias("x"))
         .select(F.col("x.k").alias("k"), F.col("x.t").alias("t"))
         .groupBy("k", "t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     totals = counts.groupBy("k").agg(F.sum("c").alias("tot"))
     counts = counts.join(F.broadcast(totals), "k")
