@@ -4548,6 +4548,86 @@ FROM embeddings e CROSS JOIN m
 """
 
 
+def q_embed_integrity(spark, sf_dir):
+    """Embedding-column integrity validation (operators/veccheck.py):
+    per-label counts of null / wrong-dim / NaN-or-Inf / zero vectors
+    plus the L2-norm profile of well-formed ones — the vector analog of
+    the token-array invariants, run BEFORE any dedup/ANN pipeline
+    trusts the column. One scan, per-row checks are codegen array folds
+    (no explode: an explode would shuffle dim rows per vector), one
+    partial-aggregated shuffle of counter rows."""
+    from htm_streamer_spark.operators.veccheck import embedding_integrity
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_integrity(e, "embedding", dim=64, group_by="label")
+    return out.withColumn("ok", F.col("ok").cast("long"))
+
+
+SQL_EMBED_INTEGRITY = """
+WITH v AS (
+  SELECT label,
+         embedding IS NULL AS is_null,
+         embedding IS NOT NULL AND len(embedding) <> 64 AS wrong_dim,
+         embedding IS NOT NULL AND len(list_filter(embedding,
+             x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) > 0 AS nonfinite,
+         CASE WHEN embedding IS NOT NULL THEN
+           list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                            list_transform(embedding, x -> x::DOUBLE))
+         END AS sumsq
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vec,
+       sum(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END)::BIGINT AS n_wrong_dim,
+       sum(CASE WHEN nonfinite THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+       sum(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                 AND sqrt(sumsq) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       round(min(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                      THEN sqrt(sumsq) END) + 1e-12, 6) + 0.0 AS norm_min,
+       round(max(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                      THEN sqrt(sumsq) END) + 1e-12, 6) + 0.0 AS norm_max,
+       round(avg(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                      THEN sqrt(sumsq) END) + 1e-12, 6) + 0.0 AS norm_avg,
+       (sum(CASE WHEN is_null OR wrong_dim OR nonfinite THEN 1 ELSE 0 END)
+        = 0)::BIGINT AS ok
+FROM v GROUP BY label
+"""
+
+
+def q_embed_dim_profile(spark, sf_dir):
+    """Per-dimension mean/std of the embedding column per label
+    (operators/veccheck.py embedding_dim_profile) — the baseline a
+    dimension-wise drift monitor compares snapshots against. The plan
+    to check at 100 TB: NO posexplode of vectors (that would shuffle
+    64 rows per vector); each dim is two codegen agg expressions, the
+    shuffle carries one 128-counter row per (task, label), and the
+    long output explodes the already-aggregated group-sized frame."""
+    from htm_streamer_spark.operators.veccheck import embedding_dim_profile
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_profile(e, "embedding", dim=64, group_by="label")
+
+
+SQL_EMBED_DIM_PROFILE = """
+WITH v AS (
+  SELECT label, embedding,
+         embedding IS NOT NULL AND len(embedding) = 64
+         AND len(list_filter(embedding,
+             x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) = 0 AS ok
+  FROM embeddings
+)
+SELECT v.label, d.j::INT AS j,
+       round(avg(CASE WHEN v.ok THEN v.embedding[d.j + 1]::DOUBLE END)
+             + 1e-12, 6) + 0.0 AS mean,
+       round(sqrt(greatest(var_pop(
+                 CASE WHEN v.ok THEN v.embedding[d.j + 1]::DOUBLE END), 0.0))
+             + 1e-12, 6) + 0.0 AS std
+FROM v CROSS JOIN range(64) d(j)
+GROUP BY v.label, d.j
+"""
+
+
 def q_leak_split_docs(spark, sf_dir):
     """Leakage-safe train/val/test split (operators/sampling.py
     leakage_safe_split): the split unit is the near-dup CLUSTER, so a
@@ -5153,6 +5233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_ship_suppliers": q_excess_ship_suppliers,
         "checksum_orders": q_checksum_orders,
         "rp_embeddings": q_rp_embeddings,
+        "embed_integrity": q_embed_integrity,
+        "embed_dim_profile": q_embed_dim_profile,
         "leak_split_docs": q_leak_split_docs,
         "gaps_events": q_gaps_events,
         "dup_component_sizes_docs": q_dup_component_sizes_docs,
@@ -5288,6 +5370,8 @@ def oracle_sql() -> dict[str, str]:
         "excess_ship_suppliers": SQL_EXCESS_SHIP_SUPPLIERS,
         "checksum_orders": SQL_CHECKSUM_ORDERS,
         "rp_embeddings": _sql_rp_embeddings(),
+        "embed_integrity": SQL_EMBED_INTEGRITY,
+        "embed_dim_profile": SQL_EMBED_DIM_PROFILE,
         "leak_split_docs": SQL_LEAK_SPLIT,
         "gaps_events": SQL_GAPS_EVENTS,
         "dup_component_sizes_docs": SQL_DUP_COMPONENT_SIZES,

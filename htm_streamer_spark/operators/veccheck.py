@@ -1,0 +1,142 @@
+"""Embedding-column integrity validation — the vector analog of the
+token-array invariants (invariants.py).
+
+An embeddings table feeding dedup/ANN/clustering has its own failure
+modes that scalar column stats never see: NaN/Inf entries poison every
+cosine downstream (one NaN in a centroid corrupts the whole cluster),
+wrong-dimension vectors crash Arrow kernels mid-job, and all-zero
+vectors make cosine undefined (0/0) while silently matching nothing.
+At 10^12 rows you validate these BEFORE the expensive pipelines run,
+exactly as the token-range check gates the sequence table
+(reference analog: htm_streamer's per-field model-input validation in
+htm_source/pipeline/htm_batch_runner.py — scalar features there,
+vector columns here).
+
+Spark shape: one scan, one partial-aggregated groupBy shuffle carrying
+a handful of counters per group. Per-row checks are pure codegen array
+expressions (``F.exists``/``F.size``/``F.aggregate`` fold) — no UDF,
+no explode (an explode would shuffle d rows per vector; the fold keeps
+it at one). The L2 norm folds left-to-right in double precision so any
+engine (and the DuckDB oracle's sequential list_sum) reproduces the
+sum bit-for-bit before rounding.
+
+Verdict semantics match the partition verdicts of the validation plan:
+a group fails if any hard violation (null / wrong dim / non-finite)
+exists; zero vectors are reported but gate-able separately (they are
+legal in sparse-feature corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["embedding_integrity", "embedding_dim_profile"]
+
+
+def embedding_integrity(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    group_by: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-``group_by`` integrity profile of an ``array<float>`` column.
+
+    Output columns (one row per group):
+      n_vec        rows in the group
+      n_null       NULL vectors
+      n_wrong_dim  non-null vectors whose length != dim
+      n_nonfinite  vectors containing NaN or +/-Inf
+      n_zero       well-formed vectors with L2 norm == 0
+      norm_min / norm_max / norm_avg   over well-formed, finite,
+                   correct-dim vectors (rounded to ``round_to``)
+      ok           verdict: no nulls, no wrong dims, no non-finite
+    """
+    v = F.col(vec_col)
+    vd = F.transform(v, lambda x: x.cast("double"))
+    is_null = v.isNull()
+    wrong_dim = ~is_null & (F.size(v) != F.lit(dim))
+    nonfinite = ~is_null & F.exists(
+        vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    well_formed = ~is_null & ~wrong_dim & ~nonfinite
+    sumsq = F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
+    norm = F.when(well_formed, F.sqrt(sumsq))
+
+    rounded = lambda c: F.round(c + F.lit(1e-12), round_to) + F.lit(0.0)  # noqa: E731
+    return (
+        df.select(
+            F.col(group_by),
+            is_null.cast("long").alias("_null"),
+            wrong_dim.cast("long").alias("_wd"),
+            nonfinite.cast("long").alias("_nf"),
+            (well_formed & (norm == 0.0)).cast("long").alias("_zero"),
+            norm.alias("_norm"),
+        )
+        .groupBy(group_by)
+        .agg(
+            F.count(F.lit(1)).alias("n_vec"),
+            F.sum("_null").alias("n_null"),
+            F.sum("_wd").alias("n_wrong_dim"),
+            F.sum("_nf").alias("n_nonfinite"),
+            F.sum("_zero").alias("n_zero"),
+            rounded(F.min("_norm")).alias("norm_min"),
+            rounded(F.max("_norm")).alias("norm_max"),
+            rounded(F.avg("_norm")).alias("norm_avg"),
+            (
+                (F.sum("_null") + F.sum("_wd") + F.sum("_nf")) == F.lit(0)
+            ).alias("ok"),
+        )
+    )
+
+
+def embedding_dim_profile(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    group_by: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension mean/std of an embedding column, per group — the
+    baseline a dimension-wise drift monitor (z-test / BH-FDR alerting,
+    operators/stattests.py) compares snapshots against.
+
+    Plan shape matters at 10^12 rows: the naive posexplode shuffles
+    dim rows PER VECTOR (a 64x blowup of the fact table); here each
+    dimension is two codegen aggregate expressions over
+    ``element_at``, so the shuffle carries ONE partially-aggregated
+    row of 2*dim counters per (task, group), and the long (group, j,
+    mean, std) output is produced by exploding the already-aggregated
+    one-row-per-group frame — explode AFTER aggregation, where the
+    frame is group-count sized.
+
+    Malformed vectors (see embedding_integrity) contribute NULL to
+    every dimension and are skipped by avg/stddev null semantics —
+    run the integrity gate first; this profile never crashes on them.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim)) & ~F.exists(
+        vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    cell = lambda j: F.when(ok, F.element_at(vd, j + 1))  # noqa: E731
+    aggs = []
+    for j in range(dim):
+        aggs.append(F.avg(cell(j)).alias(f"_m{j}"))
+        aggs.append(F.var_pop(cell(j)).alias(f"_v{j}"))
+    agg = df.groupBy(group_by).agg(*aggs)
+
+    rounded = lambda c: F.round(c + F.lit(1e-12), round_to) + F.lit(0.0)  # noqa: E731
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                rounded(F.col(f"_m{j}")).alias("mean"),
+                rounded(F.sqrt(F.greatest(F.col(f"_v{j}"), F.lit(0.0)))).alias("std"),
+            )
+            for j in range(dim)
+        ]
+    )
+    return agg.select(
+        F.col(group_by), F.explode(packed).alias("p")
+    ).select(group_by, "p.j", "p.mean", "p.std")
