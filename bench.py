@@ -200,6 +200,8 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "pmi_docs",
         "wasserstein_events",
         "fdr_drift_events",
+        "embed_integrity",
+        "embed_dim_profile",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
