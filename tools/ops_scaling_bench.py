@@ -115,6 +115,23 @@ def run(name):
             ((F.col("n_chars") * (F.col("rep") + 1)) % 101).alias("chars_mod"),
         )
         df = correlation_matrix(wide, ["n_chars", "text_len", "id_mod", "chars_mod"])
+    elif name == "embed_integrity":
+        # vector-invariant family: codegen array folds (null / dim /
+        # finite / L2 norm) + one counter-row shuffle — the scan-bound
+        # gate every embedding pipeline runs first. 1M dim-64 vectors;
+        # group derived from vec_id (the 500x replication drops label)
+        from htm_streamer_spark.operators.veccheck import embedding_integrity
+        emb = spark.read.parquet({emb_big!r}).withColumn(
+            "label", (F.col("vec_id") % 20).cast("string"))
+        df = embedding_integrity(emb, "embedding", dim=64, group_by="label")
+    elif name == "embed_dim_profile":
+        # per-dimension drift-baseline family: 128 codegen agg
+        # expressions (mean+var per dim), shuffle carries one
+        # 128-counter row per (task, group), explode AFTER aggregation
+        from htm_streamer_spark.operators.veccheck import embedding_dim_profile
+        emb = spark.read.parquet({emb_big!r}).withColumn(
+            "label", (F.col("vec_id") % 20).cast("string"))
+        df = embedding_dim_profile(emb, "embedding", dim=64, group_by="label")
     elif name == "semdedup":
         # embedding family: one Arrow matmul assignment pass + one
         # shuffle on cluster_id + per-cluster O(m^2) numpy pruning —
@@ -135,7 +152,7 @@ def run(name):
     return time.time() - t0, n
 
 import os as _os
-_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup")
+_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile")
 _only = _os.environ.get("SPARK_GRAFT_FAMILIES")
 if _only:
     _names = tuple(n for n in _names if n in _only.split(","))
