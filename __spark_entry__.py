@@ -5109,6 +5109,129 @@ WHERE ('0x'||substr(md5(doc_a::VARCHAR),1,8))::BIGINT % 5 = 0
 """
 
 
+
+def q_cusum_events(spark, sf_dir):
+    """Per-event_type CUSUM change-point statistic over the value
+    series (operators/stattests.py cusum_changepoint): the
+    retrospective mean-shift member of the drift family — PSI/KL/W1
+    compare two pre-chosen epochs, CUSUM locates the shift without
+    being told the split. Stat is the Brownian-bridge-normalized
+    max |S_k|; cp_ts is the earliest timestamp attaining it. One
+    groupBy(event_type, ts) shuffle; windows run on the distinct-ts
+    frame."""
+    from htm_streamer_spark.operators.stattests import cusum_changepoint
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_changepoint(e, "event_type", "ts", "value")
+
+
+SQL_CUSUM = """
+WITH per AS (
+  SELECT event_type, ts, sum(value) AS s, sum(value * value) AS s2,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, sum(c)::BIGINT AS n, sum(s) AS sv, sum(s2) AS sv2
+  FROM per GROUP BY 1
+),
+dev AS (
+  SELECT p.event_type, p.ts, p.s - p.c * (st.sv / st.n) AS d, st.n,
+         sqrt(greatest(st.sv2 / st.n - (st.sv / st.n) * (st.sv / st.n),
+                       0.0)) AS sigma
+  FROM per p JOIN st USING (event_type)
+),
+cs AS (
+  SELECT event_type, ts, n,
+         CASE WHEN sigma > 0 THEN
+           round(abs(sum(d) OVER (PARTITION BY event_type ORDER BY ts))
+                 / (sigma * sqrt(n)) + 1e-9, 6)
+         ELSE 0.0 END AS stat
+  FROM dev
+),
+m AS (SELECT event_type, max(stat) AS cusum_stat FROM cs GROUP BY 1)
+SELECT cs.event_type, min(cs.n)::BIGINT AS n,
+       m.cusum_stat + 0.0 AS cusum_stat, min(cs.ts) AS cp_ts
+FROM cs JOIN m ON cs.event_type = m.event_type AND cs.stat = m.cusum_stat
+GROUP BY 1, 3
+"""
+
+
+def q_ttr_docs(spark, sf_dir):
+    """Per-source type-token ratio + Herdan's C (operators/lm.py
+    lexical_diversity): the lexical-collapse detector — a source whose
+    pages degenerate into boilerplate keeps volume while vocabulary
+    flatlines. Two map-side-partial shuffles, vocabulary-deduped rows
+    in the second."""
+    from htm_streamer_spark.operators.lm import lexical_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return lexical_diversity(d, "source")
+
+
+SQL_TTR = r"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_types
+  FROM toks GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+       round(n_types::DOUBLE / n_tokens + 1e-9, 6) + 0.0 AS ttr,
+       CASE WHEN n_tokens > 1 THEN
+         round(ln(n_types::DOUBLE) / ln(n_tokens::DOUBLE) + 1e-9, 6) + 0.0
+       END AS herdan_c
+FROM agg
+"""
+
+
+def q_zipf_docs(spark, sf_dir):
+    """Corpus Zipf-law conformance (operators/lm.py zipf_fit): OLS of
+    ln(frequency) on ln(rank) over the top-128 terms — natural text
+    sits near slope -1; template farms and tokenizer breakage bend the
+    curve. One tokenizing scan; the fit aggregates 128 rows."""
+    from htm_streamer_spark.operators.lm import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, top_k=128)
+
+
+SQL_ZIPF = r"""
+WITH toks AS (
+  SELECT t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+vocab AS (SELECT term, count(*)::BIGINT AS ctf FROM toks GROUP BY 1),
+rk AS (
+  SELECT ln(row_number() OVER (ORDER BY ctf DESC, term ASC)::DOUBLE) AS x,
+         ln(ctf::DOUBLE) AS y, ctf, term
+  FROM vocab
+  ORDER BY ctf DESC, term ASC LIMIT 128
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_terms, avg(x) AS mx, avg(y) AS my,
+         avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+  FROM rk
+)
+SELECT n_terms,
+       round((mxy - mx * my) / (mxx - mx * mx) + 1e-9, 6) + 0.0 AS slope,
+       round(my - (mxy - mx * my) / (mxx - mx * mx) * mx + 1e-9, 6) + 0.0
+         AS intercept,
+       CASE WHEN (myy - my * my) > 0 THEN
+         round((mxy - mx * my) * (mxy - mx * my)
+               / ((mxx - mx * mx) * (myy - my * my)) + 1e-9, 6) + 0.0
+       END AS r2
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -5193,6 +5316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift_embeddings": q_centroid_drift_embeddings,
         "pmi_docs": q_pmi_docs,
         "incremental_dedup_docs": q_incremental_dedup_docs,
+        "cusum_events": q_cusum_events,
+        "ttr_docs": q_ttr_docs,
+        "zipf_docs": q_zipf_docs,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -5329,6 +5455,9 @@ def oracle_sql() -> dict[str, str]:
         "centroid_drift_embeddings": SQL_CENTROID_DRIFT,
         "pmi_docs": SQL_PMI_DOCS,
         "incremental_dedup_docs": SQL_INCREMENTAL_DEDUP,
+        "cusum_events": SQL_CUSUM,
+        "ttr_docs": SQL_TTR,
+        "zipf_docs": SQL_ZIPF,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

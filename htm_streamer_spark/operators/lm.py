@@ -126,3 +126,118 @@ def oov_rate(
             6,
         ).alias("oov"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group type-token ratio and Herdan's C — the lexical-
+    diversity collapse detector: a source whose scraped pages
+    degenerate into boilerplate keeps its volume (n_tokens) while its
+    vocabulary (n_types) flatlines, which TTR and Herdan's C
+    (log V / log N, the length-robust variant) surface directly.
+    Complements categorical_entropy (stattests.py), which watches the
+    label mix rather than the text itself.
+
+    Plan: one tokenizing scan fanned out; ``groupBy(group, term)``
+    collapses to the per-group vocabulary BEFORE the per-group
+    aggregate, so the second shuffle carries vocabulary-deduped rows
+    (map-side partial on both). No Python, no windows. Groups with a
+    single token report herdan_c NULL (log 1 == 0 denominator).
+    Returns (group, n_tokens, n_types, ttr, herdan_c).
+    """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+    from htm_streamer_spark.operators.ranking import tokenize
+
+    toks = tokenize(
+        fan_out_narrow_scans(df.select(group_col, text_col)), text_col
+    )
+    per_term = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    agg = per_term.groupBy(group_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("n_types") / F.col("n_tokens") + F.lit(1e-9), 6
+        ).alias("ttr"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(
+                F.log(F.col("n_types").cast("double"))
+                / F.log(F.col("n_tokens").cast("double"))
+                + F.lit(1e-9),
+                6,
+            ),
+        ).alias("herdan_c"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 128,
+) -> DataFrame:
+    """OLS fit of ln(frequency) ~ ln(rank) over the corpus' top-K
+    terms — the Zipf-law conformance check: natural language sits near
+    slope -1; machine-generated spam, template farms, and tokenizer
+    breakage bend the curve (slope drifting toward 0 means the head
+    flattened; r2 collapsing means the rank-frequency law itself broke).
+    A corpus-level quality gate, one row per corpus.
+
+    slope = cov(x, y) / var(x) over (x, y) = (ln rank, ln ctf), with
+    the rank deterministic (ctf desc, term asc). All moments are plain
+    averages over the K-row frame, so the arithmetic reproduces on any
+    engine to well under the 6-dp rounding.
+
+    Plan: one tokenizing scan; the rank window runs on the vocabulary-
+    sized corpus frame (same documented bound as ``oov_rate``); the
+    fit aggregates K rows. Returns one row
+    (n_terms, slope, intercept, r2).
+    """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+    from htm_streamer_spark.operators.ranking import tokenize
+
+    toks = tokenize(fan_out_narrow_scans(df.select(text_col)), text_col)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    w = Window.orderBy(F.col("ctf").desc(), F.col("term").asc())
+    top = (
+        vocab.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .select(
+            F.log(F.col("_rk").cast("double")).alias("x"),
+            F.log(F.col("ctf").cast("double")).alias("y"),
+        )
+    )
+    m = top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    varx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vary = F.col("myy") - F.col("my") * F.col("my")
+    slope = cov / varx
+    return m.select(
+        "n_terms",
+        F.round(slope + F.lit(1e-9), 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx") + F.lit(1e-9), 6).alias(
+            "intercept"
+        ),
+        F.when(
+            vary > 0,
+            F.round(cov * cov / (varx * vary) + F.lit(1e-9), 6),
+        ).alias("r2"),
+    )

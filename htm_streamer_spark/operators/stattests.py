@@ -46,6 +46,7 @@ __all__ = [
     "mad_count_outliers",
     "wasserstein_binned",
     "benjamini_hochberg",
+    "cusum_changepoint",
 ]
 
 
@@ -404,4 +405,75 @@ def benjamini_hochberg(
         flagged.withColumn("bh_threshold", F.round(thresh, 6))
         .withColumn("rejected", (F.col("rank") <= k) & (k > 0))
         .drop("hit_rank")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group CUSUM change-point statistic over an ordered value
+    series — the retrospective mean-shift test the drift family was
+    missing: PSI/KL/W1 (drift.py, wasserstein_binned) compare two
+    epochs you chose in advance; CUSUM finds WHERE the level shifted
+    without being told the split point. Reference parity: generalizes
+    the reference's moving-average step detection
+    (htm_streamer/utils/anomaly.py) from "did the mean move just now"
+    to "did the mean move anywhere in the series, and when".
+
+    S_k = sum_{i<=k}(x_i - mean);  stat = max_k |S_k| / (sigma*sqrt(n))
+
+    (the standardized CUSUM whose null distribution is the Brownian-
+    bridge sup — stat above ~1.36 rejects at 5%). Ties in ``order_col``
+    are collapsed first (one row per distinct order value, summed
+    deviations), so the running sum is evaluated only at tie
+    boundaries — order-deterministic on every engine, same approach as
+    ``ks_two_sample``. The change point is the earliest order value
+    attaining the (6-dp rounded) maximum.
+
+    Plan: one ``groupBy(group, order)`` shuffle over the fact table;
+    the cumulative window runs per group on the distinct-order frame
+    (one task per group — the accepted per-series bound, see
+    operators/likelihood.py); the final argmax aggregates that same
+    frame. Constant series (sigma == 0) report stat 0 at the first
+    order value. Returns (group, n, cusum_stat, cp_<order_col>).
+    """
+    g, o, v = group_col, order_col, value_col
+    per = df.groupBy(g, o).agg(
+        F.sum(v).alias("_s"),
+        F.sum(F.col(v) * F.col(v)).alias("_s2"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    tot = Window.partitionBy(g)
+    cum = Window.partitionBy(g).orderBy(o).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = F.sum("_c").over(tot)
+    mean = F.sum("_s").over(tot) / n
+    var = F.sum("_s2").over(tot) / n - mean * mean
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    run = F.sum(F.col("_s") - F.col("_c") * mean).over(cum)
+    scored = per.select(
+        g,
+        o,
+        n.alias("_n"),
+        F.when(
+            sigma > 0,
+            F.round(F.abs(run) / (sigma * F.sqrt(n)) + F.lit(1e-9), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_stat"),
+    )
+    peak = Window.partitionBy(g)
+    flagged = scored.withColumn("_m", F.max("_stat").over(peak))
+    return (
+        flagged.filter(F.col("_stat") == F.col("_m"))
+        .groupBy(g)
+        .agg(
+            F.min("_n").cast("long").alias("n"),
+            F.min("_m").alias("cusum_stat"),
+            F.min(o).alias(f"cp_{o}"),
+        )
     )
