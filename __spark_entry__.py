@@ -5232,6 +5232,97 @@ FROM m
 """
 
 
+
+def q_gini_events(spark, sf_dir):
+    """Per-event_type Gini coefficient of per-user event volume
+    (operators/stattests.py gini_concentration): the skew meter behind
+    every salting decision — a partition whose key concentration jumps
+    gets flagged before it melts a shuffle. One fact shuffle; rank
+    window on the unit-weight frame."""
+    from htm_streamer_spark.operators.stattests import gini_concentration
+
+    e = _t(spark, sf_dir, "events")
+    return gini_concentration(e, "event_type", "user_id")
+
+
+SQL_GINI = """
+WITH per AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS w
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, w,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY w ASC, user_id ASC) AS i
+  FROM per
+)
+SELECT event_type, count(*)::BIGINT AS n_units, sum(w)::BIGINT AS total,
+       round(2.0 * sum(i * w) / (count(*) * sum(w))
+             - (count(*) + 1.0) / count(*) + 1e-9, 6) + 0.0 AS gini
+FROM rk GROUP BY 1
+"""
+
+
+def q_acf_events(spark, sf_dir):
+    """Per-event_type autocorrelation (lags 1..5) of the dense hourly
+    event-count series (operators/stattests.py acf_bucket_counts): the
+    arrival-process member of the drift family — missing hours count 0
+    so ingest gaps shift the ACF instead of being silently skipped.
+    One count shuffle; grid + lags on the metadata-sized bucket frame,
+    all lags from one window pass."""
+    from htm_streamer_spark.operators.stattests import acf_bucket_counts
+
+    e = _t(spark, sf_dir, "events")
+    out = acf_bucket_counts(e, "event_type", "ts", bucket="hour", max_lag=5)
+    return out.select(
+        "event_type", F.col("lag").cast("long").alias("lag"), "acf"
+    )
+
+
+SQL_ACF = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+m AS (SELECT event_type, avg(c) AS mu FROM dense GROUP BY 1),
+dev AS (
+  SELECT dense.event_type, b, c - mu AS d
+  FROM dense JOIN m ON m.event_type = dense.event_type
+),
+l AS (
+  SELECT event_type, d,
+         lag(d, 1) OVER w AS d1, lag(d, 2) OVER w AS d2,
+         lag(d, 3) OVER w AS d3, lag(d, 4) OVER w AS d4,
+         lag(d, 5) OVER w AS d5
+  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+a AS (
+  SELECT event_type, sum(d * d) AS dn,
+         sum(d * d1) AS s1, sum(d * d2) AS s2, sum(d * d3) AS s3,
+         sum(d * d4) AS s4, sum(d * d5) AS s5
+  FROM l GROUP BY 1
+)
+SELECT event_type, lag::BIGINT AS lag,
+       CASE WHEN dn > 0 THEN round(s / dn + 1e-9, 6) + 0.0 END AS acf
+FROM (
+  SELECT event_type, 1 AS lag, s1 AS s, dn FROM a UNION ALL
+  SELECT event_type, 2, s2, dn FROM a UNION ALL
+  SELECT event_type, 3, s3, dn FROM a UNION ALL
+  SELECT event_type, 4, s4, dn FROM a UNION ALL
+  SELECT event_type, 5, s5, dn FROM a
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -5319,6 +5410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": q_cusum_events,
         "ttr_docs": q_ttr_docs,
         "zipf_docs": q_zipf_docs,
+        "gini_events": q_gini_events,
+        "acf_events": q_acf_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -5458,6 +5551,8 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": SQL_CUSUM,
         "ttr_docs": SQL_TTR,
         "zipf_docs": SQL_ZIPF,
+        "gini_events": SQL_GINI,
+        "acf_events": SQL_ACF,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

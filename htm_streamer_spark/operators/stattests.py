@@ -47,6 +47,8 @@ __all__ = [
     "wasserstein_binned",
     "benjamini_hochberg",
     "cusum_changepoint",
+    "gini_concentration",
+    "acf_bucket_counts",
 ]
 
 
@@ -476,4 +478,135 @@ def cusum_changepoint(
             F.min("_m").alias("cusum_stat"),
             F.min(o).alias(f"cp_{o}"),
         )
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group Gini coefficient of how total weight concentrates
+    across units — the skew meter behind every salting decision in
+    this engine: uniqueness (operators/uniqueness.py) and the as-of
+    join salt because a few keys own most rows; Gini quantifies that
+    concentration as one auditable number per group (0 = uniform,
+    -> 1 = one unit owns everything), so a partition whose key
+    concentration JUMPS gets flagged before it melts a shuffle.
+
+    G = (2 * sum_i i * w_i) / (n * sum_i w_i) - (n + 1) / n
+
+    with units ranked ascending by weight (ties broken by unit id —
+    the rank formula is tie-invariant in exact arithmetic, the break
+    just makes the plan deterministic). ``weight_col=None`` counts
+    rows. Returns (group, n_units, total, gini).
+
+    Plan: one ``groupBy(group, unit)`` shuffle over the fact table;
+    the rank window runs per group on the unit-weight frame (the
+    accepted per-series bound); one tiny aggregate after.
+    """
+    g, u = group_col, unit_col
+    w = (
+        F.sum(weight_col).alias("_w")
+        if weight_col
+        else F.count(F.lit(1)).alias("_w")
+    )
+    per_unit = df.groupBy(g, u).agg(w)
+    rk = Window.partitionBy(g).orderBy(F.col("_w").asc(), F.col(u).asc())
+    ranked = per_unit.withColumn("_i", F.row_number().over(rk))
+    return (
+        ranked.groupBy(g)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("_w").cast("long").alias("total"),
+            F.sum(F.col("_i") * F.col("_w")).alias("_iw"),
+        )
+        .select(
+            g,
+            "n_units",
+            "total",
+            F.round(
+                F.lit(2.0) * F.col("_iw") / (F.col("n_units") * F.col("total"))
+                - (F.col("n_units") + 1) / F.col("n_units")
+                + F.lit(1e-9),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def acf_bucket_counts(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Per-group autocorrelation of the bucketed event-count series at
+    lags 1..max_lag — the seasonality/periodicity member of the drift
+    family: PSI/W1/CUSUM watch the VALUE distribution; ACF watches the
+    ARRIVAL process (a pipeline whose hourly volume suddenly loses its
+    diurnal correlation structure changed upstream even if totals
+    held). Standard biased estimator
+    ``r_k = sum((x_t - m)(x_{t+k} - m)) / sum((x_t - m)^2)``
+    over the DENSE bucket grid per group (missing buckets count 0 —
+    a lag on the observed-only series would silently compare
+    non-adjacent hours, exactly the gap the detector must see).
+
+    Plan: one ``groupBy(group, bucket)`` count shuffle; the dense grid
+    is synthesized per group from (min, max) via ``sequence`` on the
+    group-bucket frame (metadata-sized), never the fact table; lag
+    windows run per group on that frame. Constant series (zero
+    variance) report NULL acf. Returns (group, lag, acf).
+    """
+    g = group_col
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = df.groupBy(F.col(g), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    span = counts.groupBy(g).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    grid = span.select(
+        g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
+    )
+    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    tot = Window.partitionBy(g)
+    ord_w = Window.partitionBy(g).orderBy("_b")
+    mean = F.sum("_c").over(tot) / F.count(F.lit(1)).over(tot)
+    dev = dense.select(
+        g, "_b", (F.col("_c") - mean).alias("_d")
+    )
+    # all lags come out of ONE window pass (shared ordering), then one
+    # aggregate and a stack unpivot — a per-lag union would re-derive
+    # the count shuffle once per lag (the multi-scan smell this repo
+    # lints against)
+    lagged = dev.select(
+        g,
+        (F.col("_d") * F.col("_d")).alias("_den"),
+        *[
+            (F.col("_d") * F.lag("_d", k).over(ord_w)).alias(f"_n{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = lagged.groupBy(g).agg(
+        F.sum("_den").alias("_dn"),
+        *[F.sum(f"_n{k}").alias(f"_s{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = ", ".join(f"{k}, _s{k}" for k in range(1, max_lag + 1))
+    stacked = agg.select(
+        g,
+        "_dn",
+        F.expr(f"stack({max_lag}, {pairs}) as (lag, _n)"),
+    )
+    return stacked.select(
+        g,
+        "lag",
+        F.when(
+            F.col("_dn") > 0,
+            F.round(F.col("_n") / F.col("_dn") + F.lit(1e-9), 6),
+        ).alias("acf"),
     )
