@@ -202,6 +202,11 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "fdr_drift_events",
         "embed_integrity",
         "embed_dim_profile",
+        "cusum_events",
+        "gini_events",
+        "acf_events",
+        "ttr_docs",
+        "zipf_docs",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -566,6 +566,9 @@ def acf_bucket_counts(
     counts = df.groupBy(F.col(g), b.alias("_b")).agg(
         F.count(F.lit(1)).alias("_c")
     )
+    # counts feeds BOTH the span derivation and the dense join below —
+    # persist the metadata-sized frame so the fact table is scanned once
+    counts = counts.persist()
     span = counts.groupBy(g).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     )

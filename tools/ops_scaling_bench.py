@@ -34,6 +34,7 @@ REPO = Path(__file__).resolve().parents[1]
 DOCS = REPO / ".data" / "docs20x"
 DOCS_BIG = REPO / ".data" / "docs100x"
 EMB_BIG = REPO / ".data" / "emb500x"
+EMB_XL = REPO / ".data" / "emb8m"
 
 _WORKER = """
 import os, sys, time
@@ -121,7 +122,7 @@ def run(name):
         # gate every embedding pipeline runs first. 1M dim-64 vectors;
         # group derived from vec_id (the 500x replication drops label)
         from htm_streamer_spark.operators.veccheck import embedding_integrity
-        emb = spark.read.parquet({emb_big!r}).withColumn(
+        emb = spark.read.parquet({emb_xl!r}).withColumn(
             "label", (F.col("vec_id") % 20).cast("string"))
         df = embedding_integrity(emb, "embedding", dim=64, group_by="label")
     elif name == "embed_dim_profile":
@@ -129,7 +130,7 @@ def run(name):
         # expressions (mean+var per dim), shuffle carries one
         # 128-counter row per (task, group), explode AFTER aggregation
         from htm_streamer_spark.operators.veccheck import embedding_dim_profile
-        emb = spark.read.parquet({emb_big!r}).withColumn(
+        emb = spark.read.parquet({emb_xl!r}).withColumn(
             "label", (F.col("vec_id") % 20).cast("string"))
         df = embedding_dim_profile(emb, "embedding", dim=64, group_by="label")
     elif name == "semdedup":
@@ -196,6 +197,29 @@ big.repartition(8).write.mode("overwrite").parquet({str(EMB_BIG)!r})
 print("synthesized", big.count())
 """
         subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
+    if not EMB_XL.exists():
+        # 8M-vector replication for the scan-bound veccheck families:
+        # at 500k rows they finish in ~0.25s and fixed overhead buries
+        # the parallelism signal; 8M rows puts the 8-core run at
+        # multiple seconds so the N->4N ratio measures the operator
+        code = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from htm_streamer_spark import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(cores=8, driver_memory="8g")
+e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+copies = spark.range(8000).select(F.col("id").cast("int").alias("copy"))
+big = (e.crossJoin(copies)
+       .select((F.col("vec_id") + F.col("copy").cast("long") * 1_000_000).alias("vec_id"),
+               F.concat(
+                   F.array((F.element_at("embedding", 1) + F.col("copy") * F.lit(0.003)).cast("float")),
+                   F.slice("embedding", 2, 63),
+               ).alias("embedding")))
+big.repartition(32).write.mode("overwrite").parquet({str(EMB_XL)!r})
+print("synthesized", big.count())
+"""
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=1200)
     todo = [(DOCS, 20), (DOCS_BIG, 100)]
     todo = [(p, n) for p, n in todo if not p.exists()]
     if not todo:
@@ -221,7 +245,8 @@ print("synthesized", big.count())
 
 def run_level(cores: int, repeats: int) -> dict:
     code = _WORKER.format(
-        repo=str(REPO), docs=str(DOCS), docs_big=str(DOCS_BIG), emb_big=str(EMB_BIG)
+        repo=str(REPO), docs=str(DOCS), docs_big=str(DOCS_BIG), emb_big=str(EMB_BIG),
+        emb_xl=str(EMB_XL)
     )
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(repeats)],
