@@ -5323,6 +5323,264 @@ FROM (
 """
 
 
+def q_heaps_docs(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (operators/lm.py heaps_fit):
+    the dynamic twin of zipf_docs — V = K*N^beta over the corpus'
+    growth curve, computed distributed via the first-occurrence trick
+    (min hash-bucket per term), never a sequential scan. One
+    tokenizing scan, one vocabulary-sized shuffle; the cumsum + OLS
+    run on a 32-row frame."""
+    from htm_streamer_spark.operators.lm import heaps_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_fit(d, n_buckets=32)
+
+
+SQL_HEAPS = r"""
+WITH toks AS (
+  SELECT ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+           % 2147483647 % 32 AS b,
+         t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+fs AS (SELECT term, min(b) AS fb FROM toks GROUP BY 1),
+nt AS (SELECT fb AS b, count(*)::BIGINT AS n_new FROM fs GROUP BY 1),
+tk AS (SELECT b, count(*)::BIGINT AS n_tok FROM toks GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, 31)) AS b),
+curve AS (
+  SELECT g.b, coalesce(tk.n_tok, 0) AS t, coalesce(nt.n_new, 0) AS v
+  FROM grid g LEFT JOIN tk ON tk.b = g.b LEFT JOIN nt ON nt.b = g.b
+),
+cum AS (
+  SELECT sum(t) OVER (ORDER BY b) AS n, sum(v) OVER (ORDER BY b) AS vv
+  FROM curve
+),
+xy AS (
+  SELECT ln(n::DOUBLE) AS x, ln(vv::DOUBLE) AS y
+  FROM cum WHERE n > 0 AND vv > 0
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_points, avg(x) AS mx, avg(y) AS my,
+         avg(x*y) AS mxy, avg(x*x) AS mxx, avg(y*y) AS myy
+  FROM xy
+)
+SELECT n_points,
+  CASE WHEN (mxx - mx*mx) > 0 THEN
+    round((mxy - mx*my) / (mxx - mx*mx) + 1e-9, 6) + 0.0 END AS beta,
+  CASE WHEN (mxx - mx*mx) > 0 THEN
+    round(my - (mxy - mx*my) / (mxx - mx*mx) * mx + 1e-9, 6) + 0.0 END AS ln_k,
+  CASE WHEN (mxx - mx*mx) > 0 AND (myy - my*my) > 0 THEN
+    round((mxy - mx*my) * (mxy - mx*my)
+          / ((mxx - mx*mx) * (myy - my*my)) + 1e-9, 6) + 0.0 END AS r2
+FROM m
+"""
+
+
+def q_mann_kendall_events(spark, sf_dir):
+    """Per-event_type Mann–Kendall monotone-trend test over the dense
+    hourly count series (operators/stattests.py mann_kendall): the
+    nonparametric member of the trend family — CUSUM locates a mean
+    shift, MK detects slow monotone decay/growth with tie-corrected
+    variance and continuity-corrected z. One fact shuffle; the
+    pairwise sign sum self-joins the metadata-sized bucket frame."""
+    from htm_streamer_spark.operators.stattests import mann_kendall
+
+    e = _t(spark, sf_dir, "events")
+    return mann_kendall(e, "event_type", "ts", bucket="hour")
+
+
+SQL_MANN_KENDALL = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+s AS (
+  SELECT a.event_type, sum(sign(b.c - a.c))::BIGINT AS s
+  FROM dense a JOIN dense b
+    ON a.event_type = b.event_type AND a.b < b.b
+  GROUP BY 1
+),
+n AS (SELECT event_type, count(*)::BIGINT AS n_buckets FROM dense GROUP BY 1),
+ties AS (
+  SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tc
+  FROM (SELECT event_type, count(*)::DOUBLE AS t FROM dense GROUP BY event_type, c)
+  GROUP BY 1
+),
+j AS (
+  SELECT n.event_type, n.n_buckets, s.s,
+         (n.n_buckets::DOUBLE * (n.n_buckets - 1) * (2 * n.n_buckets + 5)
+          - ties.tc) / 18.0 AS var_s
+  FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+),
+z AS (
+  SELECT event_type, n_buckets, s,
+         CASE WHEN var_s <= 0 THEN NULL
+              WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+              WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+              ELSE 0.0 END AS zv
+  FROM j
+)
+SELECT event_type, n_buckets, s,
+       round(zv + 1e-9, 6) + 0.0 AS z,
+       CASE WHEN zv > 1.959964 THEN 'increasing'
+            WHEN zv < -1.959964 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM z
+"""
+
+
+def q_truncation_docs(spark, sf_dir):
+    """Histogram spike detector over whitespace token counts
+    (operators/stattests.py histogram_spikes): the truncation/clipping
+    check — a context-budget clip piles overflow mass into one bin
+    that towers over both neighbors, visible with no baseline epoch.
+    Token counting stays inside the scan's codegen stage; one bucket
+    shuffle; grid + lag/lead on the bucket frame."""
+    from htm_streamer_spark.operators.stattests import histogram_spikes
+    from htm_streamer_spark.operators.textstats import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    return histogram_spikes(
+        d, token_count_col("text"), width=16, min_ratio=4.0, min_count=10
+    )
+
+
+SQL_TRUNCATION = r"""
+WITH h AS (
+  SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END
+          // 16)::BIGINT AS bk,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1
+),
+span AS (SELECT min(bk) AS lo, max(bk) AS hi FROM h),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS bk FROM span),
+dense AS (
+  SELECT g.bk, coalesce(h.n, 0)::BIGINT AS n FROM grid g LEFT JOIN h USING (bk)
+),
+l AS (
+  SELECT bk, n,
+         coalesce(lag(n) OVER (ORDER BY bk), 0)::BIGINT AS prev_n,
+         coalesce(lead(n) OVER (ORDER BY bk), 0)::BIGINT AS next_n
+  FROM dense
+)
+SELECT bk AS bucket, (bk * 16)::BIGINT AS lo_value, n, prev_n, next_n,
+       round(n / greatest(greatest(prev_n, next_n)::DOUBLE, 1.0) + 1e-9, 6)
+         + 0.0 AS ratio,
+       (n >= 10 AND
+        n / greatest(greatest(prev_n, next_n)::DOUBLE, 1.0) >= 4.0) AS is_spike
+FROM l
+"""
+
+
+def q_source_overlap_docs(spark, sf_dir):
+    """Pairwise cross-source contamination matrix over winnowing
+    fingerprints (operators/contamination.py cross_source_overlap):
+    mirror/repackaged-dataset detection at the SOURCE level; overlap
+    coefficient so containment isn't diluted by size. One
+    fingerprinting scan; the fp join is bounded by the distinct
+    (source, fp) collapse."""
+    from htm_streamer_spark.operators.contamination import (
+        cross_source_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_source_overlap(d)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH norm AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS grams
+  FROM norm
+),
+hs AS (
+  SELECT doc_id, source,
+         list_transform(grams, g -> ('0x'||substr(md5(g),1,8))::BIGINT % 2147483647) AS hs
+  FROM grams
+),
+fps AS (
+  SELECT doc_id, source,
+         CASE WHEN len(hs) = 0 THEN []
+              WHEN len(hs) < 8 THEN [list_min(hs)]
+              ELSE list_transform(generate_series(1, len(hs)-7),
+                                  i -> list_min(hs[i:i+7]))
+         END AS fps
+  FROM hs
+),
+sfp AS (
+  SELECT DISTINCT source AS s, t.fp
+  FROM fps, unnest(fps.fps) AS t(fp)
+  WHERE t.fp IS NOT NULL
+),
+tot AS (SELECT s, count(*)::BIGINT AS n FROM sfp GROUP BY 1),
+sh AS (
+  SELECT a.s AS source_a, b.s AS source_b, count(*)::BIGINT AS n_shared_fp
+  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT sh.source_a, sh.source_b, sh.n_shared_fp,
+       ta.n AS n_a, tb.n AS n_b,
+       round(sh.n_shared_fp / least(ta.n, tb.n)::DOUBLE + 1e-9, 6) + 0.0
+         AS overlap
+FROM sh
+JOIN tot ta ON ta.s = sh.source_a
+JOIN tot tb ON tb.s = sh.source_b
+"""
+
+
+def q_token_budget_docs(spark, sf_dir):
+    """Per-source token-budget Pareto accounting (operators/textstats.py
+    token_budget): who holds the token mass and which minimal source
+    prefix covers 80% of it — the composition-planning twin of
+    gini_events. Token counting inside the scan stage, one groupBy,
+    windows on the |sources|-row frame."""
+    from htm_streamer_spark.operators.textstats import token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget(d, threshold=0.8)
+
+
+SQL_TOKEN_BUDGET = r"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+             )::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+c AS (
+  SELECT source, n_docs, n_tokens,
+         sum(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC) AS cum
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / t.tot + 1e-9, 6) + 0.0 AS share,
+       round(cum / t.tot + 1e-9, 6) + 0.0 AS cum_share,
+       ((cum - n_tokens) / t.tot < 0.8) AS in_top
+FROM c, t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -5458,6 +5716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaps_events": q_gaps_events,
         "dup_component_sizes_docs": q_dup_component_sizes_docs,
         "winsorized_docs": q_winsorized_docs,
+        "heaps_docs": q_heaps_docs,
+        "mann_kendall_events": q_mann_kendall_events,
+        "truncation_docs": q_truncation_docs,
+        "source_overlap_docs": q_source_overlap_docs,
+        "token_budget_docs": q_token_budget_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -5600,6 +5863,11 @@ def oracle_sql() -> dict[str, str]:
         "gaps_events": SQL_GAPS_EVENTS,
         "dup_component_sizes_docs": SQL_DUP_COMPONENT_SIZES,
         "winsorized_docs": SQL_WINSORIZED,
+        "heaps_docs": SQL_HEAPS,
+        "mann_kendall_events": SQL_MANN_KENDALL,
+        "truncation_docs": SQL_TRUNCATION,
+        "source_overlap_docs": SQL_SOURCE_OVERLAP,
+        "token_budget_docs": SQL_TOKEN_BUDGET,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -207,6 +207,11 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "acf_events",
         "ttr_docs",
         "zipf_docs",
+        "heaps_docs",
+        "mann_kendall_events",
+        "truncation_docs",
+        "source_overlap_docs",
+        "token_budget_docs",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -183,3 +183,77 @@ def contaminated_pairs_ngram(
         F.array_contains(_gram_array(_word_array(text_col), n), F.col("gram"))
     )
     return confirmed.select("doc_id", "probe_id")
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    gram_n: int = 3,
+    window: int = 8,
+) -> DataFrame:
+    """Pairwise cross-source contamination matrix over MOSS winnowing
+    fingerprints — the corpus-level view the per-document probes above
+    can't give: how much substring-level material do two SOURCES share?
+    A scraped mirror, a dataset repackaged under a new name, or a
+    benchmark leaking into a crawl all show up as an off-diagonal
+    overlap far above the background. Overlap coefficient
+    ``|A ∩ B| / min(|A|, |B|)`` (not Jaccard) so a small source fully
+    contained in a large one scores ~1 instead of being diluted.
+
+    Plan: one fingerprinting scan (``winnow_fingerprints``, all native
+    expressions); fingerprints collapse to the DISTINCT (source, fp)
+    frame before any join, which bounds every fp to at most |sources|
+    rows per side — the fp↔fp equi-join fan-out is |sources|^2 per
+    fingerprint worst case, independent of how many documents share
+    it (the boilerplate-hot-fp hazard is bounded by construction, the
+    same count-first stance as the minhash bucket gate). Per-source
+    totals derive from the same distinct frame. Returns
+    (source_a, source_b, n_shared_fp, n_a, n_b, overlap) for
+    source_a < source_b.
+    """
+    from htm_streamer_spark.operators.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, text_col, gram_n=gram_n, window=window)
+    sfp = (
+        fps.join(df.select("doc_id", source_col), "doc_id")
+        .select(F.col(source_col).alias("_s"), "fp")
+        .distinct()
+    )
+    sfp = sfp.persist()  # totals + both join sides: one fingerprint pass
+    totals = sfp.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    a = sfp.select(F.col("_s").alias("source_a"), "fp")
+    b = sfp.select(F.col("_s").alias("source_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(totals.select(F.col("_s").alias("source_a"),
+                                      F.col("_n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("_s").alias("source_b"),
+                                      F.col("_n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_fp",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared_fp")
+                / F.least("n_a", "n_b").cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("overlap"),
+        )
+    )
+    return out

@@ -241,3 +241,117 @@ def zipf_fit(
             F.round(cov * cov / (varx * vary) + F.lit(1e-9), 6),
         ).alias("r2"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """OLS fit of Heaps' law ``V = K * N^beta`` (ln V ~ ln N) over the
+    corpus' vocabulary-growth curve — the companion invariant to
+    ``zipf_fit``: Zipf checks the static rank-frequency shape, Heaps
+    checks how vocabulary GROWS as the corpus grows. Natural text sits
+    near beta ~ 0.4-0.6; a template farm's curve flattens (beta -> 0,
+    vocabulary saturates) and tokenizer breakage steepens it
+    (beta -> 1, every page mints "new" types).
+
+    The growth curve is computed distributed via a FIRST-OCCURRENCE
+    trick, not a sequential scan: documents are assigned to one of
+    ``n_buckets`` prefix buckets by a deterministic md5 hash of
+    ``id_col`` (a fixed random permutation of the corpus — Heaps' law
+    is order-agnostic, and the hash makes the curve independent of
+    ingest layout). Then
+
+    - tokens(b)    = token count in bucket b           (one groupBy),
+    - new_types(b) = #terms whose MIN bucket is b      (groupBy(term)),
+
+    and the cumulative sums over the ``n_buckets``-row frame yield the
+    (N_b, V_b) curve exactly: V at prefix b counts every term first
+    seen at any bucket <= b. No global window ever touches a
+    document-sized frame.
+
+    Plan: one tokenizing scan collapses straight to the persisted
+    (bucket, term, count) frame (≤ vocabulary × n_buckets rows,
+    map-side partial); first-occurrence and token totals both derive
+    from it, so the raw token stream is never shuffled and the text is
+    read once; cumsum + OLS run on n_buckets rows. Buckets with zero
+    cumulative tokens/types are excluded from
+    the fit (ln undefined); with <= 1 distinct populated bucket the
+    fit degenerates and reports NULL slope/r2.
+
+    Returns one row: (n_points, beta, ln_k, r2), 6-dp rounded with the
+    house +1e-9 nudge.
+    """
+    from htm_streamer_spark.operators.dedup import (
+        fan_out_narrow_scans,
+        shingle_base_hash,
+    )
+
+    toks = tokenize(
+        fan_out_narrow_scans(df.select(id_col, text_col)), text_col
+    )
+    bucket = F.pmod(
+        shingle_base_hash(F.col(id_col).cast("string"), "md5"),
+        F.lit(n_buckets),
+    ).alias("_b")
+    # ONE pass over the tokens: collapse to the (bucket, term) count
+    # frame (≤ vocabulary × n_buckets rows, map-side partial), persist
+    # it, and derive BOTH curve ingredients from it — the raw token
+    # stream is never shuffled and the text is scanned once
+    bt = (
+        toks.select(bucket, "term")
+        .groupBy("_b", "term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    first_seen = bt.groupBy("term").agg(F.min("_b").alias("_fb"))
+    new_types = first_seen.groupBy(F.col("_fb").alias("_b")).agg(
+        F.count(F.lit(1)).alias("_nt")
+    )
+    tokens_per = bt.groupBy("_b").agg(F.sum("_c").alias("_tok"))
+    # dense 0..n_buckets-1 grid so empty buckets carry the running sums
+    grid = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("_b")
+    )
+    curve = (
+        grid.join(tokens_per, "_b", "left")
+        .join(new_types, "_b", "left")
+        .fillna({"_tok": 0, "_nt": 0})
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = curve.select(
+        F.sum("_tok").over(w).alias("_N"), F.sum("_nt").over(w).alias("_V")
+    ).where((F.col("_N") > 0) & (F.col("_V") > 0))
+    xy = pts.select(
+        F.log(F.col("_N").cast("double")).alias("x"),
+        F.log(F.col("_V").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    varx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vary = F.col("myy") - F.col("my") * F.col("my")
+    slope = cov / varx
+    return m.select(
+        "n_points",
+        F.when(
+            varx > 0, F.round(slope + F.lit(1e-9), 6)
+        ).alias("beta"),
+        F.when(
+            varx > 0,
+            F.round(F.col("my") - slope * F.col("mx") + F.lit(1e-9), 6),
+        ).alias("ln_k"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(cov * cov / (varx * vary) + F.lit(1e-9), 6),
+        ).alias("r2"),
+    )

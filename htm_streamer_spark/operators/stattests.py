@@ -49,6 +49,8 @@ __all__ = [
     "cusum_changepoint",
     "gini_concentration",
     "acf_bucket_counts",
+    "mann_kendall",
+    "histogram_spikes",
 ]
 
 
@@ -612,4 +614,157 @@ def acf_bucket_counts(
             F.col("_dn") > 0,
             F.round(F.col("_n") / F.col("_dn") + F.lit(1e-9), 6),
         ).alias("acf"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    alpha_z: float = 1.959964,
+) -> DataFrame:
+    """Per-group Mann–Kendall monotone-trend test over the DENSE
+    bucketed event-count series — the nonparametric member of the
+    trend family: CUSUM locates a mean SHIFT, MK asks whether the
+    series drifts monotonically at all, with no distributional
+    assumption and no sensitivity to outlier magnitudes (only signs of
+    pairwise differences matter). The classic ingest-health question
+    "is this feed slowly dying?" is exactly MK's alternative
+    hypothesis.
+
+    ``S = sum over i<j of sign(c_j - c_i)``; variance with the
+    standard tie correction
+    ``Var = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18``; the
+    continuity-corrected ``z = (S -/+ 1)/sqrt(Var)``; verdict at
+    ``|z| > alpha_z`` (default two-sided 5%). Missing buckets count 0,
+    same stance as ``acf_bucket_counts`` — a gap IS evidence.
+
+    Plan: one ``groupBy(group, bucket)`` count shuffle on the fact
+    table; the pairwise sign sum is a self-join of the dense
+    METADATA-SIZED bucket frame (B rows per group; B^2 pair rows never
+    touch the fact table — at 1 year of hourly buckets that is 8760
+    rows, 3.8e7 pairs, a trivially partitionable equi-join on group).
+    Ties aggregate on the same frame. Returns
+    (group, n_buckets, s, z, trend).
+    """
+    g = group_col
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = df.groupBy(F.col(g), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    counts = counts.persist()  # span + dense join: one fact scan
+    span = counts.groupBy(g).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    grid = span.select(
+        g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
+    )
+    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    dense = dense.persist()  # pairs + ties + n derive from it
+    a = dense.select(g, F.col("_b").alias("_bi"), F.col("_c").alias("_ci"))
+    c2 = dense.select(g, F.col("_b").alias("_bj"), F.col("_c").alias("_cj"))
+    s = (
+        a.join(c2, g)
+        .where(F.col("_bi") < F.col("_bj"))
+        .groupBy(g)
+        .agg(
+            F.sum(F.signum(F.col("_cj") - F.col("_ci")))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n = dense.groupBy(g).agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    ties = (
+        dense.groupBy(g, "_c")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy(g)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tc")
+        )
+    )
+    nn = F.col("n_buckets").cast("double")
+    var_s = (nn * (nn - 1) * (2 * nn + 5) - F.col("_tc")) / 18.0
+    z = F.when(var_s <= 0, F.lit(None).cast("double")).otherwise(
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    out = n.join(s, g).join(ties, g).select(
+        g,
+        "n_buckets",
+        "s",
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+        F.when(z > alpha_z, F.lit("increasing"))
+        .when(z < -alpha_z, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+    return out
+
+
+def histogram_spikes(
+    df: DataFrame,
+    value_col,
+    *,
+    width: int = 16,
+    min_ratio: float = 4.0,
+    min_count: int = 10,
+) -> DataFrame:
+    """Histogram spike detector over an integer-valued column — the
+    TRUNCATION/CLIPPING check of the length family: a pipeline that
+    clips documents at a context budget piles the overflow mass into
+    one bin, so that bin towers over both neighbors. Drift tests
+    (PSI/KS) need a baseline epoch to notice; the spike test needs
+    only the histogram's own local shape, which is what makes it the
+    right first-contact diagnostic for a brand-new source.
+
+    Buckets are ``floor(value / width)`` over the DENSE bucket grid
+    (absent bins count 0 — a spike next to a hole is still a spike);
+    ``ratio = c / max(prev, next, 1)`` and a bin is flagged when
+    ``c >= min_count`` and ``ratio >= min_ratio``. Returns the full
+    annotated histogram (bucket, lo_value, n, prev_n, next_n, ratio,
+    is_spike) so the caller sees the shape, not just the verdict.
+
+    Plan: one ``groupBy(bucket)`` count shuffle (map-side partial);
+    the dense grid + lag/lead windows run on the bucket frame
+    (metadata-sized). ``value_col`` may be any column expression —
+    pass ``F.size(F.split(...))`` for token counts; the expression
+    stays inside the scan's codegen stage.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    hist = df.select(
+        F.floor(val / F.lit(width)).cast("long").alias("_bk")
+    ).groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
+    hist = hist.persist()  # span + dense join: one fact scan
+    span = hist.agg(F.min("_bk").alias("_lo"), F.max("_bk").alias("_hi"))
+    grid = span.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("_bk")
+    )
+    dense = grid.join(hist, "_bk", "left").fillna({"_n": 0})
+    w = Window.orderBy("_bk")
+    prev_n = F.coalesce(F.lag("_n", 1).over(w), F.lit(0))
+    next_n = F.coalesce(F.lead("_n", 1).over(w), F.lit(0))
+    ratio = F.col("n") / F.greatest(
+        F.greatest(F.col("prev_n"), F.col("next_n")).cast("double"),
+        F.lit(1.0),
+    )
+    return dense.select(
+        F.col("_bk").alias("bucket"),
+        (F.col("_bk") * width).cast("long").alias("lo_value"),
+        F.col("_n").cast("long").alias("n"),
+        prev_n.cast("long").alias("prev_n"),
+        next_n.cast("long").alias("next_n"),
+    ).select(
+        "bucket",
+        "lo_value",
+        "n",
+        "prev_n",
+        "next_n",
+        F.round(ratio + F.lit(1e-9), 6).alias("ratio"),
+        ((F.col("n") >= min_count) & (ratio >= min_ratio)).alias("is_spike"),
     )

@@ -10,7 +10,7 @@ are text features.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets (n-gram heuristic langid):
@@ -258,4 +258,55 @@ def pmi_collocations(
         .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
+    )
+
+
+def token_budget(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Per-group token-budget accounting with Pareto cumulative share —
+    the corpus-composition planner's view: which sources carry the
+    token mass, and how few of them cover ``threshold`` (default 80%)
+    of the training budget. The concentration twin of
+    ``gini_concentration`` (stattests.py): Gini scores HOW skewed the
+    mass is, this names WHO holds it.
+
+    ``in_top`` marks the minimal prefix of sources (ordered by token
+    count desc, group asc tiebreak) whose cumulative share reaches the
+    threshold: a source is in the prefix iff the share accumulated
+    BEFORE it is still < threshold, so the set always crosses the line
+    and is deterministic under ties.
+
+    Plan: token counting is ``size(split(...))`` inside the scan's
+    codegen stage (no explode, no shuffle of tokens); one
+    ``groupBy(group)`` aggregation; share/cumsum windows run on the
+    |groups|-row frame. Returns
+    (group, n_docs, n_tokens, share, cum_share, in_top).
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    tot = Window.partitionBy()
+    w = Window.orderBy(
+        F.col("n_tokens").desc(), F.col(group_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    share = F.col("n_tokens") / F.sum("n_tokens").over(tot)
+    cum = F.sum("n_tokens").over(w) / F.sum("n_tokens").over(tot)
+    # boundary test computed as (cum_tokens - n_tokens) / total in ONE
+    # division so the flag is bit-identical on any engine
+    before = (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.sum(
+        "n_tokens"
+    ).over(tot)
+    return per.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share + F.lit(1e-9), 6).alias("share"),
+        F.round(cum + F.lit(1e-9), 6).alias("cum_share"),
+        (before < threshold).alias("in_top"),
     )
