@@ -5581,6 +5581,94 @@ FROM c, t
 """
 
 
+def q_qq_drift_docs(spark, sf_dir):
+    """Per-source QQ distance on n_chars vs the global deciles
+    (operators/stattests.py quantile_qq_drift): the quantile-space
+    drift member — KS reports the worst CDF gap in probability units,
+    QQ reports the worst VALUE gap in column units (how many chars
+    apart is this source's median?). Exact percentiles (the convention
+    quantiles_docs pins bitwise vs quantile_cont); one group agg + a
+    1-row global broadcast, codegen zip/max fold."""
+    from htm_streamer_spark.operators.stattests import quantile_qq_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_qq_drift(d, "source", "n_chars")
+
+
+SQL_QQ_DRIFT = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n,
+         quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+  FROM documents GROUP BY 1
+),
+g AS (
+  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qg
+  FROM documents
+)
+SELECT source, n,
+       round(list_max(list_transform(generate_series(1, 9),
+                                     i -> abs(qs[i] - qg[i]))) + 1e-9, 6)
+         + 0.0 AS qq_dist
+FROM per, g
+"""
+
+
+def q_violation_bound_docs(spark, sf_dir):
+    """Hoeffding violation-rate certificate over a deterministic 20%
+    md5 hash sample (operators/certify.py): the triage tier for
+    10^12-row tables — "with 99% confidence the true rate of every
+    check is below upper_bound" from a pass over r% of the data; the
+    full-scan suite stays the authoritative gate. Sample predicate +
+    all check indicators are codegen inside ONE scan; one aggregation;
+    stack unpivot on the 1-row frame."""
+    from htm_streamer_spark.operators.certify import (
+        violation_rate_certificate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    checks = {
+        "empty_text": F.length(F.trim(F.col("text"))) == 0,
+        "len_invariant": F.col("n_chars") != F.length(F.col("text")),
+        "bad_source": ~F.col("source").isin(ALLOWED_SOURCES),
+        "short_text": F.col("n_chars") < 60,
+    }
+    return violation_rate_certificate(
+        d, checks, id_col="doc_id", sample_permille=200, delta=0.01
+    )
+
+
+SQL_VIOLATION_BOUND = """
+WITH s AS (
+  SELECT * FROM documents
+  WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+          % 2147483647 % 1000 < 200
+),
+a AS (
+  SELECT count(*)::BIGINT AS n,
+         sum((length(trim(text)) = 0)::BIGINT)::BIGINT AS v0,
+         sum((n_chars != length(text))::BIGINT)::BIGINT AS v1,
+         sum((source NOT IN ('src0','src1','src2','src3','src4','src5',
+                             'src6','src7','src8','src9','src10','src11',
+                             'src12','src13','src14','src15'))::BIGINT
+             )::BIGINT AS v2,
+         sum((n_chars < 60)::BIGINT)::BIGINT AS v3
+  FROM s
+),
+u AS (
+  SELECT 'empty_text' AS check_id, n, v0 AS v FROM a UNION ALL
+  SELECT 'len_invariant', n, v1 FROM a UNION ALL
+  SELECT 'bad_source', n, v2 FROM a UNION ALL
+  SELECT 'short_text', n, v3 FROM a
+)
+SELECT check_id, n AS n_sampled, coalesce(v, 0)::BIGINT AS n_violations,
+       CASE WHEN n > 0 THEN round(v::DOUBLE / n + 1e-9, 6) + 0.0 END AS rate,
+       CASE WHEN n > 0 THEN
+         round(least(v::DOUBLE / n + sqrt(ln(1.0 / 0.01) / (2.0 * n)), 1.0)
+               + 1e-9, 6) + 0.0 END AS upper_bound
+FROM u
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -5721,6 +5809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_docs": q_truncation_docs,
         "source_overlap_docs": q_source_overlap_docs,
         "token_budget_docs": q_token_budget_docs,
+        "qq_drift_docs": q_qq_drift_docs,
+        "violation_bound_docs": q_violation_bound_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -5868,6 +5958,8 @@ def oracle_sql() -> dict[str, str]:
         "truncation_docs": SQL_TRUNCATION,
         "source_overlap_docs": SQL_SOURCE_OVERLAP,
         "token_budget_docs": SQL_TOKEN_BUDGET,
+        "qq_drift_docs": SQL_QQ_DRIFT,
+        "violation_bound_docs": SQL_VIOLATION_BOUND,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -212,6 +212,8 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "truncation_docs",
         "source_overlap_docs",
         "token_budget_docs",
+        "qq_drift_docs",
+        "violation_bound_docs",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

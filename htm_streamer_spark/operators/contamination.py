@@ -166,10 +166,21 @@ def contaminated_pairs_ngram(
     free to pick broadcast when one side happens to be small, but
     nothing requires it. The confirm join touches only candidate
     doc_ids and re-derives the gram array for exactly those rows."""
-    grams = _gram_array(_word_array(text_col), n)
-    doc_side = docs.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("_g")
-    ).select("doc_id", F.xxhash64("_g").alias("_h"))
+    # words materialized first (_gram_array references them 4x);
+    # explode_OUTER so the synthesized size>0 generate-filter can't be
+    # pushed through the projection re-inlining the gram chain
+    # (see dedup.shingles)
+    doc_side = (
+        docs.select("doc_id", _word_array(text_col).alias("_ws"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(_gram_array(F.col("_ws"), n))
+            ).alias("_g"),
+        )
+        .filter(F.col("_g").isNotNull())
+        .select("doc_id", F.xxhash64("_g").alias("_h"))
+    )
     probe_side = probes.select(
         "probe_id", "gram", F.xxhash64("gram").alias("_h")
     )

@@ -120,10 +120,27 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles per doc: (doc_id, shingle). Tokenize on
     whitespace after normalization. Duplicates are NOT removed —
     minhash's ``min`` is multiplicity-insensitive, and an explicit
-    ``array_distinct`` is O(grams^2) per row."""
+    ``array_distinct`` is O(grams^2) per row.
+
+    Two plan-hygiene rules (measured 29x on the winnowing cousin of
+    this pipeline, see textstats.winnow_fingerprints):
+    - the word array is materialized in its OWN projection first —
+      ``_gram_array`` references its input n+1 times, and an inline
+      ``split`` would re-tokenize every row that many times;
+    - ``explode_outer``, not ``explode``: InferFiltersFromGenerate
+      synthesizes ``size(grams) > 0`` under a plain explode and
+      predicate pushdown sinks it through the projection into the
+      scan, re-inlining the whole gram expression as a per-row filter.
+      Output filters (null/empty) cannot push below a Generate.
+    """
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
-    return df.select("doc_id", F.explode(_gram_array(words, n)).alias("shingle")).filter(
-        F.length("shingle") > 0
+    base = df.select("doc_id", words.alias("_ws"))
+    return (
+        base.select(
+            "doc_id",
+            F.explode_outer(_gram_array(F.col("_ws"), n)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull() & (F.length("shingle") > 0))
     )
 
 

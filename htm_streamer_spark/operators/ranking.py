@@ -36,11 +36,18 @@ TOKEN_SPLIT = r"\s+"
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Explode whitespace tokens of ``text_col`` (lowercased, empties
-    dropped). Adds a ``term`` column; keeps all other columns."""
+    dropped). Adds a ``term`` column; keeps all other columns.
+
+    ``explode_outer``, not ``explode``: InferFiltersFromGenerate puts a
+    ``size(split(...)) > 0`` filter under a plain explode and pushdown
+    sinks it into the scan — re-tokenizing every row a second time just
+    to evaluate the synthesized predicate (see dedup.shingles /
+    winnow_fingerprints for the measured cost of this rule). The
+    output-side filters below cannot push through a Generate."""
     words = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
     return (
-        df.withColumn("term", F.explode(words))
-        .where(F.col("term") != "")
+        df.withColumn("term", F.explode_outer(words))
+        .where(F.col("term").isNotNull() & (F.col("term") != ""))
         .drop(text_col)
     )
 

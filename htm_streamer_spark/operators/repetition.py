@@ -48,14 +48,27 @@ def dup_ngram_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     Spark's interpreted HOF evaluator but g is per-document (bounded by
     doc length), never per-corpus — this does not grow with table size.
     """
-    grams = _gram_array(_words(text_col), n)
-    n_grams = F.size(grams)
-    n_distinct = F.size(F.array_distinct(grams))
-    return df.select(
+    # words and grams each materialized in their own projection: the
+    # gram chain references words 4x and the stats reference grams 3x —
+    # inlined, the tokenizer would run 12x per row (CollapseProject
+    # keeps expensive multi-referenced aliases separate)
+    base = df.select("doc_id", _words(text_col).alias("_ws"))
+    gr = base.select(
+        "doc_id", _gram_array(F.col("_ws"), n).alias("_g")
+    )
+    counts = gr.select(
         "doc_id",
-        n_grams.cast("long").alias("n_grams"),
-        n_distinct.cast("long").alias("n_distinct_grams"),
-        F.when(n_grams > 0, (n_grams - n_distinct) / n_grams)
+        F.size("_g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("_g")).cast("long").alias("n_distinct_grams"),
+    )
+    return counts.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            (F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams"),
+        )
         .otherwise(F.lit(0.0))
         .cast("double")
         .alias("dup_frac"),
@@ -145,11 +158,17 @@ def top_ngram(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
     map-side combine) → groupBy(doc_id).max_by(struct) — two hash
     aggregations sharing the doc_id-prefixed shuffle; AQE coalesces.
     """
-    grams = df.select("doc_id", _gram_array(_words(text_col), n).alias("_g")).filter(
-        F.size("_g") > 0
+    # words materialized first (the gram chain references them 4x);
+    # explode_OUTER so InferFiltersFromGenerate can't synthesize a
+    # size(_g) > 0 predicate that pushdown would re-inline through the
+    # projections as a per-row filter (see dedup.shingles)
+    base = df.select("doc_id", _words(text_col).alias("_ws"))
+    grams = base.select(
+        "doc_id", _gram_array(F.col("_ws"), n).alias("_g")
     )
     per_gram = (
-        grams.select("doc_id", F.explode("_g").alias("gram"))
+        grams.select("doc_id", F.explode_outer("_g").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
     )

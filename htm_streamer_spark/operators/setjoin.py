@@ -64,14 +64,25 @@ def token_sets(
     plain word set."""
     if mode not in ("shingles", "words"):
         raise ValueError(f"mode must be 'shingles' or 'words', got {mode!r}")
-    words = F.split(normalized_text(F.col(text_col)), r"\s+")
-    toks = _gram_array(words, n) if mode == "shingles" else words
+    # word array materialized in its own projection (_gram_array
+    # references it 4x), and the set frame PERSISTED before the
+    # emptiness filter: a filter above the derived array is otherwise
+    # predicate-pushed through the projections, re-inlining the whole
+    # tokenize+gram+sort chain as a per-row scan filter (measured 36
+    # duplicated subtrees in the optimized plan; see dedup.shingles).
+    # The cache boundary is the pushdown barrier — and every caller of
+    # this frame (prefix explode, both join-backs) reuses it anyway.
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalized_text(F.col(text_col)), r"\s+").alias("_ws0"),
+    )
+    toks = _gram_array(F.col("_ws0"), n) if mode == "shingles" else F.col("_ws0")
     ws = F.array_sort(
         F.array_distinct(F.filter(toks, lambda x: F.length(x) > 0))
     )
+    sets = base.select("_id", ws.alias("ws")).persist()
     return (
-        docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
-        .withColumn("sz", F.size("ws"))
+        sets.withColumn("sz", F.size("ws"))
         .filter(F.col("sz") > 0)
     )
 
@@ -91,7 +102,9 @@ def jaccard_similarity_join(
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
-    sets = token_sets(fan_out_narrow_scans(docs), id_col, text_col, mode, n).persist()
+    # token_sets persists its set frame internally (the pushdown
+    # barrier); no second persist here
+    sets = token_sets(fan_out_narrow_scans(docs), id_col, text_col, mode, n)
     tok = sets.select("_id", "sz", F.explode("ws").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     # rarest-first rank inside each doc; (df, w) is a total order shared

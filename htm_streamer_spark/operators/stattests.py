@@ -51,6 +51,7 @@ __all__ = [
     "acf_bucket_counts",
     "mann_kendall",
     "histogram_spikes",
+    "quantile_qq_drift",
 ]
 
 
@@ -767,4 +768,54 @@ def histogram_spikes(
         "next_n",
         F.round(ratio + F.lit(1e-9), 6).alias("ratio"),
         ((F.col("n") >= min_count) & (ratio >= min_ratio)).alias("is_spike"),
+    )
+
+
+def quantile_qq_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Per-group QQ distance: ``max over p of |q_group(p) - q_global(p)|``
+    over exact interpolated quantiles — the quantile-space member of
+    the drift family. KS measures the worst CDF gap (probability
+    space, scale-free); the QQ distance measures the worst VALUE gap
+    (units of the column), which is what a length-budget owner actually
+    asks: "how many characters/tokens apart is this source's median
+    from the corpus'?".
+
+    Exact ``percentile`` (not the sketch) so the statistic reproduces
+    bitwise on any engine sharing linear interpolation (DuckDB
+    quantile_cont — same convention the quantiles_docs contract query
+    already pins). The per-group value buffer this implies is the
+    documented exact-tier bound (cf. ``winsorize``'s two tiers); at
+    true 100-TB scale swap in ``percentile_approx`` and accept sketch
+    error.
+
+    Plan: one ``groupBy(group)`` aggregation + a global aggregation of
+    the SAME shape broadcast back as a 1-row frame; the deciles zip
+    with a codegen ``zip_with``/``array_max`` fold. Returns
+    (group, n, qq_dist).
+    """
+    plist = ", ".join(repr(float(p)) for p in probs)
+    q_expr = f"percentile({value_col}, array({plist}))"
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(q_expr).alias("_qs"),
+    )
+    glob = df.agg(F.expr(q_expr).alias("_qg"))
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            group_col,
+            "n",
+            F.round(
+                F.array_max(
+                    F.zip_with("_qs", "_qg", lambda a, b: F.abs(a - b))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("qq_dist"),
+        )
     )

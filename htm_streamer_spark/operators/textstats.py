@@ -145,6 +145,16 @@ def winnow_fingerprints(
     a slice+array_min per window position: the naive per-window slice
     allocates a fresh array inside Spark's interpreted higher-order-
     function evaluator and measured 300x slower than this form at sf0.1.
+
+    Each doubling pass is a SEPARATE projection referencing the
+    previous pass as a materialized column, never a nested expression:
+    ``zip_with(mins, slice(mins))`` written as one tree duplicates the
+    whole upstream subtree (md5 transform included) on both sides, so
+    after k passes the gram hashing sat 2^k times in the plan and was
+    re-evaluated per row each time — measured 8x slower than this form
+    on a 100k-doc corpus (247s -> 31s at 4 cores). CollapseProject
+    keeps the projections separate because the aliased array is
+    expensive and referenced twice.
     """
     from htm_streamer_spark.operators.dedup import (
         _gram_array,
@@ -154,8 +164,12 @@ def winnow_fingerprints(
     )
 
     df = fan_out_narrow_scans(df)
+    # materialize the word array FIRST: _gram_array references its
+    # input 4x (two zip_with sides, a slice, a size), so an inline
+    # split would tokenize every row 4 times
     words = F.split(normalized_text(F.col(text_col)), r"\s+")
-    grams = _gram_array(words, gram_n)
+    cur = df.select("doc_id", words.alias("_ws"))
+    grams = _gram_array(F.col("_ws"), gram_n)
     hs = F.transform(grams, lambda g: shingle_base_hash(g, "md5"))
 
     # sliding min via doubling: after passes with shifts 1,2,4,...,
@@ -163,21 +177,38 @@ def winnow_fingerprints(
     # zip_with pads the shorter (shifted) side with null; F.least skips
     # nulls, and only full-window entries are kept below anyway.
     big = 1 << 30
-    mins = hs
-    span = 1  # mins[i] currently covers hs[i .. i+span-1]
+    cur = cur.select("doc_id", hs.alias("_mins"))
+    cur = cur.select("doc_id", "_mins", F.size("_mins").alias("_nh"))
+    span = 1  # _mins[i] currently covers hs[i .. i+span-1]
     while span < window:
         step = min(span, window - span)
-        shifted = F.slice(mins, step + 1, big)
-        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
+        cur = cur.select(
+            "doc_id",
+            "_nh",
+            F.zip_with(
+                F.col("_mins"),
+                F.slice("_mins", step + 1, big),
+                lambda a, b: F.least(a, b),
+            ).alias("_mins"),
+        )
         span += step
-    n_windows = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(0))
+    n_windows = F.greatest(F.col("_nh") - F.lit(window - 1), F.lit(0))
+    # short doc: one fp = min over ALL gram hashes, which after full
+    # doubling is exactly _mins[0] (F.get is null-safe on empty arrays)
     fps = F.when(
-        F.size(hs) < window, F.array(F.array_min(hs))  # short doc: one fp
-    ).otherwise(F.slice(mins, 1, n_windows))
+        F.col("_nh") < window, F.array(F.get("_mins", 0))
+    ).otherwise(F.slice("_mins", 1, n_windows))
+    # explode_OUTER, not explode: InferFiltersFromGenerate synthesizes
+    # ``size(_fps) > 0`` under a plain explode, and predicate pushdown
+    # then sinks it through every projection to the scan — substituting
+    # aliases as it goes, i.e. re-inlining the ENTIRE fingerprint
+    # expression as a per-row filter (the duplication the stepwise
+    # projections above exist to avoid). explode_outer admits no such
+    # inference; empty arrays emit one null row and die in the
+    # isNotNull filter, which cannot push below a Generate.
     return (
-        df.select("doc_id", F.array_distinct(fps).alias("_fps"))
-        .filter(F.size("_fps") > 0)
-        .select("doc_id", F.explode("_fps").alias("fp"))
+        cur.select("doc_id", F.array_distinct(fps).alias("_fps"))
+        .select("doc_id", F.explode_outer("_fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
 
@@ -206,17 +237,25 @@ def pmi_collocations(
     """
     from htm_streamer_spark.operators.dedup import _gram_array, normalized_text
 
-    words = F.filter(
-        F.split(normalized_text(F.col(text_col)), r"\s+"),
-        lambda x: F.length(x) > 0,
+    # word array materialized in its own projection: the tagged concat
+    # references it ~6x (transform + the 4 refs inside _gram_array) and
+    # would re-tokenize per reference inlined; explode_OUTER so
+    # InferFiltersFromGenerate can't synthesize a size>0 predicate that
+    # pushdown re-inlines into the scan (see dedup.shingles)
+    base = df.select(
+        F.filter(
+            F.split(normalized_text(F.col(text_col)), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("_ws")
     )
-    tagged = F.explode(
+    ws = F.col("_ws")
+    tagged = F.explode_outer(
         F.concat(
             F.transform(
-                words, lambda w: F.struct(F.lit(1).alias("k"), w.alias("t"))
+                ws, lambda w: F.struct(F.lit(1).alias("k"), w.alias("t"))
             ),
             F.transform(
-                _gram_array(words, 2),
+                _gram_array(ws, 2),
                 lambda g: F.struct(F.lit(2).alias("k"), g.alias("t")),
             ),
         )
@@ -225,7 +264,8 @@ def pmi_collocations(
     # all derive from it — unpersisted, each branch re-runs the whole
     # tokenize+explode over the corpus text (measured: 6 scans -> 1)
     counts = (
-        df.select(tagged.alias("x"))
+        base.select(tagged.alias("x"))
+        .filter(F.col("x").isNotNull())
         .select(F.col("x.k").alias("k"), F.col("x.t").alias("t"))
         .groupBy("k", "t")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -146,6 +146,19 @@ def run(name):
         emb = spark.read.parquet({emb_big!r})
         df = semantic_dedup(emb, n_clusters=256, eps=0.95,
                             train_sample=20_000, max_cluster_rows=40_000)
+    elif name == "heaps":
+        # vocabulary-growth family: tokenize 500k docs -> ONE
+        # (bucket, term) count shuffle (map-side partial) -> 32-row
+        # cumsum + OLS; probes the token-aggregation plane with a
+        # metadata-sized tail
+        from htm_streamer_spark.operators.lm import heaps_fit
+        df = heaps_fit(big, n_buckets=32)
+    elif name == "source_overlap":
+        # fingerprint-join family: winnowing (gram md5 + doubling
+        # sliding-min, the dedup tier's CPU shape) -> distinct
+        # (source, fp) collapse -> bounded fp self-join
+        from htm_streamer_spark.operators.contamination import cross_source_overlap
+        df = cross_source_overlap(d)
     else:
         raise ValueError(name)
     t0 = time.time()
@@ -153,7 +166,7 @@ def run(name):
     return time.time() - t0, n
 
 import os as _os
-_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile")
+_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile", "heaps", "source_overlap")
 _only = _os.environ.get("SPARK_GRAFT_FAMILIES")
 if _only:
     _names = tuple(n for n in _names if n in _only.split(","))
