@@ -5669,6 +5669,96 @@ FROM u
 """
 
 
+def q_dedup_recall_docs(spark, sf_dir):
+    """Dedup-tier quality audit: LSH (minhash_pairs) vs the exact
+    AllPairs ground truth (jaccard_join) over the same 3-gram shingle
+    space, as ONE full-outer pair join + a 1-row scoreboard
+    (n_exact, n_lsh, n_common, recall, precision). The invariant a
+    sound confirm step must show: precision == 1.0 (every emitted LSH
+    pair is exactly-verified), recall < 1 by the S-curve. This is the
+    query that catches a banding regression BEFORE a production dedup
+    run silently under-deduplicates. Both sides reuse their
+    individually-oracled pipelines; the oracle recomputes both from
+    scratch."""
+    from htm_streamer_spark.operators.dedup import minhash_near_duplicates
+    from htm_streamer_spark.operators.setjoin import jaccard_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    exact = jaccard_similarity_join(d, threshold=0.5, mode="shingles", n=3)
+    lsh = minhash_near_duplicates(d, jaccard_threshold=0.5, method="md5")
+    j = exact.select("doc_a", "doc_b", F.lit(1).alias("_e")).join(
+        lsh.select("doc_a", "doc_b", F.lit(1).alias("_l")),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    agg = j.agg(
+        F.count("_e").cast("long").alias("n_exact"),
+        F.count("_l").cast("long").alias("n_lsh"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1))
+        .cast("long")
+        .alias("n_common"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("n_common") / F.col("n_exact") + F.lit(1e-9), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_lsh") > 0,
+            F.round(F.col("n_common") / F.col("n_lsh") + F.lit(1e-9), 6),
+        ).alias("precision"),
+    )
+
+
+def _sql_dedup_recall() -> str:
+    return f"""
+SELECT count(e.doc_a)::BIGINT AS n_exact,
+       count(l.doc_a)::BIGINT AS n_lsh,
+       count(CASE WHEN e.doc_a IS NOT NULL AND l.doc_a IS NOT NULL
+                  THEN 1 END)::BIGINT AS n_common,
+       CASE WHEN count(e.doc_a) > 0 THEN
+         round(count(CASE WHEN e.doc_a IS NOT NULL AND l.doc_a IS NOT NULL
+                          THEN 1 END)::DOUBLE / count(e.doc_a) + 1e-9, 6)
+           + 0.0 END AS recall,
+       CASE WHEN count(l.doc_a) > 0 THEN
+         round(count(CASE WHEN e.doc_a IS NOT NULL AND l.doc_a IS NOT NULL
+                          THEN 1 END)::DOUBLE / count(l.doc_a) + 1e-9, 6)
+           + 0.0 END AS precision
+FROM ( {SQL_JACCARD_JOIN} ) e
+FULL JOIN ( {_sql_minhash()} ) l
+  ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+"""
+
+
+def q_lang_confusion_docs(spark, sf_dir):
+    """Declared-metadata vs content-derived label agreement: the
+    confusion matrix of the documents table's `lang` column against
+    the n-gram-marker lang_id prediction — the metadata-trust audit
+    (a crawler that mislabels language poisons every per-language
+    mixture weight downstream). The prediction scan carries only
+    (doc_id, lang_pred); the declared label joins in as a narrow
+    column-pruned second read."""
+    from htm_streamer_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(d)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_LANG_CONFUSION = f"""
+SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+FROM documents d JOIN ( {SQL_LANG_ID} ) p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -5811,6 +5901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_docs": q_token_budget_docs,
         "qq_drift_docs": q_qq_drift_docs,
         "violation_bound_docs": q_violation_bound_docs,
+        "dedup_recall_docs": q_dedup_recall_docs,
+        "lang_confusion_docs": q_lang_confusion_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -5960,6 +6052,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_docs": SQL_TOKEN_BUDGET,
         "qq_drift_docs": SQL_QQ_DRIFT,
         "violation_bound_docs": SQL_VIOLATION_BOUND,
+        "dedup_recall_docs": _sql_dedup_recall(),
+        "lang_confusion_docs": SQL_LANG_CONFUSION,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -214,6 +214,8 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "token_budget_docs",
         "qq_drift_docs",
         "violation_bound_docs",
+        "dedup_recall_docs",
+        "lang_confusion_docs",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
