@@ -166,12 +166,16 @@ def contaminated_pairs_ngram(
     free to pick broadcast when one side happens to be small, but
     nothing requires it. The confirm join touches only candidate
     doc_ids and re-derives the gram array for exactly those rows."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
     # words materialized first (_gram_array references them 4x);
     # explode_OUTER so the synthesized size>0 generate-filter can't be
     # pushed through the projection re-inlining the gram chain
-    # (see dedup.shingles)
+    # (see dedup.shingles); fan-out so a single-file layout doesn't run
+    # the gram hashing on one core
     doc_side = (
-        docs.select("doc_id", _word_array(text_col).alias("_ws"))
+        fan_out_narrow_scans(docs.select("doc_id", text_col))
+        .select("doc_id", _word_array(text_col).alias("_ws"))
         .select(
             "doc_id",
             F.explode_outer(

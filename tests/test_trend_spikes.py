@@ -121,8 +121,7 @@ class TestHistogramSpikes:
 
     def test_dense_grid_fills_holes(self, spark):
         df = spark.createDataFrame(pd.DataFrame({"v": [0, 0, 64]}))
-        out = histogram_spikes(spark.createDataFrame(
-            pd.DataFrame({"v": [0, 0, 64]})), "v", width=16).toPandas()
+        out = histogram_spikes(df, "v", width=16).toPandas()
         assert sorted(out["bucket"]) == [0, 1, 2, 3, 4]
         assert out.set_index("bucket").loc[2, "n"] == 0
 
