@@ -5759,6 +5759,42 @@ GROUP BY 1, 2
 """
 
 
+def q_cube_events(spark, sf_dir):
+    """Full CUBE over (event_type, weekday): all four grouping sets —
+    cell, per-type, per-weekday, grand total — from ONE expand +
+    aggregate (one shuffle, map-side partials for every level at
+    once), the grouping-sets sibling of rollup_lineitem's hierarchy.
+    The profile surface a drift dashboard reads: does Tuesday's error
+    mix differ from the weekday norm? NULL markers coalesced to 'ALL'
+    on both engines (weekday is never null in the data, so the marker
+    is unambiguous)."""
+    e = _t(spark, sf_dir, "events")
+    wd = F.date_format("ts", "EEEE")
+    return (
+        e.cube(F.col("event_type"), wd.alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("weekday", F.lit("ALL")).alias("weekday"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_CUBE_EVENTS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dayname(ts), 'ALL') AS weekday,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4)::DOUBLE + 0.0 AS sum_value
+FROM events
+GROUP BY CUBE (event_type, dayname(ts))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -5903,6 +5939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_bound_docs": q_violation_bound_docs,
         "dedup_recall_docs": q_dedup_recall_docs,
         "lang_confusion_docs": q_lang_confusion_docs,
+        "cube_events": q_cube_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -6054,6 +6091,7 @@ def oracle_sql() -> dict[str, str]:
         "violation_bound_docs": SQL_VIOLATION_BOUND,
         "dedup_recall_docs": _sql_dedup_recall(),
         "lang_confusion_docs": SQL_LANG_CONFUSION,
+        "cube_events": SQL_CUBE_EVENTS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

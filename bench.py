@@ -216,6 +216,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "violation_bound_docs",
         "dedup_recall_docs",
         "lang_confusion_docs",
+        "cube_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
