@@ -5795,6 +5795,178 @@ GROUP BY CUBE (event_type, dayname(ts))
 """
 
 
+def q_jsd_sources_docs(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence (nats) between per-source
+    unigram distributions (operators/infotheory.py jsd_sources): the
+    corpus-drift / source-redundancy measure for mixing decisions.
+    Shared-terms decomposition JSD = ln2 − T — the only pairwise work
+    is an equi-self-join of the vocabulary-sized distribution frame on
+    term; no per-pair outer join, one tokenizing scan."""
+    from htm_streamer_spark.operators.infotheory import jsd_sources
+
+    d = _t(spark, sf_dir, "documents")
+    return jsd_sources(d, "source")
+
+
+SQL_JSD_SOURCES = r"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, sum(tf)::DOUBLE AS tot FROM tf GROUP BY 1),
+dist AS (
+  SELECT tf.source, tf.term, tf.tf / tot.tot AS p
+  FROM tf JOIN tot USING (source)
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared_terms,
+         sum(  ((a.p + b.p) / 2) * ln((a.p + b.p) / 2)
+             - (a.p / 2) * ln(a.p / 2)
+             - (b.p / 2) * ln(b.p / 2)) AS t
+  FROM dist a JOIN dist b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM dist),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+)
+SELECT p.source_a, p.source_b,
+       coalesce(s.n_shared_terms, 0)::BIGINT AS n_shared_terms,
+       round(ln(2.0) - coalesce(s.t, 0.0) + 1e-9, 6) + 0.0 AS jsd
+FROM pairs p LEFT JOIN shared s USING (source_a, source_b)
+"""
+
+
+def q_bigram_nll_docs(spark, sf_dir):
+    """Per-document mean conditional bigram NLL under the corpus' own
+    MLE bigram model (operators/lm.py bigram_nll) — the order-
+    sensitive quality signal: shuffled/stitched text keeps its unigram
+    mix but breaks local word order. Bigrams built inside the words
+    array (transform lambda), no positional self-join; the persisted
+    narrow (doc, prev, cur, tf) frame feeds model + context + scoring."""
+    from htm_streamer_spark.operators.lm import bigram_nll
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_nll(d)
+
+
+SQL_BIGRAM_NLL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, ws[g.i] AS prev, ws[g.i + 1] AS cur
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+  WHERE ws[g.i] <> '' AND ws[g.i + 1] <> ''
+),
+tf AS (
+  SELECT doc_id, prev, cur, count(*)::BIGINT AS tf FROM pairs GROUP BY 1, 2, 3
+),
+corpus AS (SELECT prev, cur, sum(tf)::BIGINT AS bf FROM tf GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(bf)::BIGINT AS cf FROM corpus GROUP BY 1)
+SELECT tf.doc_id,
+       sum(tf.tf)::BIGINT AS n_bigrams,
+       round(-sum(tf.tf * ln(bf::DOUBLE / cf)) / sum(tf.tf) + 1e-9, 6)::DOUBLE
+         + 0.0 AS nll
+FROM tf JOIN corpus USING (prev, cur) JOIN ctx USING (prev)
+GROUP BY 1
+"""
+
+
+def q_mi_events(spark, sf_dir):
+    """Mutual information between event_type and hour-of-day
+    (operators/infotheory.py mutual_information): the partial-coupling
+    companion to the exact functional-dependency check — MI == 0 iff
+    independent, nmi normalizes by sqrt(H_x*H_y). One groupBy(x,y)
+    shuffle; marginals derive from the persisted cell frame."""
+    from htm_streamer_spark.operators.infotheory import mutual_information
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    )
+    return mutual_information(e, "event_type", "hour_of_day")
+
+
+SQL_MI_EVENTS = """
+WITH cells AS (
+  SELECT event_type AS x, extract(hour FROM ts)::INT AS y,
+         count(*)::DOUBLE AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(c) AS n FROM cells),
+mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
+my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+per AS (
+  SELECT tot.n,
+         (c / n) * ln((c / n) / ((cx / n) * (cy / n))) AS mi_c,
+         -(c / n) * ln(cx / n) AS hx_c,
+         -(c / n) * ln(cy / n) AS hy_c
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+),
+agg AS (
+  SELECT coalesce(any_value(n), 0.0)::BIGINT AS n_rows,
+         count(*)::BIGINT AS n_cells,
+         sum(hx_c) AS shx, sum(hy_c) AS shy, sum(mi_c) AS smi
+  FROM per
+)
+SELECT n_rows, n_cells,
+       round(shx + 1e-9, 6) + 0.0 AS h_x,
+       round(shy + 1e-9, 6) + 0.0 AS h_y,
+       round(smi + 1e-9, 6) + 0.0 AS mi,
+       CASE WHEN shx > 0 AND shy > 0
+            THEN round(smi / sqrt(shx * shy) + 1e-9, 6) + 0.0
+       END AS nmi
+FROM agg
+"""
+
+
+def q_theil_sen_events(spark, sf_dir):
+    """Per-event_type Theil–Sen robust slope (value per day) of the
+    daily-mean value series (operators/stattests.py theil_sen): the
+    estimator companion to Mann–Kendall — median of all pairwise
+    slopes, ~29% breakdown point. One fact shuffle; the pairwise-slope
+    frame self-joins the metadata-sized bucket frame."""
+    from htm_streamer_spark.operators.stattests import theil_sen
+
+    e = _t(spark, sf_dir, "events")
+    return theil_sen(e, "event_type", "ts", "value", bucket="day")
+
+
+SQL_THEIL_SEN = """
+WITH pts AS (
+  SELECT event_type,
+         epoch(date_trunc('day', ts)) / 86400.0 AS x,
+         avg("value") AS y
+  FROM events
+  WHERE "value" IS NOT NULL
+  GROUP BY event_type, date_trunc('day', ts)
+),
+slopes AS (
+  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+  FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.x < b.x
+),
+med AS (
+  SELECT event_type, count(*)::BIGINT AS n_pairs,
+         quantile_cont(s, 0.5) AS m
+  FROM slopes GROUP BY 1
+),
+n AS (SELECT event_type, count(*)::BIGINT AS n_buckets FROM pts GROUP BY 1)
+SELECT n.event_type, n.n_buckets,
+       coalesce(med.n_pairs, 0)::BIGINT AS n_pairs,
+       round(med.m + 1e-9, 6) + 0.0 AS slope
+FROM n LEFT JOIN med USING (event_type)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -5940,6 +6112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_docs": q_dedup_recall_docs,
         "lang_confusion_docs": q_lang_confusion_docs,
         "cube_events": q_cube_events,
+        "jsd_sources_docs": q_jsd_sources_docs,
+        "bigram_nll_docs": q_bigram_nll_docs,
+        "mi_events": q_mi_events,
+        "theil_sen_events": q_theil_sen_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -6092,6 +6268,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall_docs": _sql_dedup_recall(),
         "lang_confusion_docs": SQL_LANG_CONFUSION,
         "cube_events": SQL_CUBE_EVENTS,
+        "jsd_sources_docs": SQL_JSD_SOURCES,
+        "bigram_nll_docs": SQL_BIGRAM_NLL,
+        "mi_events": SQL_MI_EVENTS,
+        "theil_sen_events": SQL_THEIL_SEN,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -1,0 +1,218 @@
+"""Information-theoretic corpus comparison: pairwise Jensen-Shannon
+divergence between per-source unigram distributions, and mutual
+information between two categorical columns of a fact table.
+
+Both answer the validation engine's "did the mix change / are these
+fields coupled" questions with distribution-level statistics rather
+than per-column moments:
+
+- ``jsd_sources``: how far apart are two sources' vocabularies as
+  probability distributions? JSD is symmetric, bounded (0..ln 2 nats),
+  and defined even on disjoint supports — the standard corpus-drift /
+  source-redundancy measure for mixing decisions (a pair near 0 is
+  redundant; a source whose JSD to every other source grows over time
+  is drifting).
+- ``mutual_information``: how much does knowing one categorical column
+  tell you about another (e.g. event_type vs hour-of-day)? MI == 0 iff
+  independent; the normalized variant is comparable across tables. A
+  schema-validation companion to the functional-dependency check
+  (stattests.fd_violations): FD is the exact-determinism extreme, MI
+  measures partial coupling.
+
+Reference parity: generalizes the reference's single-column
+distribution drift (KL/PSI vs a checkpointed baseline,
+htm_streamer/utils/anomaly_likelihood.py's model-vs-observation shape)
+to BETWEEN-GROUP and BETWEEN-COLUMN comparisons, reusing the same
+histogram machinery.
+
+Scale notes (100 TB):
+- ``jsd_sources`` never materializes a per-pair full-outer join. With
+  per-source distributions P, Q (each summing to 1) the mixture-entropy
+  decomposition collapses to shared terms only::
+
+      JSD(P,Q) = ln 2 - T,
+      T = sum over terms in BOTH of
+          [ m*ln m - (p/2)*ln(p/2) - (q/2)*ln(q/2) ],  m = (p+q)/2
+
+  (terms on one side only contribute exactly their half-entropy, which
+  cancels against the ln-2 constant because sum(p) == 1). So the only
+  pairwise work is an EQUI-join of the vocabulary-sized distribution
+  frame with itself on ``term`` — output-sensitive in shared vocabulary,
+  no per-pair scan of the corpus, no outer join. A term shared by S
+  sources yields S*(S-1)/2 rows; S (number of sources) is the small
+  dimension throughout.
+- One tokenizing scan of the text column (fanned out, explode_outer per
+  the plan-hygiene rule); the persisted (source, term, tf) frame feeds
+  totals and the join, so the corpus is read once.
+- ``mutual_information`` is one ``groupBy(x, y)`` count shuffle; the
+  persisted cell frame (|X|*|Y| rows) feeds marginals and the MI sum.
+  No Python anywhere in either operator.
+"""
+
+from __future__ import annotations
+
+from math import log
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def source_unigram_dist(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared per-group unigram distribution frame
+    ``(group, term, p)`` with ``sum(p) == 1`` per group — one
+    tokenizing scan, vocabulary x groups rows."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+    from htm_streamer_spark.operators.ranking import tokenize
+
+    toks = tokenize(
+        fan_out_narrow_scans(df.select(group_col, text_col)), text_col
+    )
+    # persist the vocabulary-sized tf frame: totals AND the
+    # distribution both derive from it, so the corpus is scanned once
+    tf = (
+        toks.groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tot = tf.groupBy(group_col).agg(F.sum("tf").cast("double").alias("_tot"))
+    # per-group totals are a groups-sized frame — broadcast is safe
+    return tf.join(F.broadcast(tot), group_col).select(
+        group_col, "term", (F.col("tf") / F.col("_tot")).alias("p")
+    )
+
+
+def jsd_sources(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    term distributions of every pair of groups (``a < b``
+    lexicographically).
+
+    Returns ``(source_a, source_b, n_shared_terms, jsd)`` with jsd
+    rounded to 6 dp (house +1e-9 nudge). Groups with no shared terms
+    report ``jsd = ln 2`` exactly (maximal divergence) and appear only
+    if both groups exist in the corpus — the pair list is derived from
+    the distribution frame, so token-less groups are absent.
+    """
+    dist = source_unigram_dist(df, group_col, text_col=text_col).persist()
+    a = dist.select(
+        F.col(group_col).alias("source_a"),
+        "term",
+        F.col("p").alias("_pa"),
+    )
+    b = dist.select(
+        F.col(group_col).alias("source_b"),
+        "term",
+        F.col("p").alias("_pb"),
+    )
+    m = (F.col("_pa") + F.col("_pb")) / 2.0
+    half = lambda c: (c / 2.0) * F.log(c / 2.0)  # noqa: E731
+    shared = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(
+                m * F.log(m) - half(F.col("_pa")) - half(F.col("_pb"))
+            ).alias("_t"),
+        )
+    )
+    # all pairs of observed groups — the groups frame is tiny; pairs
+    # with zero shared vocabulary keep T = 0 (JSD = ln 2)
+    groups = dist.select(group_col).distinct()
+    ga = groups.select(F.col(group_col).alias("source_a"))
+    gb = groups.select(F.col(group_col).alias("source_b"))
+    pairs = ga.crossJoin(gb).where(F.col("source_a") < F.col("source_b"))
+    out = pairs.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared_terms"), F.lit(0)).alias(
+            "n_shared_terms"
+        ),
+        F.round(
+            F.lit(log(2.0)) - F.coalesce(F.col("_t"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("jsd"),
+    )
+    return out
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    marginal entropies and the sqrt-normalized variant.
+
+    ``MI = sum_xy p_xy * ln(p_xy / (p_x * p_y))`` over observed cells
+    (absent cells have p_xy = 0 and contribute 0 in the limit);
+    ``nmi = MI / sqrt(H(X) * H(Y))`` (NULL when either marginal
+    entropy is 0 — a constant column carries no information to
+    normalize by). Null category values count as their own level only
+    if present in the data; rows where either column is NULL are
+    excluded (MI over observed complete pairs).
+
+    One ``groupBy(x, y)`` shuffle; marginals and totals derive from the
+    persisted cell frame (|X|*|Y| rows), so the fact table is scanned
+    once. Returns one row:
+    ``(n_rows, n_cells, h_x, h_y, mi, nmi)``, 6 dp.
+    """
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .persist()
+    )
+    tot = cells.agg(F.sum("_c").alias("_n")).withColumn("_j", F.lit(1))
+    mx = cells.groupBy("_x").agg(F.sum("_c").alias("_cx"))
+    my = cells.groupBy("_y").agg(F.sum("_c").alias("_cy"))
+    joined = (
+        cells.join(mx, "_x")
+        .join(my, "_y")
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(tot), "_j")
+    )
+    p_xy = F.col("_c") / F.col("_n")
+    p_x = F.col("_cx") / F.col("_n")
+    p_y = F.col("_cy") / F.col("_n")
+    per_cell = joined.select(
+        "_n",
+        (p_xy * F.log(p_xy / (p_x * p_y))).alias("_mi"),
+        # entropy contributions weighted so the plain sums below give
+        # H(X) and H(Y) exactly: each (x,y) cell carries its share
+        # p_xy/p_x of x's marginal term
+        (-(p_xy) * F.log(p_x)).alias("_hx"),
+        (-(p_xy) * F.log(p_y)).alias("_hy"),
+    )
+    agg = per_cell.groupBy().agg(
+        F.coalesce(F.first("_n"), F.lit(0.0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("_hx").alias("_shx"),
+        F.sum("_hy").alias("_shy"),
+        F.sum("_mi").alias("_smi"),
+    )
+    nmi = F.when(
+        (F.col("_shx") > 0) & (F.col("_shy") > 0),
+        F.col("_smi") / F.sqrt(F.col("_shx") * F.col("_shy")),
+    )
+    return agg.select(
+        "n_rows",
+        "n_cells",
+        F.round(F.col("_shx") + F.lit(1e-9), 6).alias("h_x"),
+        F.round(F.col("_shy") + F.lit(1e-9), 6).alias("h_y"),
+        F.round(F.col("_smi") + F.lit(1e-9), 6).alias("mi"),
+        F.round(nmi + F.lit(1e-9), 6).alias("nmi"),
+    )

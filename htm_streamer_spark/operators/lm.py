@@ -128,6 +128,79 @@ def oov_rate(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus'
+    own maximum-likelihood BIGRAM model — the order-sensitive
+    companion to ``unigram_nll``: shuffled or template-stitched text
+    keeps its unigram mix (unigram NLL blind) but breaks local word
+    order, which conditional bigram surprise detects directly.
+
+    ``P(cur | prev) = corpus_bf(prev, cur) / corpus_cf(prev)`` where
+    ``corpus_cf(prev) = sum_cur corpus_bf(prev, cur)`` (the context
+    count over observed bigrams, so the conditional sums to 1 by
+    construction and every document bigram is in-model — no smoothing
+    needed, same closure argument as ``unigram_nll``).
+
+    Plan: one tokenizing scan; bigrams are built INSIDE the words
+    array (a ``transform`` lambda pairing ``w[i], w[i+1]`` over a
+    materialized words column — no positional self-join of the token
+    stream, no second scan), then collapsed to the persisted narrow
+    (doc, prev, cur, tf) frame that feeds the bigram model, the
+    context totals, and the scoring join. The model joins stay
+    unhinted (same web-scale-vocabulary argument as the unigram
+    module). Documents with fewer than two tokens have no bigrams and
+    are absent. Returns (id_col, n_bigrams, nll), 6 dp.
+    """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+    from htm_streamer_spark.operators.ranking import TOKEN_SPLIT
+
+    base = fan_out_narrow_scans(df.select(id_col, text_col))
+    # materialize words in its own projection (plan-hygiene rule:
+    # the transform lambda below references it twice)
+    words = base.select(
+        id_col,
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT).alias("_w"),
+    )
+    pairs = words.select(
+        id_col,
+        F.expr(
+            "transform(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+            " (w, i) -> struct(w AS prev, _w[i + 1] AS cur))"
+        ).alias("_bg"),
+    )
+    bg = (
+        pairs.select(id_col, F.explode_outer("_bg").alias("_p"))
+        .select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
+        .where(
+            F.col("prev").isNotNull()
+            & (F.col("prev") != "")
+            & F.col("cur").isNotNull()
+            & (F.col("cur") != "")
+        )
+    )
+    tf = bg.groupBy(id_col, "prev", "cur").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    corpus = tf.groupBy("prev", "cur").agg(
+        F.sum("tf").cast("long").alias("bf")
+    )
+    ctx = corpus.groupBy("prev").agg(F.sum("bf").cast("long").alias("cf"))
+    scored = (
+        tf.join(corpus, ["prev", "cur"])
+        .join(ctx, "prev")
+        .withColumn("_ll", F.col("tf") * F.log(F.col("bf") / F.col("cf")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(-F.sum("_ll") / F.sum("tf") + F.lit(1e-9), 6).alias("nll"),
+    )
+
+
 def lexical_diversity(
     df: DataFrame,
     group_col: str = "source",
