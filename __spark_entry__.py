@@ -5967,6 +5967,315 @@ FROM n LEFT JOIN med USING (event_type)
 """
 
 
+def q_ccf_events(spark, sf_dir):
+    """Lead–lag cross-correlation between every ordered pair of
+    event_types' dense hourly count series at lags 0..3
+    (operators/stattests.py ccf_bucket_counts): ACF's pairwise
+    companion — "does feed A's volume predict feed B's k hours later".
+    One fact shuffle; one window pass per group for all lags; the
+    bucket-pair join never touches the fact table."""
+    from htm_streamer_spark.operators.stattests import ccf_bucket_counts
+
+    e = _t(spark, sf_dir, "events")
+    return ccf_bucket_counts(e, "event_type", "ts", bucket="hour", max_lag=3)
+
+
+SQL_CCF_EVENTS = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(b) AS lo, max(b) AS hi FROM cnt),
+types AS (SELECT DISTINCT event_type FROM cnt),
+grid AS (
+  SELECT t.event_type, g.b
+  FROM types t CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, interval '1 hour')) AS b FROM span
+  ) g
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt
+    ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+lags AS (SELECT unnest(generate_series(0, 3)) AS lag),
+j AS (
+  SELECT a.event_type AS group_a, bb.event_type AS group_b, lags.lag,
+         a.c AS x, bb.c AS y
+  FROM dense a
+  CROSS JOIN lags
+  JOIN dense bb ON bb.event_type <> a.event_type
+               AND epoch(bb.b) = epoch(a.b) + lags.lag * 3600
+),
+m AS (
+  SELECT group_a, group_b, lag, count(*)::BIGINT AS n_overlap,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT group_a, group_b, lag::INT AS lag, n_overlap,
+       CASE WHEN (n_overlap * sxx - sx * sx) > 0
+             AND (n_overlap * syy - sy * sy) > 0
+            THEN round((n_overlap * sxy - sx * sy)
+                 / sqrt((n_overlap * sxx - sx * sx)
+                        * (n_overlap * syy - sy * sy)) + 1e-9, 6) + 0.0
+       END AS ccf
+FROM m
+"""
+
+
+def q_lift_events(spark, sf_dir):
+    """Pairwise co-occurrence lift of event_types within (user, day)
+    baskets (operators/infotheory.py basket_lift): lift == exp(PMI) —
+    the per-pair coupling structure that mutual_information averages
+    away. One scan collapses to the distinct membership frame; the
+    pair join is a self-equi-join on the basket key (≤ |types| rows
+    per basket), never a corpus cross join."""
+    from htm_streamer_spark.operators.infotheory import basket_lift
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    )
+    return basket_lift(e, ["user_id", "day"], "event_type")
+
+
+SQL_LIFT_EVENTS = """
+WITH mem AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events WHERE event_type IS NOT NULL
+),
+tot AS (
+  SELECT count(*)::DOUBLE AS nb
+  FROM (SELECT DISTINCT user_id, day FROM mem)
+),
+freq AS (SELECT event_type, count(*)::BIGINT AS n FROM mem GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         count(*)::BIGINT AS n_ab
+  FROM mem a JOIN mem b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, fa.n AS n_a, fb.n AS n_b, n_ab,
+       round(n_ab / tot.nb + 1e-9, 6) + 0.0 AS support,
+       round(n_ab * tot.nb / (fa.n * fb.n) + 1e-9, 6) + 0.0 AS lift
+FROM pairs
+JOIN freq fa ON fa.event_type = pairs.item_a
+JOIN freq fb ON fb.event_type = pairs.item_b
+CROSS JOIN tot
+"""
+
+
+def q_runs_test_events(spark, sf_dir):
+    """Per-event_type Wald–Wolfowitz runs test on the sign of value vs
+    the group's exact median, in (ts, event_id) order
+    (operators/stattests.py runs_test): detects regime-clumping (too
+    few runs) or interleaved-feed oscillation (too many) — sequence
+    structure invisible to distribution (KS/PSI) and trend (MK) tests.
+    One persisted narrow scan; broadcast median; one window pass."""
+    from htm_streamer_spark.operators.stattests import runs_test
+
+    e = _t(spark, sf_dir, "events")
+    return runs_test(e, "event_type", "value", ["ts", "event_id"])
+
+
+SQL_RUNS_TEST = """
+WITH med AS (
+  SELECT event_type, quantile_cont("value", 0.5) AS m FROM events GROUP BY 1
+),
+s AS (
+  SELECT e.event_type, e.ts, e.event_id, ("value" > m) AS pos
+  FROM events e JOIN med USING (event_type)
+  WHERE "value" <> m
+),
+r AS (
+  SELECT event_type, pos,
+         CASE WHEN lag(pos) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+              ) IS DISTINCT FROM pos THEN 1 ELSE 0 END AS new_run
+  FROM s
+),
+agg AS (
+  SELECT event_type,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+         sum(new_run)::BIGINT AS runs
+  FROM r GROUP BY 1
+),
+v AS (
+  SELECT event_type, n_pos, n_neg, runs,
+         n_pos::DOUBLE AS a, n_neg::DOUBLE AS b,
+         (n_pos + n_neg)::DOUBLE AS n
+  FROM agg
+),
+zc AS (
+  SELECT event_type, n_pos, n_neg, runs,
+         CASE WHEN a > 0 AND b > 0 AND n > 1
+                   AND 2 * a * b * (2 * a * b - n) / (n * n * (n - 1)) > 0
+              THEN (runs - (2 * a * b / n + 1))
+                   / sqrt(2 * a * b * (2 * a * b - n) / (n * n * (n - 1)))
+         END AS zv
+  FROM v
+)
+SELECT event_type, n_pos, n_neg, runs,
+       round(zv + 1e-9, 6) + 0.0 AS z,
+       CASE WHEN zv < -1.959964 THEN 'clustered'
+            WHEN zv > 1.959964 THEN 'oscillating'
+            WHEN zv IS NULL THEN NULL
+            ELSE 'random' END AS verdict
+FROM zc
+"""
+
+
+def q_km_survival_events(spark, sf_dir):
+    """Per-event_type Kaplan–Meier survival curve of the inter-event
+    gap per user, right-censored at the global observation end
+    (operators/survival.py km_survival): the censoring-correct member
+    of the retention family — naive retention counts users whose
+    window simply ended as churned; KM keeps them in the risk set.
+    One persisted narrow scan; the curve derives from the collapsed
+    per-duration frame via ordered cumulative windows (no self-join).
+    Durations bucketed to 600 s so the curve frame stays bounded."""
+    from htm_streamer_spark.operators.survival import km_survival
+
+    e = _t(spark, sf_dir, "events")
+    return km_survival(e, "event_type", "user_id", "ts", round_to=600)
+
+
+SQL_KM_SURVIVAL = """
+WITH eg AS (
+  SELECT event_type,
+         ts,
+         lead(ts) OVER (
+           PARTITION BY event_type, user_id ORDER BY ts
+         ) AS nxt
+  FROM events
+),
+endt AS (SELECT max(ts) AS e FROM events),
+dur AS (
+  SELECT event_type,
+         ((epoch_us(coalesce(nxt, endt.e)) - epoch_us(ts))
+          // (600 * 1000000)) * 600 AS t,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM eg CROSS JOIN endt
+),
+gt AS (
+  SELECT event_type, t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS m
+  FROM dur GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, t, d, m,
+         sum(m) OVER (PARTITION BY event_type ORDER BY t) AS c_le,
+         sum(m) OVER (PARTITION BY event_type) AS n_g
+  FROM gt
+),
+ev AS (
+  SELECT event_type, t, d, (n_g - (c_le - m))::BIGINT AS n_risk
+  FROM rk WHERE d > 0
+),
+km AS (
+  SELECT event_type, t, d, n_risk,
+         max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER win AS hit0,
+         sum(CASE WHEN d < n_risk
+                  THEN ln(1 - d::DOUBLE / n_risk) END) OVER win AS lnsum
+  FROM ev
+  WINDOW win AS (PARTITION BY event_type ORDER BY t)
+)
+SELECT event_type, t AS duration_s, n_risk, d AS n_events,
+       round(CASE WHEN hit0 = 1 THEN 0.0 ELSE exp(lnsum) END + 1e-9, 6)
+         + 0.0 AS survival
+FROM km
+"""
+
+
+def q_diurnal_events(spark, sf_dir):
+    """Per-event_type 24 h harmonic fit of the hour-of-day count
+    profile (operators/stattests.py diurnal_harmonic): amplitude /
+    peak hour / explained variance of the diurnal cycle via the first
+    DFT coefficient on the dense 24-point grid (exact least squares —
+    no normal-equation solve). One fact shuffle; the fit aggregates
+    24 rows per group."""
+    from htm_streamer_spark.operators.stattests import diurnal_harmonic
+
+    e = _t(spark, sf_dir, "events")
+    return diurnal_harmonic(e, "event_type", "ts")
+
+
+SQL_DIURNAL = """
+WITH cnt AS (
+  SELECT event_type, extract(hour FROM ts)::INT AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM cnt),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM types t CROSS JOIN (
+    SELECT unnest(generate_series(0, 23))::INT AS h
+  ) g
+),
+dense AS (
+  SELECT grid.event_type, grid.h, coalesce(cnt.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN cnt
+    ON cnt.event_type = grid.event_type AND cnt.h = grid.h
+),
+m AS (
+  SELECT event_type,
+         sum(c)::BIGINT AS n_events,
+         sum(c * cos(h * 2 * pi() / 24)) * (2.0 / 24) AS a,
+         sum(c * sin(h * 2 * pi() / 24)) * (2.0 / 24) AS b,
+         var_pop(c::DOUBLE) AS v
+  FROM dense GROUP BY 1
+)
+SELECT event_type, n_events,
+       round(sqrt(a * a + b * b) + 1e-9, 6) + 0.0 AS amplitude,
+       round(
+         ((atan2(b, a) * 24 / (2 * pi())) % 24 + 24) % 24 + 1e-9, 6
+       ) + 0.0 AS peak_hour,
+       CASE WHEN v > 0
+            THEN round((a * a + b * b) / 2 / v + 1e-9, 6) + 0.0
+       END AS r2
+FROM m
+"""
+
+
+def q_chao_vocab_docs(spark, sf_dir):
+    """Per-source Chao1 vocabulary-richness estimate + Good–Turing
+    coverage (operators/lm.py chao_richness): estimates the UNSEEN
+    vocabulary — the crawl-budget signal (chao1 >> n_types means the
+    source is under-sampled; coverage ~ 1 means more crawl buys
+    duplication, not diversity). One tokenizing scan collapses to the
+    vocabulary-sized per-term frame; estimator is one aggregate."""
+    from htm_streamer_spark.operators.lm import chao_richness
+
+    d = _t(spark, sf_dir, "documents")
+    return chao_richness(d, "source")
+
+
+SQL_CHAO_VOCAB = r"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT source,
+         sum(tf)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_types,
+         sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, n_types, f1, f2,
+       round(n_types + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)) + 1e-9, 6) + 0.0
+         AS chao1,
+       round(1.0 - f1::DOUBLE / n_tokens + 1e-9, 6) + 0.0 AS coverage
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -6116,6 +6425,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll_docs": q_bigram_nll_docs,
         "mi_events": q_mi_events,
         "theil_sen_events": q_theil_sen_events,
+        "ccf_events": q_ccf_events,
+        "lift_events": q_lift_events,
+        "runs_test_events": q_runs_test_events,
+        "km_survival_events": q_km_survival_events,
+        "diurnal_events": q_diurnal_events,
+        "chao_vocab_docs": q_chao_vocab_docs,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -6272,6 +6587,12 @@ def oracle_sql() -> dict[str, str]:
         "bigram_nll_docs": SQL_BIGRAM_NLL,
         "mi_events": SQL_MI_EVENTS,
         "theil_sen_events": SQL_THEIL_SEN,
+        "ccf_events": SQL_CCF_EVENTS,
+        "lift_events": SQL_LIFT_EVENTS,
+        "runs_test_events": SQL_RUNS_TEST,
+        "km_survival_events": SQL_KM_SURVIVAL,
+        "diurnal_events": SQL_DIURNAL,
+        "chao_vocab_docs": SQL_CHAO_VOCAB,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -217,6 +217,14 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "dedup_recall_docs",
         "lang_confusion_docs",
         "cube_events",
+        "jsd_sources_docs",
+        "bigram_nll_docs",
+        "mi_events",
+        "theil_sen_events",
+        "ccf_events",
+        "lift_events",
+        "runs_test_events",
+        "km_survival_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -147,6 +147,84 @@ def jsd_sources(
     return out
 
 
+def basket_lift(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+) -> DataFrame:
+    """Pairwise co-occurrence lift of item values within baskets —
+    market-basket association over a fact table: a basket is the
+    distinct combination of ``basket_cols`` (e.g. ``[user_id, day]``),
+    an item is a value of ``item_col`` (e.g. event_type), and
+
+    ``lift(a, b) = P(a, b) / (P(a) * P(b))``
+
+    over basket membership (lift == exp(PMI): > 1 co-occurring, < 1
+    repelling, == 1 independent — the basket-level counterpart of
+    ``mutual_information``, which averages this coupling over ALL
+    cells; lift exposes the per-pair structure). Pairs that never
+    co-occur are absent (their lift is 0; emitting the cross product
+    of all item pairs would be |items|^2 rows of zeros).
+
+    Plan: one scan collapses the fact table to the distinct
+    (basket, item) membership frame (persisted — basket count, item
+    frequencies, and the pair join all derive from it); the pair
+    frame is a self-equi-join ON THE BASKET KEY, so a basket with m
+    items yields m*(m-1)/2 rows — bounded by |items| per basket, never
+    a cross join of the corpus. Returns
+    (item_a, item_b, n_a, n_b, n_ab, support, lift), 6 dp.
+    """
+    membership = (
+        df.select(*basket_cols, F.col(item_col).alias("_it"))
+        .where(F.col("_it").isNotNull())
+        .distinct()
+        .persist()
+    )
+    tot = (
+        membership.select(*basket_cols)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("_nb"))
+        .withColumn("_j", F.lit(1))
+    )
+    freq = membership.groupBy("_it").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    a = membership.select(*basket_cols, F.col("_it").alias("item_a"))
+    b = membership.select(*basket_cols, F.col("_it").alias("item_b"))
+    pairs = (
+        a.join(b, basket_cols)
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    fa = freq.select(F.col("_it").alias("item_a"), F.col("_n").alias("n_a"))
+    fb = freq.select(F.col("_it").alias("item_b"), F.col("_n").alias("n_b"))
+    # item-frequency frames are items-sized — broadcast both
+    out = (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(tot), "_j")
+        .select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("_nb") + F.lit(1e-9), 6).alias(
+                "support"
+            ),
+            F.round(
+                (F.col("n_ab") * F.col("_nb"))
+                / (F.col("n_a") * F.col("n_b"))
+                + F.lit(1e-9),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
 def mutual_information(
     df: DataFrame,
     x_col: str,

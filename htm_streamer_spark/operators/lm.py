@@ -254,6 +254,72 @@ def lexical_diversity(
     )
 
 
+def chao_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Chao1 vocabulary-richness estimate and Good-Turing
+    sample coverage — the UNSEEN-MASS member of the vocabulary family:
+    ``lexical_diversity`` measures the vocabulary you SAW; Chao1
+    estimates how much you haven't (how many types a bigger crawl of
+    this source would still mint), and Good-Turing coverage estimates
+    the probability mass of unseen types. A source whose chao1 vastly
+    exceeds n_types is under-sampled; coverage near 1 with flat chao1
+    means the source's vocabulary is exhausted (more crawl = more
+    duplication, not more diversity) — directly a crawl-budget signal.
+
+    Bias-corrected Chao1 (defined even when F2 == 0)::
+
+        chao1 = V + F1 * (F1 - 1) / (2 * (F2 + 1)),
+        coverage = 1 - F1 / N
+
+    with V = observed types, F1/F2 = types seen exactly once/twice,
+    N = total tokens (Chao 1984; Good 1953).
+
+    Plan: one tokenizing scan collapses to the per-group term-count
+    frame (vocabulary-sized, map-side partial); the estimator is one
+    aggregate over it. Token-less groups are absent. Returns
+    (group, n_tokens, n_types, f1, f2, chao1, coverage), 6 dp.
+    """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+    from htm_streamer_spark.operators.ranking import tokenize
+
+    toks = tokenize(
+        fan_out_narrow_scans(df.select(group_col, text_col)), text_col
+    )
+    per_term = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    agg = per_term.groupBy(group_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("tf") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    chao1 = (
+        F.col("n_types")
+        + (F.col("f1") * (F.col("f1") - 1))
+        / (2.0 * (F.col("f2") + 1))
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        F.round(chao1 + F.lit(1e-9), 6).alias("chao1"),
+        F.round(
+            F.lit(1.0) - F.col("f1") / F.col("n_tokens") + F.lit(1e-9), 6
+        ).alias("coverage"),
+    )
+
+
 def zipf_fit(
     df: DataFrame,
     *,

@@ -708,6 +708,265 @@ def mann_kendall(
     return out
 
 
+def diurnal_harmonic(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-group single-harmonic (24 h) fit of the hour-of-day count
+    profile — the SEASONALITY-STRENGTH member of the arrival-process
+    family: ACF says "hour t correlates with hour t-24", the harmonic
+    fit quantifies HOW diurnal a feed is (amplitude, peak hour) and
+    how much of its hour-of-day variance the cycle explains (r2). A
+    bot feed is flat (r2 ~ 0); a human feed has a strong 24 h wave; a
+    feed whose phase suddenly shifts moved timezones upstream.
+
+    On the dense 24-point hour-of-day grid the first discrete Fourier
+    coefficient IS the least-squares single-harmonic fit (exact
+    orthogonality — no normal-equation solve)::
+
+        a = (2/24) * sum_h x_h cos(2 pi h/24),
+        b = (2/24) * sum_h x_h sin(2 pi h/24),
+        amplitude = sqrt(a^2 + b^2),
+        peak_hour = atan2(b, a) * 24/(2 pi)  (mod 24),
+        r2 = (amplitude^2 / 2) / var_pop(x_h)
+
+    where ``x_h`` is the group's total event count at hour-of-day h
+    (hours with no events count 0 — gap-as-zero, the family stance).
+
+    Plan: one ``groupBy(group, hour)`` count shuffle; the dense grid
+    is groups x 24 (synthesized, never the fact table); the fit is one
+    aggregate over 24 rows per group. Constant profiles (zero
+    variance) report NULL r2. Returns
+    (group, n_events, amplitude, peak_hour, r2), 6 dp.
+    """
+    import math
+
+    g = group_col
+    counts = df.groupBy(
+        F.col(g), F.hour(ts_col).alias("_h")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    counts = counts.persist()  # groups list + dense join: one fact scan
+    groups = counts.select(g).distinct()
+    grid = groups.crossJoin(
+        df.sparkSession.range(24).select(F.col("id").cast("int").alias("_h"))
+    )
+    dense = grid.join(counts, [g, "_h"], "left").fillna({"_c": 0})
+    two_pi = 2.0 * math.pi
+    m = dense.groupBy(g).agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        (
+            F.sum(F.col("_c") * F.cos(F.col("_h") * F.lit(two_pi / 24.0)))
+            * F.lit(2.0 / 24.0)
+        ).alias("_a"),
+        (
+            F.sum(F.col("_c") * F.sin(F.col("_h") * F.lit(two_pi / 24.0)))
+            * F.lit(2.0 / 24.0)
+        ).alias("_b"),
+        F.var_pop(F.col("_c").cast("double")).alias("_var"),
+    )
+    amp = F.sqrt(F.col("_a") * F.col("_a") + F.col("_b") * F.col("_b"))
+    peak = F.pmod(
+        F.atan2(F.col("_b"), F.col("_a")) * F.lit(24.0 / two_pi),
+        F.lit(24.0),
+    )
+    return m.select(
+        g,
+        "n_events",
+        F.round(amp + F.lit(1e-9), 6).alias("amplitude"),
+        F.round(peak + F.lit(1e-9), 6).alias("peak_hour"),
+        F.when(
+            F.col("_var") > 0,
+            F.round(
+                (amp * amp / 2.0) / F.col("_var") + F.lit(1e-9), 6
+            ),
+        ).alias("r2"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    alpha_z: float = 1.959964,
+) -> DataFrame:
+    """Per-group Wald–Wolfowitz runs test of randomness on the sign of
+    ``value_col`` vs the group's exact median, in ``order_cols`` order
+    — the sequence-structure member of the test battery: KS/PSI check
+    the value DISTRIBUTION, MK/Theil-Sen check monotone TREND, the
+    runs test checks whether above/below-median excursions cluster
+    (too FEW runs: regime-switching, stuck sensors, batched writes) or
+    oscillate (too MANY runs: alternating feeds interleaved into one
+    series) — both invisible to distribution and trend tests, since
+    neither changes the value mix nor adds drift.
+
+    Rows with ``value == median`` are dropped (the classical
+    treatment); ``R = 1 + sum(sign_t != sign_{t-1})``,
+    ``E[R] = 2*n1*n2/n + 1``,
+    ``Var = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n-1))``, plain
+    ``z = (R - E)/sqrt(Var)`` (no continuity correction; NULL when
+    either sign class is empty or Var == 0). ``order_cols`` must be a
+    deterministic total order (pass a tie-breaking id column).
+
+    Plan: the narrow (group, order, value) projection is persisted
+    ONCE — the exact-median aggregate and the sign/lag window both
+    derive from it, so the fact table is scanned once; the group-sized
+    median frame is broadcast back; one window pass per group. Returns
+    (group, n_pos, n_neg, runs, z, verdict).
+    """
+    g = group_col
+    narrow = df.select(g, value_col, *order_cols).persist()
+    med = narrow.groupBy(g).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    signed = (
+        narrow.join(F.broadcast(med), g)
+        .where(F.col(value_col) != F.col("_med"))
+        .select(
+            g,
+            *order_cols,
+            (F.col(value_col) > F.col("_med")).alias("_pos"),
+        )
+    )
+    w = Window.partitionBy(g).orderBy(*order_cols)
+    flagged = signed.select(
+        g,
+        "_pos",
+        F.when(
+            F.lag("_pos").over(w).isNull()
+            | (F.lag("_pos").over(w) != F.col("_pos")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_run"),
+    )
+    agg = flagged.groupBy(g).agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum("_new_run").cast("long").alias("runs"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    n = n1 + n2
+    e_r = 2.0 * n1 * n2 / n + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (n > 1) & (var_r > 0),
+        (F.col("runs") - e_r) / F.sqrt(var_r),
+    )
+    return agg.select(
+        g,
+        "n_pos",
+        "n_neg",
+        "runs",
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+        F.when(z < -alpha_z, F.lit("clustered"))
+        .when(z > alpha_z, F.lit("oscillating"))
+        .when(z.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+def ccf_bucket_counts(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Cross-correlation between every ORDERED pair of groups' dense
+    bucketed count series at lags 0..max_lag — the lead-lag member of
+    the drift family: ACF asks "does this feed correlate with its own
+    past", CCF asks "does feed A's volume predict feed B's k buckets
+    later" (upstream→downstream propagation, shared-cause detection, a
+    mirror that re-publishes with delay). ``ccf(a, b, k) =
+    corr(x^a_t, x^b_{t+k})`` — a row with lag k > 0 means A LEADS B.
+
+    All series share the GLOBAL bucket span (missing buckets count 0,
+    same stance as ACF — and a shared span is what makes the pairwise
+    correlations comparable). The overlap at lag k drops the last k
+    buckets (standard truncated estimator); Pearson r from explicit
+    moment sums, NULL when either side is constant in the overlap.
+
+    Plan: one ``groupBy(group, bucket)`` count shuffle; the dense grid
+    is groups x global-span (metadata-sized, synthesized via
+    ``sequence``); all lags come from ONE window pass per group
+    (lead columns, stack-unpivoted), then one equi-join on bucket
+    pairs the groups — n_groups^2 x span x (max_lag+1) rows never
+    touch the fact table. Returns
+    (group_a, group_b, lag, n_overlap, ccf).
+    """
+    g = group_col
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = (
+        df.groupBy(F.col(g), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    span = counts.agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    groups = counts.select(g).distinct()
+    grid = groups.crossJoin(F.broadcast(span)).select(
+        g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
+    )
+    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    ord_w = Window.partitionBy(g).orderBy("_b")
+    leads = dense.select(
+        F.col(g).alias("group_b"),
+        "_b",
+        *[
+            F.lead("_c", k).over(ord_w).alias(f"_l{k}")
+            for k in range(0, max_lag + 1)
+        ],
+    )
+    pairs_lag = ", ".join(f"{k}, _l{k}" for k in range(0, max_lag + 1))
+    stacked = leads.select(
+        "group_b",
+        "_b",
+        F.expr(f"stack({max_lag + 1}, {pairs_lag}) as (lag, _y)"),
+    ).where(F.col("_y").isNotNull())
+    a = dense.select(
+        F.col(g).alias("group_a"), "_b", F.col("_c").alias("_x")
+    )
+    joined = a.join(stacked, "_b").where(
+        F.col("group_a") != F.col("group_b")
+    )
+    m = joined.groupBy("group_a", "group_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("double").alias("_syy"),
+    )
+    n = F.col("n_overlap").cast("double")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return m.select(
+        "group_a",
+        "group_b",
+        "lag",
+        "n_overlap",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy) + F.lit(1e-9), 6),
+        ).alias("ccf"),
+    )
+
+
 def theil_sen(
     df: DataFrame,
     group_col: str,
