@@ -6276,6 +6276,56 @@ FROM agg
 """
 
 
+def q_cvm_drift_events(spark, sf_dir):
+    """Two-sample Cramér–von Mises drift per event_type
+    (operators/stattests.py cvm_two_sample): the L2 ECDF distance —
+    accumulates many small deviations the KS sup-norm ignores (tail
+    drift, slight global shifts). Same deterministic even/odd
+    event_id halves as ks_drift_events; same one-shuffle + per-group
+    window plan shape."""
+    from htm_streamer_spark.operators.stattests import cvm_two_sample
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 2).alias("half")
+    )
+    return cvm_two_sample(e, "event_type", "value", "half")
+
+
+SQL_CVM_DRIFT = """
+WITH pv AS (
+  SELECT event_type, value,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM events GROUP BY 1, 2
+),
+ecdf AS (
+  SELECT event_type, (c0 + c1) AS c,
+         sum(c0) OVER (PARTITION BY event_type ORDER BY value)
+           / sum(c0) OVER (PARTITION BY event_type)::DOUBLE AS f0,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY value)
+           / sum(c1) OVER (PARTITION BY event_type)::DOUBLE AS f1,
+         sum(c0) OVER (PARTITION BY event_type) AS n0,
+         sum(c1) OVER (PARTITION BY event_type) AS n1
+  FROM pv
+),
+agg AS (
+  SELECT event_type,
+         max(n0)::BIGINT AS n0, max(n1)::BIGINT AS n1,
+         sum(c * (f0 - f1) * (f0 - f1)) AS s
+  FROM ecdf GROUP BY 1
+)
+SELECT event_type, n0, n1,
+       round(CASE WHEN n0 > 0 AND n1 > 0
+                  THEN n0::DOUBLE * n1 / ((n0 + n1)::DOUBLE * (n0 + n1)) * s
+             END + 1e-9, 6) + 0.0 AS cvm_stat,
+       CASE WHEN n0 > 0 AND n1 > 0
+            THEN n0::DOUBLE * n1 / ((n0 + n1)::DOUBLE * (n0 + n1)) * s
+                 > 0.461
+       END AS drift
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -6431,6 +6481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival_events": q_km_survival_events,
         "diurnal_events": q_diurnal_events,
         "chao_vocab_docs": q_chao_vocab_docs,
+        "cvm_drift_events": q_cvm_drift_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -6593,6 +6644,7 @@ def oracle_sql() -> dict[str, str]:
         "km_survival_events": SQL_KM_SURVIVAL,
         "diurnal_events": SQL_DIURNAL,
         "chao_vocab_docs": SQL_CHAO_VOCAB,
+        "cvm_drift_events": SQL_CVM_DRIFT,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

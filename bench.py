@@ -225,6 +225,9 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "lift_events",
         "runs_test_events",
         "km_survival_events",
+        "diurnal_events",
+        "chao_vocab_docs",
+        "cvm_drift_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

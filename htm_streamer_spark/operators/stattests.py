@@ -87,10 +87,18 @@ def ks_two_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tot = Window.partitionBy(group_col)
+    # ANSI-safe ECDFs: a group missing one sample entirely must report
+    # NULL, not throw DIVIDE_BY_ZERO (Spark 4 ANSI default)
     ecdf = per_value.select(
         group_col,
-        (F.sum("c0").over(w) / F.sum("c0").over(tot)).alias("f0"),
-        (F.sum("c1").over(w) / F.sum("c1").over(tot)).alias("f1"),
+        F.when(
+            F.sum("c0").over(tot) > 0,
+            F.sum("c0").over(w) / F.sum("c0").over(tot),
+        ).alias("f0"),
+        F.when(
+            F.sum("c1").over(tot) > 0,
+            F.sum("c1").over(w) / F.sum("c1").over(tot),
+        ).alias("f1"),
         F.sum("c0").over(tot).alias("n0"),
         F.sum("c1").over(tot).alias("n1"),
     )
@@ -706,6 +714,86 @@ def mann_kendall(
         .alias("trend"),
     )
     return out
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sample_col: str,
+    *,
+    alpha_t: float = 0.461,
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises statistic per group — the
+    QUADRATIC member of the ECDF-distance family: KS is the sup-norm
+    (sensitive to one large local gap, typically mid-distribution),
+    W1 the L1 area, CvM the L2 integral
+
+        ``T = n*m/N^2 * sum over all N observations z of
+              (F0(z) - F1(z))^2``
+
+    which accumulates many small deviations KS ignores — the classic
+    tail-drift / slight-global-shift detector (Anderson 1962). Over
+    the tie-collapsed per-value frame the sum is
+    ``sum_v (c0_v + c1_v) * (F0(v) - F1(v))^2`` with ECDFs evaluated
+    after ties, the textbook discrete treatment. Verdict at
+    ``T > alpha_t`` (default 0.461, the asymptotic 5% critical value
+    of the limiting distribution).
+
+    Plan: identical shape to ``ks_two_sample`` — one
+    ``groupBy(group, value)`` shuffle, one per-group window cumsum
+    over distinct values, one aggregate; same per-group single-task
+    sort bound. Groups missing either sample report NULL. Returns
+    (group, n0, n1, cvm_stat, drift), 6 dp.
+    """
+    per_value = df.groupBy(group_col, value_col).agg(
+        F.sum(F.when(F.col(sample_col) == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col(sample_col) == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(group_col)
+    # ANSI-safe ECDFs: a group missing one sample entirely must report
+    # NULL, not throw DIVIDE_BY_ZERO (Spark 4 ANSI default)
+    ecdf = per_value.select(
+        group_col,
+        (F.col("c0") + F.col("c1")).alias("_c"),
+        F.when(
+            F.sum("c0").over(tot) > 0,
+            F.sum("c0").over(w) / F.sum("c0").over(tot),
+        ).alias("f0"),
+        F.when(
+            F.sum("c1").over(tot) > 0,
+            F.sum("c1").over(w) / F.sum("c1").over(tot),
+        ).alias("f1"),
+        F.sum("c0").over(tot).alias("n0"),
+        F.sum("c1").over(tot).alias("n1"),
+    )
+    agg = ecdf.groupBy(group_col).agg(
+        F.first("n0").cast("long").alias("n0"),
+        F.first("n1").cast("long").alias("n1"),
+        F.sum(
+            F.col("_c")
+            * (F.col("f0") - F.col("f1"))
+            * (F.col("f0") - F.col("f1"))
+        ).alias("_s"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    t = F.when(
+        (F.col("n0") > 0) & (F.col("n1") > 0),
+        n0 * n1 / ((n0 + n1) * (n0 + n1)) * F.col("_s"),
+    )
+    return agg.select(
+        group_col,
+        "n0",
+        "n1",
+        F.round(t + F.lit(1e-9), 6).alias("cvm_stat"),
+        F.when(t.isNotNull(), t > alpha_t).alias("drift"),
+    )
 
 
 def diurnal_harmonic(
