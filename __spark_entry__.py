@@ -6326,6 +6326,98 @@ FROM agg
 """
 
 
+def q_readability_docs(spark, sf_dir):
+    """Per-document Flesch reading-ease from three codegen'd
+    regexp_count expressions (operators/textstats.py readability):
+    linguistic-complexity drift that quality_score's structural
+    ratios miss. The text column never leaves the scan stage — no
+    explode, zero shuffles."""
+    from htm_streamer_spark.operators.textstats import readability
+
+    d = _t(spark, sf_dir, "documents")
+    return readability(d)
+
+
+SQL_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+           AS n_words,
+         greatest(
+           len(regexp_extract_all(lower(text), '[.!?]+')), 1
+         )::BIGINT AS n_sentences,
+         (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+          + len(regexp_extract_all(
+              lower(text), '\b[b-df-hj-np-tv-xz0-9]+\b'
+            )))::BIGINT AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0
+            THEN round(206.835
+                       - 1.015 * (n_words::DOUBLE / n_sentences)
+                       - 84.6 * (n_syllables::DOUBLE / n_words)
+                       + 1e-9, 6) + 0.0
+       END AS flesch
+FROM c
+"""
+
+
+def q_perm_entropy_events(spark, sf_dir):
+    """Per-event_type order-3 permutation entropy of the dense hourly
+    count series (operators/stattests.py permutation_entropy): how
+    predictable are the series' local shapes — linear or not (white
+    noise → 1, deterministic/batched feeds → 0). Bandt–Pompe ordinal
+    patterns with time-order tie-breaking; one fact shuffle; triples
+    from one two-lead window pass on the metadata-sized grid."""
+    from htm_streamer_spark.operators.stattests import permutation_entropy
+
+    e = _t(spark, sf_dir, "events")
+    return permutation_entropy(e, "event_type", "ts", bucket="hour")
+
+
+SQL_PERM_ENTROPY = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN cnt
+    ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+trip AS (
+  SELECT event_type, c AS a,
+         lead(c, 1) OVER win AS x,
+         lead(c, 2) OVER win AS y
+  FROM dense
+  WINDOW win AS (PARTITION BY event_type ORDER BY b)
+),
+pats AS (
+  SELECT event_type,
+         (a <= x)::INT::VARCHAR || (a <= y)::INT::VARCHAR
+           || (x <= y)::INT::VARCHAR AS p
+  FROM trip WHERE y IS NOT NULL
+),
+per_pat AS (
+  SELECT event_type, p, count(*)::DOUBLE AS n FROM pats GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(n) AS t FROM per_pat GROUP BY 1)
+SELECT per_pat.event_type,
+       max(t)::BIGINT AS n_triples,
+       round(sum(-(n / t) * ln(n / t)) + 1e-9, 6) + 0.0 AS perm_entropy,
+       round(sum(-(n / t) * ln(n / t)) / ln(6.0) + 1e-9, 6) + 0.0
+         AS normalized
+FROM per_pat JOIN tot USING (event_type)
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -6482,6 +6574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diurnal_events": q_diurnal_events,
         "chao_vocab_docs": q_chao_vocab_docs,
         "cvm_drift_events": q_cvm_drift_events,
+        "readability_docs": q_readability_docs,
+        "perm_entropy_events": q_perm_entropy_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -6645,6 +6739,8 @@ def oracle_sql() -> dict[str, str]:
         "diurnal_events": SQL_DIURNAL,
         "chao_vocab_docs": SQL_CHAO_VOCAB,
         "cvm_drift_events": SQL_CVM_DRIFT,
+        "readability_docs": SQL_READABILITY,
+        "perm_entropy_events": SQL_PERM_ENTROPY,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

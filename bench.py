@@ -228,6 +228,8 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "diurnal_events",
         "chao_vocab_docs",
         "cvm_drift_events",
+        "readability_docs",
+        "perm_entropy_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -118,6 +118,66 @@ def quality_score(
     )
 
 
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Flesch reading-ease score from three codegen'd
+    regexp counts — the READABILITY member of the quality family:
+    ``quality_score`` flags structural noise (symbol soup, repetition),
+    Flesch flags linguistic complexity drift (a source whose mean ease
+    collapses switched from prose to legalese/codedumps; one whose
+    ease pins near 100 degenerated into word salad of short tokens).
+
+    ``flesch = 206.835 - 1.015 * words/sentences
+       - 84.6 * syllables/words`` (Flesch 1948) with the standard
+    machine approximations: sentences = runs of ``[.!?]`` (min 1),
+    syllables = vowel-group runs ``[aeiouy]+`` per lowercased word
+    (min 1 per word — every word has a syllable). The score is NOT
+    clamped to 0..100 (degenerate text legitimately exceeds the range;
+    clamping would hide exactly the drift this measures).
+
+    Plan: three ``regexp_count`` expressions inside the scan's codegen
+    stage — the text column never leaves the scan, no explode, no
+    shuffle at all (one row out per row in). Token-less documents
+    report NULL score. Returns
+    (id_col, n_words, n_sentences, n_syllables, flesch), 6 dp.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.regexp_count(t, F.lit(r"[a-z0-9]+"))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    vgroups = F.regexp_count(t, F.lit(r"[aeiouy]+"))
+    # every word has >= 1 syllable: consonant-only words (e.g. "mr",
+    # "7") have zero vowel groups, so lift the total by their count
+    novowel = F.regexp_count(t, F.lit(r"\b[b-df-hj-np-tv-xz0-9]+\b"))
+    sylls = vgroups + novowel
+    out = df.select(
+        id_col,
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("n_syllables") / F.col("n_words"))
+                + F.lit(1e-9),
+                6,
+            ),
+        ).alias("flesch"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp): deterministic document fingerprint = md5 of the
     normalized text (rolling-hash analog, portable to the oracle)."""
