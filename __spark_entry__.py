@@ -6418,6 +6418,31 @@ GROUP BY 1
 """
 
 
+def q_json_keys_events(spark, sf_dir):
+    """Top-level key-presence profile of the events props JSON blob
+    (operators/profiling.py json_key_profile): the semi-structured
+    member of the schema-drift family — keys appearing/decaying inside
+    a properties blob are implicit schema migrations. One persisted
+    narrow scan; explode_outer (plan-hygiene) + key-sized shuffle."""
+    from htm_streamer_spark.operators.profiling import json_key_profile
+
+    e = _t(spark, sf_dir, "events")
+    return json_key_profile(e, "props")
+
+
+SQL_JSON_KEYS = """
+WITH tot AS (SELECT count(*)::DOUBLE AS n FROM events),
+k AS (
+  SELECT unnest(json_keys(props)) AS key FROM events
+  WHERE props IS NOT NULL
+)
+SELECT key, count(*)::BIGINT AS n_present,
+       round(count(*) / tot.n + 1e-9, 6) + 0.0 AS presence_rate
+FROM k CROSS JOIN tot
+GROUP BY key, tot.n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -6576,6 +6601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_drift_events": q_cvm_drift_events,
         "readability_docs": q_readability_docs,
         "perm_entropy_events": q_perm_entropy_events,
+        "json_keys_events": q_json_keys_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -6741,6 +6767,7 @@ def oracle_sql() -> dict[str, str]:
         "cvm_drift_events": SQL_CVM_DRIFT,
         "readability_docs": SQL_READABILITY,
         "perm_entropy_events": SQL_PERM_ENTROPY,
+        "json_keys_events": SQL_JSON_KEYS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

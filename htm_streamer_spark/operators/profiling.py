@@ -161,6 +161,57 @@ def _rank_segments(
     ).limit(top_k)
 
 
+def json_key_profile(
+    df: DataFrame,
+    json_col: str,
+) -> DataFrame:
+    """Top-level key-presence profile of a JSON string column — the
+    SEMI-STRUCTURED member of the schema-drift family:
+    ``schema_drift`` watches declared columns, this watches the keys
+    hiding inside a properties blob (the place upstream teams add,
+    rename, and drop fields without telling anyone). A key whose
+    presence_rate decays is being abandoned; a new key appearing is an
+    implicit schema migration; rate != 1.0 on a "required" key is a
+    violation feed.
+
+    Per distinct top-level key: how many rows carry it and the rate
+    over ALL rows (malformed/NULL JSON rows count in the denominator —
+    a blob you cannot parse is exactly a presence failure). Returns
+    (key, n_present, presence_rate) sorted by the caller; 6 dp.
+
+    Plan: one scan — ``json_object_keys`` + ``explode_outer`` (the
+    plan-hygiene rule: a plain explode would let
+    InferFiltersFromGenerate re-parse the JSON inside a pushed-down
+    filter), one ``groupBy(key)`` shuffle over key-sized rows, the
+    one-row total broadcast back.
+    """
+    # persist the narrow column: the total and the key explode both
+    # derive from it — one scan
+    narrow = df.select(json_col).persist()
+    total = narrow.agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    ).withColumn("_j", F.lit(1))
+    keys = (
+        narrow.select(
+            F.explode_outer(F.json_object_keys(F.col(json_col))).alias(
+                "key"
+            )
+        )
+        .where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_present"))
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(total), "_j")
+    )
+    return keys.select(
+        "key",
+        "n_present",
+        F.round(
+            F.col("n_present") / F.col("_n") + F.lit(1e-9), 6
+        ).alias("presence_rate"),
+    )
+
+
 def time_gaps(
     df: DataFrame,
     ts_col: str,

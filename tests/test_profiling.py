@@ -148,3 +148,35 @@ def test_time_gaps_single_bucket_group_has_no_gaps(spark):
         [("a", datetime.datetime(2024, 1, 1, 5, 30))], "g string, ts timestamp"
     )
     assert time_gaps(df, "ts", "g").count() == 0
+
+
+def test_json_key_profile(spark):
+    import pandas as pd
+
+    from htm_streamer_spark.operators.profiling import json_key_profile
+
+    pdf = pd.DataFrame(
+        {
+            "props": [
+                '{"a": 1, "b": 2}',
+                '{"a": 3}',
+                '{"b": null, "c": {"d": 1}}',
+                None,
+                "not json at all",
+            ]
+        }
+    )
+    out = {
+        r["key"]: r
+        for r in json_key_profile(spark.createDataFrame(pdf), "props").collect()
+    }
+    # nested keys are NOT top-level; null-valued key still present;
+    # NULL and malformed rows count in the denominator only
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["n_present"] == 2 and out["a"]["presence_rate"] == 0.4
+    assert out["b"]["n_present"] == 2
+    assert out["c"]["n_present"] == 1 and out["c"]["presence_rate"] == 0.2
+    empty = json_key_profile(
+        spark.createDataFrame(pdf).where("props = 'zzz'"), "props"
+    )
+    assert empty.count() == 0
