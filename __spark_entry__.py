@@ -6443,6 +6443,52 @@ GROUP BY key, tot.n
 """
 
 
+def q_page_hinkley_events(spark, sf_dir):
+    """Per-event_type Page–Hinkley change statistic over value in
+    (ts, event_id) order (operators/stattests.py page_hinkley): the
+    ONLINE change detector — tracks the running mean instead of
+    CUSUM's frozen baseline epoch, so it works before any baseline is
+    trusted. Three stacked windows over one per-group sort."""
+    from htm_streamer_spark.operators.stattests import page_hinkley
+
+    e = _t(spark, sf_dir, "events")
+    return page_hinkley(
+        e, "event_type", "value", ["ts", "event_id"], delta=0.0, lam=2000.0
+    )
+
+
+SQL_PAGE_HINKLEY = """
+WITH dev AS (
+  SELECT event_type, ts, event_id,
+         "value" - avg("value") OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 0.0 AS d
+  FROM events
+),
+m AS (
+  SELECT event_type, ts, event_id,
+         sum(d) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS m
+  FROM dev
+),
+ph AS (
+  SELECT event_type,
+         m - min(m) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS p
+  FROM m
+)
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       round(max(p) + 1e-9, 6) + 0.0 AS ph,
+       max(p) > 2000.0 AS alarm
+FROM ph GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -6602,6 +6648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": q_readability_docs,
         "perm_entropy_events": q_perm_entropy_events,
         "json_keys_events": q_json_keys_events,
+        "page_hinkley_events": q_page_hinkley_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -6768,6 +6815,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": SQL_READABILITY,
         "perm_entropy_events": SQL_PERM_ENTROPY,
         "json_keys_events": SQL_JSON_KEYS,
+        "page_hinkley_events": SQL_PAGE_HINKLEY,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -230,6 +230,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "cvm_drift_events",
         "readability_docs",
         "perm_entropy_events",
+        "page_hinkley_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -716,6 +716,68 @@ def mann_kendall(
     return out
 
 
+def page_hinkley(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Per-group Page–Hinkley change-point statistic (the ONLINE
+    member of the change family): CUSUM compares against a FROZEN
+    baseline epoch (needs one), PH tracks the RUNNING mean — the form
+    a streaming monitor runs when no trusted baseline exists yet.
+
+    ``m_t = sum_{i<=t} (x_i - xbar_i - delta)`` with ``xbar_i`` the
+    running mean of the first i values; ``PH = max_t (m_t - min_{s<=t}
+    m_s)``; alarm when ``PH > lam``. ``delta`` is the magnitude the
+    detector tolerates; ``lam`` the alarm threshold, in value units.
+    ``order_cols`` must be a deterministic total order.
+
+    Plan: one persisted narrow projection; three stacked window passes
+    over the SAME per-group ordering (running mean → cumulative m →
+    running min — Spark reuses one sort for all three), one aggregate.
+    The per-group sequential scan is the same accepted single-task
+    bound as every running-statistic operator here. Returns
+    (group, n_rows, ph, alarm), 6 dp.
+    """
+    g = group_col
+    w_cum = (
+        Window.partitionBy(g)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    narrow = df.select(g, value_col, *order_cols)
+    dev = narrow.select(
+        g,
+        *order_cols,
+        (
+            F.col(value_col)
+            - F.avg(value_col).over(w_cum)
+            - F.lit(delta)
+        ).alias("_dev"),
+    )
+    m = dev.select(
+        g, *order_cols, F.sum("_dev").over(w_cum).alias("_m")
+    )
+    ph_t = m.select(
+        g,
+        (F.col("_m") - F.min("_m").over(w_cum)).alias("_ph"),
+    )
+    agg = ph_t.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("_ph").alias("_maxph"),
+    )
+    return agg.select(
+        g,
+        "n_rows",
+        F.round(F.col("_maxph") + F.lit(1e-9), 6).alias("ph"),
+        (F.col("_maxph") > lam).alias("alarm"),
+    )
+
+
 def permutation_entropy(
     df: DataFrame,
     group_col: str,

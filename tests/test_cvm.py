@@ -85,3 +85,44 @@ def test_ks_missing_sample_is_null_not_divide_by_zero(spark):
     df = _df(spark, {"only0": ([1.0, 2.0, 3.0], [])})
     out = ks_two_sample(df, "g", "v", "half").collect()[0]
     assert out["ks_stat"] is None and out["n1"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley
+# ---------------------------------------------------------------------------
+
+
+def _ph_ref(vals, delta=0.0):
+    s = m = 0.0
+    mn = float("inf")
+    ph = 0.0
+    for i, x in enumerate(vals, 1):
+        s += x
+        m += x - s / i - delta
+        mn = min(mn, m)
+        ph = max(ph, m - mn)
+    return ph
+
+
+def test_page_hinkley_matches_reference_and_detects_shift(spark):
+    from htm_streamer_spark.operators.stattests import page_hinkley
+
+    rng = np.random.default_rng(47)
+    stable = rng.normal(10, 1, 400)
+    shifted = np.concatenate([rng.normal(10, 1, 200), rng.normal(14, 1, 200)])
+    rows = [("stable", i, float(v)) for i, v in enumerate(stable)]
+    rows += [("shifted", i, float(v)) for i, v in enumerate(shifted)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "seq", "v"]))
+    out = {
+        r["g"]: r
+        for r in page_hinkley(df, "g", "v", ["seq"], lam=50.0).collect()
+    }
+    assert out["stable"]["ph"] == pytest.approx(_ph_ref(stable), abs=2e-6)
+    assert out["shifted"]["ph"] == pytest.approx(_ph_ref(shifted), abs=2e-6)
+    assert out["shifted"]["alarm"] is True and out["stable"]["alarm"] is False
+    assert out["shifted"]["ph"] > 10 * out["stable"]["ph"]
+    # delta tolerance shrinks the statistic
+    tol = page_hinkley(df, "g", "v", ["seq"], delta=5.0, lam=50.0).collect()
+    assert all(r["ph"] <= out[r["g"]]["ph"] for r in tol)
+    empty = page_hinkley(df.where("v < -100"), "g", "v", ["seq"])
+    assert empty.count() == 0
