@@ -5323,6 +5323,115 @@ FROM (
 """
 
 
+def q_pacf_events(spark, sf_dir):
+    """Per-event_type PARTIAL autocorrelation (lags 1..5) of the dense
+    hourly count series via Durbin-Levinson (operators/stattests.py
+    pacf_durbin_levinson): identifies the AR order of the arrival
+    process where the raw ACF only decays. One fact shuffle (shared
+    with acf_events); the recursion is stepwise JVM projections on the
+    |groups|-row wide frame, no UDF."""
+    from htm_streamer_spark.operators.stattests import pacf_durbin_levinson
+
+    e = _t(spark, sf_dir, "events")
+    return pacf_durbin_levinson(
+        e, "event_type", "ts", bucket="hour", max_lag=5
+    )
+
+
+# Durbin-Levinson as chained CTEs over the SAME rounded ACF values the
+# Spark side consumes (both engines round r_k to 6 dp first, then run
+# an identical left-associated recursion, so the doubles agree bit-for
+# -bit before the final 6-dp round).
+SQL_PACF = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+m AS (SELECT event_type, avg(c) AS mu FROM dense GROUP BY 1),
+dev AS (
+  SELECT dense.event_type, b, c - mu AS d
+  FROM dense JOIN m ON m.event_type = dense.event_type
+),
+l AS (
+  SELECT event_type, d,
+         lag(d, 1) OVER w AS d1, lag(d, 2) OVER w AS d2,
+         lag(d, 3) OVER w AS d3, lag(d, 4) OVER w AS d4,
+         lag(d, 5) OVER w AS d5
+  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+a AS (
+  SELECT event_type, sum(d * d) AS dn,
+         sum(d * d1) AS s1, sum(d * d2) AS s2, sum(d * d3) AS s3,
+         sum(d * d4) AS s4, sum(d * d5) AS s5
+  FROM l GROUP BY 1
+),
+r AS (
+  SELECT event_type,
+         CASE WHEN dn > 0 THEN round(s1 / dn + 1e-9, 6) + 0.0 END AS r1,
+         CASE WHEN dn > 0 THEN round(s2 / dn + 1e-9, 6) + 0.0 END AS r2,
+         CASE WHEN dn > 0 THEN round(s3 / dn + 1e-9, 6) + 0.0 END AS r3,
+         CASE WHEN dn > 0 THEN round(s4 / dn + 1e-9, 6) + 0.0 END AS r4,
+         CASE WHEN dn > 0 THEN round(s5 / dn + 1e-9, 6) + 0.0 END AS r5
+  FROM a
+),
+k1 AS (SELECT *, r1 AS p1_1, 1.0 - r1 * r1 AS v1 FROM r),
+k2a AS (
+  SELECT *, CASE WHEN abs(v1) > 1e-12 THEN (r2 - p1_1 * r1) / v1 END AS p2_2
+  FROM k1
+),
+k2 AS (
+  SELECT *, p1_1 - p2_2 * p1_1 AS p2_1,
+         v1 * (1.0 - p2_2 * p2_2) AS v2
+  FROM k2a
+),
+k3a AS (
+  SELECT *, CASE WHEN abs(v2) > 1e-12
+                 THEN (r3 - p2_1 * r2 - p2_2 * r1) / v2 END AS p3_3
+  FROM k2
+),
+k3 AS (
+  SELECT *, p2_1 - p3_3 * p2_2 AS p3_1, p2_2 - p3_3 * p2_1 AS p3_2,
+         v2 * (1.0 - p3_3 * p3_3) AS v3
+  FROM k3a
+),
+k4a AS (
+  SELECT *, CASE WHEN abs(v3) > 1e-12
+                 THEN (r4 - p3_1 * r3 - p3_2 * r2 - p3_3 * r1) / v3
+            END AS p4_4
+  FROM k3
+),
+k4 AS (
+  SELECT *, p3_1 - p4_4 * p3_3 AS p4_1, p3_2 - p4_4 * p3_2 AS p4_2,
+         p3_3 - p4_4 * p3_1 AS p4_3,
+         v3 * (1.0 - p4_4 * p4_4) AS v4
+  FROM k4a
+),
+k5a AS (
+  SELECT *, CASE WHEN abs(v4) > 1e-12
+                 THEN (r5 - p4_1 * r4 - p4_2 * r3 - p4_3 * r2 - p4_4 * r1) / v4
+            END AS p5_5
+  FROM k4
+)
+SELECT event_type, lag::BIGINT AS lag, round(p + 1e-9, 6) + 0.0 AS pacf
+FROM (
+  SELECT event_type, 1 AS lag, p1_1 AS p FROM k5a UNION ALL
+  SELECT event_type, 2, p2_2 FROM k5a UNION ALL
+  SELECT event_type, 3, p3_3 FROM k5a UNION ALL
+  SELECT event_type, 4, p4_4 FROM k5a UNION ALL
+  SELECT event_type, 5, p5_5 FROM k5a
+)
+"""
+
+
 def q_heaps_docs(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit (operators/lm.py heaps_fit):
     the dynamic twin of zipf_docs — V = K*N^beta over the corpus'
@@ -6578,6 +6687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_docs": q_zipf_docs,
         "gini_events": q_gini_events,
         "acf_events": q_acf_events,
+        "pacf_events": q_pacf_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -6744,6 +6854,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_docs": SQL_ZIPF,
         "gini_events": SQL_GINI,
         "acf_events": SQL_ACF,
+        "pacf_events": SQL_PACF,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

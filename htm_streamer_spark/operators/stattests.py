@@ -49,6 +49,7 @@ __all__ = [
     "cusum_changepoint",
     "gini_concentration",
     "acf_bucket_counts",
+    "pacf_durbin_levinson",
     "mann_kendall",
     "histogram_spikes",
     "quantile_qq_drift",
@@ -623,6 +624,91 @@ def acf_bucket_counts(
             F.col("_dn") > 0,
             F.round(F.col("_n") / F.col("_dn") + F.lit(1e-9), 6),
         ).alias("acf"),
+    )
+
+
+def pacf_durbin_levinson(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Per-group PARTIAL autocorrelation of the bucketed event-count
+    series at lags 1..max_lag via the Durbin–Levinson recursion — the
+    diagnostic twin of ``acf_bucket_counts``: the ACF of an AR(p)
+    arrival process decays geometrically and never identifies p, while
+    the PACF cuts off sharply after lag p, so a volume monitor that
+    alarms on "the hourly process gained a new significant lag" needs
+    the partial, not the raw, correlations.
+
+    Recursion (Durbin 1960): ``phi[1][1] = r1``; for k = 2..K,
+    ``phi[k][k] = (r_k - sum_j phi[k-1][j] * r_{k-j}) / v_{k-1}`` with
+    ``phi[k][j] = phi[k-1][j] - phi[k][k] * phi[k-1][k-j]`` and
+    ``v_k = v_{k-1} * (1 - phi[k][k]^2)``; ``pacf(k) = phi[k][k]``.
+
+    Plan: the one fact-table shuffle is inherited from
+    ``acf_bucket_counts``; the recursion runs on the |groups|-row wide
+    frame as K stepwise projections (each ``phi[k][k]`` materialized in
+    its own ``select`` before being referenced k times — the
+    expression-duplication guard), pure JVM arithmetic, no UDF.
+    Degenerate prediction-error variance (|v| <= 1e-12, a perfectly
+    predictable series) yields NULL at that and later lags, as does a
+    constant series (NULL acf). Returns (group, lag, pacf), 6 dp.
+    """
+    g = group_col
+    acf = acf_bucket_counts(
+        df, group_col, ts_col, bucket=bucket, max_lag=max_lag
+    )
+    # conditional re-aggregation to one wide row per group: the input
+    # is the already-reduced (group, lag, acf) frame, so this exchange
+    # moves |groups| * max_lag rows no matter the fact-table size
+    wide = acf.groupBy(g).agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"_r{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    cur = wide.select(
+        "*",
+        F.col("_r1").alias("_p1_1"),
+        (F.lit(1.0) - F.col("_r1") * F.col("_r1")).alias("_v1"),
+    )
+    for k in range(2, max_lag + 1):
+        num = F.col(f"_r{k}")
+        for j in range(1, k):
+            num = num - F.col(f"_p{k - 1}_{j}") * F.col(f"_r{k - j}")
+        # own projection: phi_kk is referenced k times by the next step
+        cur = cur.select(
+            "*",
+            F.when(
+                F.abs(F.col(f"_v{k - 1}")) > 1e-12,
+                num / F.col(f"_v{k - 1}"),
+            ).alias(f"_p{k}_{k}"),
+        )
+        cur = cur.select(
+            "*",
+            *[
+                (
+                    F.col(f"_p{k - 1}_{j}")
+                    - F.col(f"_p{k}_{k}") * F.col(f"_p{k - 1}_{k - j}")
+                ).alias(f"_p{k}_{j}")
+                for j in range(1, k)
+            ],
+            (
+                F.col(f"_v{k - 1}")
+                * (F.lit(1.0) - F.col(f"_p{k}_{k}") * F.col(f"_p{k}_{k}"))
+            ).alias(f"_v{k}"),
+        )
+    pairs = ", ".join(f"{k}, _p{k}_{k}" for k in range(1, max_lag + 1))
+    stacked = cur.select(
+        g, F.expr(f"stack({max_lag}, {pairs}) as (lag, _pk)")
+    )
+    return stacked.select(
+        g,
+        F.col("lag").cast("long").alias("lag"),
+        F.round(F.col("_pk") + F.lit(1e-9), 6).alias("pacf"),
     )
 
 
