@@ -5432,6 +5432,87 @@ FROM (
 """
 
 
+# shared CTE prefix for the two seasonal queries: dense hourly counts
+# annotated with (dow, hod); dow is days-since-Monday-anchor mod 7
+# because DuckDB's dayofweek is Sunday=0 while Spark's is Sunday=1.
+_SQL_SEASONAL_CELLS = """
+WITH cnt AS (
+  SELECT date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+span AS (SELECT min(b) AS lo, max(b) AS hi FROM cnt),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, interval '1 hour')) AS b FROM span
+),
+dense AS (
+  SELECT grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.b = grid.b
+),
+cells AS (
+  SELECT b,
+         (((date_trunc('day', b)::DATE - DATE '2024-01-01') % 7 + 7) % 7)::BIGINT AS dow,
+         extract(hour FROM b)::BIGINT AS hod,
+         c
+  FROM dense
+)
+"""
+
+
+def q_seasonal_profile_events(spark, sf_dir):
+    """Day-of-week x hour-of-day expected-volume profile of the dense
+    hourly arrival series (operators/stattests.py seasonal_profile):
+    the 168-cell weekly baseline seasonal anomaly detection conditions
+    on. One fact shuffle; the profile aggregate runs on the dense
+    bucket frame (gap-as-zero)."""
+    from htm_streamer_spark.operators.stattests import seasonal_profile
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_profile(e, "ts")
+
+
+SQL_SEASONAL_PROFILE = (
+    _SQL_SEASONAL_CELLS
+    + """
+SELECT dow, hod, count(*)::BIGINT AS n_buckets,
+       round(avg(c) + 1e-9, 6) + 0.0 AS mu,
+       round(sqrt(var_pop(c)) + 1e-9, 6) + 0.0 AS sd
+FROM cells GROUP BY 1, 2
+"""
+)
+
+
+def q_seasonal_anomaly_events(spark, sf_dir):
+    """Hourly buckets anomalous GIVEN their seasonal (dow x hod) cell
+    (operators/stattests.py seasonal_anomalies): |z| >= 1.5 against the
+    cell's own mean/sd — the seasonally-adjusted volume alarm that does
+    not fire on every weekend trough. Profile broadcasts back onto the
+    dense bucket frame; membership decided on the rounded z both
+    engines compute identically."""
+    from htm_streamer_spark.operators.stattests import seasonal_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_anomalies(e, "ts", threshold=1.5)
+
+
+SQL_SEASONAL_ANOMALY = (
+    _SQL_SEASONAL_CELLS
+    + """,
+prof AS (
+  SELECT dow, hod, avg(c) AS mu, sqrt(var_pop(c)) AS sd
+  FROM cells GROUP BY 1, 2
+),
+scored AS (
+  SELECT cells.b, cells.dow, cells.hod, cells.c::BIGINT AS c,
+         CASE WHEN sd > 0
+              THEN round((cells.c - mu) / sd + 1e-9, 6) + 0.0 END AS z
+  FROM cells JOIN prof USING (dow, hod)
+)
+SELECT b, dow, hod, c, z FROM scored
+WHERE z IS NOT NULL AND abs(z) >= 1.5
+"""
+)
+
+
 def q_heaps_docs(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit (operators/lm.py heaps_fit):
     the dynamic twin of zipf_docs — V = K*N^beta over the corpus'
@@ -6688,6 +6769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_events": q_gini_events,
         "acf_events": q_acf_events,
         "pacf_events": q_pacf_events,
+        "seasonal_profile_events": q_seasonal_profile_events,
+        "seasonal_anomaly_events": q_seasonal_anomaly_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -6855,6 +6938,8 @@ def oracle_sql() -> dict[str, str]:
         "gini_events": SQL_GINI,
         "acf_events": SQL_ACF,
         "pacf_events": SQL_PACF,
+        "seasonal_profile_events": SQL_SEASONAL_PROFILE,
+        "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

@@ -50,6 +50,9 @@ __all__ = [
     "gini_concentration",
     "acf_bucket_counts",
     "pacf_durbin_levinson",
+    "seasonal_cells",
+    "seasonal_profile",
+    "seasonal_anomalies",
     "mann_kendall",
     "histogram_spikes",
     "quantile_qq_drift",
@@ -1107,6 +1110,118 @@ def diurnal_harmonic(
                 (amp * amp / 2.0) / F.col("_var") + F.lit(1e-9), 6
             ),
         ).alias("r2"),
+    )
+
+
+def seasonal_cells(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    anchor: str = "2024-01-01",
+) -> DataFrame:
+    """Dense hourly count series annotated with its seasonal cell:
+    (bucket, dow, hod, count) where ``dow`` is days-since-``anchor``
+    mod 7 (anchor a Monday → 0 = Monday; anchor arithmetic instead of
+    an engine ``dayofweek`` because Sunday-origin conventions differ
+    across engines) and ``hod`` the hour of day. Missing hours count 0
+    — gap-as-zero, the arrival-process family stance. One fact-table
+    shuffle (the hourly count); the grid is synthesized from (min,
+    max) via ``sequence``, never the fact table."""
+    b = F.date_trunc("hour", F.col(ts_col))
+    counts = df.groupBy(b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # counts feeds the span AND the dense join: persist the
+    # metadata-sized frame so the fact table is scanned once
+    counts = counts.persist()
+    span = counts.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    grid = span.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+        ).alias("_b")
+    )
+    dense = grid.join(counts, "_b", "left").fillna({"_c": 0})
+    return dense.select(
+        F.col("_b").alias("b"),
+        F.pmod(
+            F.datediff(F.to_date("_b"), F.lit(anchor).cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+        F.hour("_b").cast("long").alias("hod"),
+        F.col("_c").cast("double").alias("c"),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    anchor: str = "2024-01-01",
+) -> DataFrame:
+    """Day-of-week × hour-of-day expected-volume profile — the
+    SEASONAL-BASELINE member of the arrival-process family:
+    ``diurnal_harmonic`` fits one 24 h wave, this tabulates the full
+    168-cell weekly profile (mean and population sd of the hourly
+    count per cell) that seasonal anomaly detection conditions on.
+    A global volume gate alarms every Sunday night; a per-cell gate
+    knows Sunday 03:00 is always quiet.
+
+    Plan: one fact shuffle (inherited from ``seasonal_cells``), one
+    aggregate over the |buckets|-row dense frame to ≤168 rows.
+    Returns (dow, hod, n_buckets, mu, sd), 6 dp."""
+    cells = seasonal_cells(df, ts_col, anchor=anchor)
+    prof = cells.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.avg("c").alias("_mu"),
+        F.sqrt(F.var_pop("c")).alias("_sd"),
+    )
+    return prof.select(
+        "dow",
+        "hod",
+        "n_buckets",
+        F.round(F.col("_mu") + F.lit(1e-9), 6).alias("mu"),
+        F.round(F.col("_sd") + F.lit(1e-9), 6).alias("sd"),
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    threshold: float = 1.5,
+    anchor: str = "2024-01-01",
+) -> DataFrame:
+    """Hourly buckets whose count is anomalous GIVEN the seasonal
+    (dow × hod) cell it belongs to: z = (c − mu_cell) / sd_cell,
+    flagged when |z| ≥ threshold — the seasonally-ADJUSTED volume
+    alarm (the raw z-score fires on every weekend trough; this one
+    only on departures from the cell's own history). Constant cells
+    (sd = 0) yield NULL z and are never flagged. The filter compares
+    the 6-dp-ROUNDED z so an engine-epsilon straddle of the threshold
+    cannot flip membership across engines.
+
+    Plan: the one fact shuffle from ``seasonal_cells``; the ≤168-row
+    profile broadcasts back onto the dense bucket frame. Returns
+    (b, dow, hod, c, z), 6 dp."""
+    cells = seasonal_cells(df, ts_col, anchor=anchor)
+    prof = cells.groupBy("dow", "hod").agg(
+        F.avg("c").alias("_mu"), F.sqrt(F.var_pop("c")).alias("_sd")
+    )
+    joined = cells.join(F.broadcast(prof), ["dow", "hod"])
+    z = F.when(
+        F.col("_sd") > 0,
+        F.round(
+            (F.col("c") - F.col("_mu")) / F.col("_sd") + F.lit(1e-9), 6
+        ),
+    )
+    scored = joined.select(
+        "b", "dow", "hod", F.col("c").cast("long").alias("c"),
+        z.alias("z"),
+    )
+    return scored.where(
+        F.col("z").isNotNull() & (F.abs(F.col("z")) >= F.lit(threshold))
     )
 
 
