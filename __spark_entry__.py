@@ -5513,6 +5513,54 @@ WHERE z IS NOT NULL AND abs(z) >= 1.5
 )
 
 
+def q_energy_drift_events(spark, sf_dir):
+    """Per-event_type two-sample ENERGY distance on value between the
+    deterministic even/odd event_id halves (operators/stattests.py
+    energy_distance): the omnibus drift test — zero iff the halves are
+    equidistributed, sensitive to location AND scale AND shape where
+    KS sees only the max ECDF gap. O(N log N) via rank-coefficient
+    sums on one union-sorted pass; tie-invariant by construction."""
+    from htm_streamer_spark.operators.stattests import energy_distance
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 2).alias("half")
+    )
+    return energy_distance(e, "event_type", "value", "half", a_value=0)
+
+
+SQL_ENERGY_DRIFT = """
+WITH s AS (
+  SELECT event_type AS g, value AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT g, v, ia,
+         sum(1) OVER w AS rall,
+         sum(ia) OVER w AS ra,
+         sum(1 - ia) OVER w AS rb,
+         count(*) OVER (PARTITION BY g) AS nn,
+         sum(ia) OVER (PARTITION BY g) AS na,
+         sum(1 - ia) OVER (PARTITION BY g) AS nb
+  FROM s WINDOW w AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+a AS (
+  SELECT g, max(na) AS na, max(nb) AS nb,
+         sum((2.0 * rall - nn - 1) * v) AS t,
+         sum(CASE WHEN ia = 1 THEN (2.0 * ra - na - 1) * v END) AS ba,
+         sum(CASE WHEN ia = 0 THEN (2.0 * rb - nb - 1) * v END) AS bb
+  FROM r GROUP BY g
+)
+SELECT g AS event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         round(2.0 * (t - ba - bb) / (1.0 * na * nb)
+               - 2.0 * ba / (1.0 * na * na)
+               - 2.0 * bb / (1.0 * nb * nb) + 1e-9, 6) + 0.0
+       END AS energy
+FROM a
+"""
+
+
 def q_heaps_docs(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit (operators/lm.py heaps_fit):
     the dynamic twin of zipf_docs — V = K*N^beta over the corpus'
@@ -6771,6 +6819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_events": q_pacf_events,
         "seasonal_profile_events": q_seasonal_profile_events,
         "seasonal_anomaly_events": q_seasonal_anomaly_events,
+        "energy_drift_events": q_energy_drift_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -6940,6 +6989,7 @@ def oracle_sql() -> dict[str, str]:
         "pacf_events": SQL_PACF,
         "seasonal_profile_events": SQL_SEASONAL_PROFILE,
         "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY,
+        "energy_drift_events": SQL_ENERGY_DRIFT,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

@@ -50,6 +50,7 @@ __all__ = [
     "gini_concentration",
     "acf_bucket_counts",
     "pacf_durbin_levinson",
+    "energy_distance",
     "seasonal_cells",
     "seasonal_profile",
     "seasonal_anomalies",
@@ -1110,6 +1111,98 @@ def diurnal_harmonic(
                 (amp * amp / 2.0) / F.col("_var") + F.lit(1e-9), 6
             ),
         ).alias("r2"),
+    )
+
+
+def energy_distance(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sample_col: str,
+    *,
+    a_value=0,
+) -> DataFrame:
+    """Per-group two-sample ENERGY distance
+    ``E = 2·mean|x−y| − mean|x−x'| − mean|y−y'|`` (Székely–Rizzo) —
+    the omnibus member of the two-sample family: KS sees only the max
+    ECDF gap (weak against tail/variance changes), CvM integrates the
+    gap, energy distance is zero IFF the distributions are equal and
+    responds to ANY difference, location, scale, or shape.
+
+    The naive statistic is O(n²) pairwise distances. In 1-D every term
+    collapses to rank-coefficient sums over ONE sorted pass:
+    ``Σ_{i<j} |z_(j) − z_(i)| = Σ_i (2i − N − 1)·z_(i)`` — computed
+    for the pooled sample (T) and each sample alone (B_a, B_b); the
+    cross-pair sum is then ``T − B_a − B_b``. Tie-safe: permuting
+    equal values redistributes coefficients within a constant-value
+    block, leaving each sum unchanged — so no cross-engine tie-break
+    is needed.
+
+    Rows with ``sample_col = a_value`` form sample A, all others B;
+    NULL values are dropped. Groups missing a sample report NULL.
+
+    Plan: one narrow shuffle+sort per group; the pooled and
+    per-sample cumulative ranks all come from the SAME window
+    ordering (conditional running sums), the group totals reuse the
+    partitioning, and the final aggregate is partial-aggregated map-
+    side. Returns (group, n_a, n_b, energy), 6 dp.
+    """
+    g = group_col
+    narrow = df.where(F.col(value_col).isNotNull()).select(
+        g,
+        F.col(value_col).cast("double").alias("_v"),
+        (F.col(sample_col) == F.lit(a_value)).cast("int").alias("_ia"),
+    )
+    w = (
+        Window.partitionBy(g)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(g)
+    ranked = narrow.select(
+        g,
+        "_v",
+        "_ia",
+        F.sum(F.lit(1)).over(w).alias("_rall"),
+        F.sum("_ia").over(w).alias("_ra"),
+        F.sum(F.lit(1) - F.col("_ia")).over(w).alias("_rb"),
+        F.count(F.lit(1)).over(w_tot).alias("_nn"),
+        F.sum("_ia").over(w_tot).alias("_na"),
+        F.sum(F.lit(1) - F.col("_ia")).over(w_tot).alias("_nb"),
+    )
+    a = ranked.groupBy(g).agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.sum(
+            (2.0 * F.col("_rall") - F.col("_nn") - 1) * F.col("_v")
+        ).alias("_t"),
+        F.sum(
+            F.when(
+                F.col("_ia") == 1,
+                (2.0 * F.col("_ra") - F.col("_na") - 1) * F.col("_v"),
+            )
+        ).alias("_ba"),
+        F.sum(
+            F.when(
+                F.col("_ia") == 0,
+                (2.0 * F.col("_rb") - F.col("_nb") - 1) * F.col("_v"),
+            )
+        ).alias("_bb"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    cross = F.col("_t") - F.col("_ba") - F.col("_bb")
+    e = (
+        2.0 * cross / (1.0 * na * nb)
+        - 2.0 * F.col("_ba") / (1.0 * na * na)
+        - 2.0 * F.col("_bb") / (1.0 * nb * nb)
+    )
+    return a.select(
+        g,
+        "n_a",
+        "n_b",
+        F.when(
+            (na > 0) & (nb > 0), F.round(e + F.lit(1e-9), 6)
+        ).alias("energy"),
     )
 
 
