@@ -5561,6 +5561,92 @@ FROM a
 """
 
 
+def q_hurst_events(spark, sf_dir):
+    """Per-event_type Hurst exponent of the dense hourly count series
+    via rescaled-range analysis at scales 8/16/32/64
+    (operators/stattests.py hurst_rescaled_range): long-memory
+    detection — H≈0.5 iid arrivals, H→1 bursts clustering at every
+    timescale. One fact shuffle; per-scale passes on the persisted
+    bucket frame."""
+    from htm_streamer_spark.operators.stattests import hurst_rescaled_range
+
+    e = _t(spark, sf_dir, "events")
+    return hurst_rescaled_range(e, "event_type", "ts", bucket="hour")
+
+
+def _hurst_scale_sql(n: int) -> str:
+    return f"""
+w{n} AS (
+  SELECT g, i // {n} AS w, i, x,
+         count(*) OVER (PARTITION BY g, i // {n}) AS cnt,
+         avg(x) OVER (PARTITION BY g, i // {n}) AS mu
+  FROM base
+),
+c{n} AS (
+  SELECT g, w, cnt, x,
+         sum(x - mu) OVER (
+           PARTITION BY g, w ORDER BY i ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM w{n}
+),
+v{n} AS (
+  SELECT g, w, max(cnt) AS cnt, max(cum) - min(cum) AS r,
+         sqrt(var_pop(x)) AS s
+  FROM c{n} GROUP BY g, w
+),
+m{n} AS (
+  SELECT g, {n}.0 AS n,
+         avg(CASE WHEN cnt = {n} AND s > 0 THEN r / s END) AS mean_rs
+  FROM v{n} GROUP BY g
+)"""
+
+
+SQL_HURST = (
+    """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+base AS (
+  SELECT event_type AS g,
+         row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS i,
+         c AS x
+  FROM dense
+),"""
+    + ",".join(_hurst_scale_sql(n) for n in (8, 16, 32, 64))
+    + """,
+pts AS (
+  SELECT g, ln(n) AS lx, ln(mean_rs) AS ly FROM (
+    SELECT * FROM m8 UNION ALL SELECT * FROM m16 UNION ALL
+    SELECT * FROM m32 UNION ALL SELECT * FROM m64
+  ) WHERE mean_rs > 0
+),
+a AS (
+  SELECT g, count(*)::BIGINT AS n_scales,
+         sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+  FROM pts GROUP BY g
+)
+SELECT g AS event_type, n_scales,
+       CASE WHEN n_scales >= 2
+                 AND abs(1.0 * n_scales * sxx - sx * sx) > 1e-12
+            THEN round((1.0 * n_scales * sxy - sx * sy)
+                       / (1.0 * n_scales * sxx - sx * sx) + 1e-9, 6) + 0.0
+       END AS hurst
+FROM a
+"""
+)
+
+
 def q_heaps_docs(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit (operators/lm.py heaps_fit):
     the dynamic twin of zipf_docs — V = K*N^beta over the corpus'
@@ -6820,6 +6906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_events": q_seasonal_profile_events,
         "seasonal_anomaly_events": q_seasonal_anomaly_events,
         "energy_drift_events": q_energy_drift_events,
+        "hurst_events": q_hurst_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -6990,6 +7077,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_profile_events": SQL_SEASONAL_PROFILE,
         "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY,
         "energy_drift_events": SQL_ENERGY_DRIFT,
+        "hurst_events": SQL_HURST,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

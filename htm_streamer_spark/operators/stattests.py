@@ -51,6 +51,7 @@ __all__ = [
     "acf_bucket_counts",
     "pacf_durbin_levinson",
     "energy_distance",
+    "hurst_rescaled_range",
     "seasonal_cells",
     "seasonal_profile",
     "seasonal_anomalies",
@@ -1203,6 +1204,124 @@ def energy_distance(
         F.when(
             (na > 0) & (nb > 0), F.round(e + F.lit(1e-9), 6)
         ).alias("energy"),
+    )
+
+
+def hurst_rescaled_range(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    scales: tuple = (8, 16, 32, 64),
+) -> DataFrame:
+    """Per-group Hurst exponent of the dense bucketed count series via
+    classical rescaled-range (R/S) analysis — the LONG-MEMORY member
+    of the arrival-process family: ACF/PACF see short-lag structure,
+    the Hurst exponent says whether fluctuations are anti-persistent
+    (H < 0.5), iid-like (H ≈ 0.5) or long-range dependent (H → 1, the
+    signature of a feed whose bursts cluster at every timescale —
+    capacity planning reads this number directly).
+
+    For each scale n the series is cut into complete n-bucket windows;
+    per window ``R = max(cumdev) − min(cumdev)`` of the mean-centered
+    cumulative sum and ``S = population sd``; per scale the mean R/S
+    over windows (zero-variance windows excluded, the classical
+    convention); H is the least-squares slope of ``log(mean R/S)`` on
+    ``log n``. Groups with fewer than two usable scales report NULL.
+
+    Plan: ONE fact-table shuffle (the bucket count, inherited dense
+    grid, gap-as-zero); the per-scale branches are window passes over
+    the PERSISTED |buckets|-row frame — they never re-read the fact
+    table — followed by a union of |groups| × |scales| rows and a
+    closed-form slope aggregate. Returns
+    (group, n_scales, hurst), 6 dp.
+    """
+    g = group_col
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = df.groupBy(F.col(g), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    counts = counts.persist()
+    span = counts.groupBy(g).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    grid = span.select(
+        g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
+    )
+    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    w_idx = Window.partitionBy(g).orderBy("_b")
+    base = dense.select(
+        g,
+        (F.row_number().over(w_idx) - 1).alias("_i"),
+        F.col("_c").cast("double").alias("_x"),
+    )
+    # every scale re-reads this frame: persist the |buckets|-row base
+    base = base.persist()
+    per_scale = []
+    for n in scales:
+        w_tot = Window.partitionBy(g, "_w")
+        w_cum = (
+            Window.partitionBy(g, "_w")
+            .orderBy("_i")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fr = base.select(
+            g, F.floor(F.col("_i") / n).alias("_w"), "_i", "_x"
+        )
+        fr = fr.select(
+            g,
+            "_w",
+            "_i",
+            "_x",
+            F.count(F.lit(1)).over(w_tot).alias("_cnt"),
+            F.avg("_x").over(w_tot).alias("_mu"),
+        )
+        fr = fr.select(
+            g,
+            "_w",
+            "_cnt",
+            "_x",
+            F.sum(F.col("_x") - F.col("_mu")).over(w_cum).alias("_cum"),
+        )
+        win = fr.groupBy(g, "_w").agg(
+            F.max("_cnt").alias("_cnt"),
+            (F.max("_cum") - F.min("_cum")).alias("_r"),
+            F.sqrt(F.var_pop("_x")).alias("_s"),
+        )
+        rs = F.when(
+            (F.col("_cnt") == n) & (F.col("_s") > 0),
+            F.col("_r") / F.col("_s"),
+        )
+        per_scale.append(
+            win.groupBy(g).agg(F.avg(rs).alias("_mean_rs")).select(
+                g, F.lit(float(n)).alias("_n"), "_mean_rs"
+            )
+        )
+    pts = per_scale[0]
+    for p in per_scale[1:]:
+        pts = pts.unionByName(p)
+    pts = pts.where(F.col("_mean_rs") > 0).select(
+        g, F.log("_n").alias("_lx"), F.log("_mean_rs").alias("_ly")
+    )
+    a = pts.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scales"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+    )
+    k = F.col("n_scales")
+    den = 1.0 * k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (1.0 * k * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
+    return a.select(
+        g,
+        "n_scales",
+        F.when(
+            (k >= 2) & (F.abs(den) > 1e-12),
+            F.round(slope + F.lit(1e-9), 6),
+        ).alias("hurst"),
     )
 
 
