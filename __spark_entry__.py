@@ -6204,6 +6204,67 @@ GROUP BY 1
 """
 
 
+def q_transition_jsd_docs(spark, sf_dir):
+    """Pairwise bigram-TRANSITION JSD between sources
+    (operators/infotheory.py transition_jsd_sources): the
+    order-sensitive companion to jsd_sources_docs — identical
+    vocabularies with different word order (template-stitched vs
+    natural text) diverge here and only here. Mixture-marginal
+    weighted per-context JSD; the shared-support collapse leaves one
+    equi-join of the transition frame on (prev, cur), no outer join,
+    no per-pair corpus scan."""
+    from htm_streamer_spark.operators.infotheory import (
+        transition_jsd_sources,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return transition_jsd_sources(d, "source")
+
+
+SQL_TRANSITION_JSD = r"""
+WITH words AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+prs AS (
+  SELECT source, ws[g.i] AS prev, ws[g.i + 1] AS cur
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+  WHERE ws[g.i] <> '' AND ws[g.i + 1] <> ''
+),
+bf AS (
+  SELECT source, prev, cur, count(*)::BIGINT AS bf FROM prs GROUP BY 1, 2, 3
+),
+cf AS (SELECT source, prev, sum(bf)::DOUBLE AS cf FROM bf GROUP BY 1, 2),
+tot AS (SELECT source, sum(bf)::DOUBLE AS tot FROM bf GROUP BY 1),
+dist AS (
+  SELECT bf.source, bf.prev, bf.cur,
+         bf.bf / cf.cf AS q, cf.cf / tot.tot AS pm
+  FROM bf JOIN cf USING (source, prev) JOIN tot USING (source)
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared_bigrams,
+         sum(((a.pm + b.pm) / 2) * (
+               ((a.q + b.q) / 2) * ln((a.q + b.q) / 2)
+             - (a.q / 2) * ln(a.q / 2)
+             - (b.q / 2) * ln(b.q / 2))) AS t
+  FROM dist a
+  JOIN dist b ON a.prev = b.prev AND a.cur = b.cur AND a.source < b.source
+  GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM dist),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+)
+SELECT p.source_a, p.source_b,
+       coalesce(s.n_shared_bigrams, 0)::BIGINT AS n_shared_bigrams,
+       round(ln(2.0) - coalesce(s.t, 0.0) + 1e-9, 6) + 0.0 AS tjsd
+FROM pairs p LEFT JOIN shared s USING (source_a, source_b)
+"""
+
+
 def q_mi_events(spark, sf_dir):
     """Mutual information between event_type and hour-of-day
     (operators/infotheory.py mutual_information): the partial-coupling
@@ -6964,6 +7025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion_docs": q_lang_confusion_docs,
         "cube_events": q_cube_events,
         "jsd_sources_docs": q_jsd_sources_docs,
+        "transition_jsd_docs": q_transition_jsd_docs,
         "bigram_nll_docs": q_bigram_nll_docs,
         "mi_events": q_mi_events,
         "theil_sen_events": q_theil_sen_events,
@@ -7136,6 +7198,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion_docs": SQL_LANG_CONFUSION,
         "cube_events": SQL_CUBE_EVENTS,
         "jsd_sources_docs": SQL_JSD_SOURCES,
+        "transition_jsd_docs": SQL_TRANSITION_JSD,
         "bigram_nll_docs": SQL_BIGRAM_NLL,
         "mi_events": SQL_MI_EVENTS,
         "theil_sen_events": SQL_THEIL_SEN,

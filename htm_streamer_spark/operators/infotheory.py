@@ -147,6 +147,153 @@ def jsd_sources(
     return out
 
 
+def source_transition_dist(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared per-group bigram TRANSITION frame
+    ``(group, prev, cur, q, pm)`` with ``q = P(cur | prev)`` (each
+    conditional sums to 1 per (group, prev)) and ``pm = P(prev)`` the
+    group's context marginal (sums to 1 per group). One tokenizing
+    scan; bigrams built inside the words array (transform over a
+    materialized words column, no positional self-join — the
+    ``lm.bigram_nll`` extraction); the persisted (group, prev, cur,
+    bf) frame feeds the context totals, group totals, and output."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+    from htm_streamer_spark.operators.ranking import TOKEN_SPLIT
+
+    g = group_col
+    base = fan_out_narrow_scans(df.select(g, text_col))
+    words = base.select(
+        g,
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT).alias("_w"),
+    )
+    pairs = words.select(
+        g,
+        F.expr(
+            "transform(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+            " (w, i) -> struct(w AS prev, _w[i + 1] AS cur))"
+        ).alias("_bg"),
+    )
+    bg = (
+        pairs.select(g, F.explode_outer("_bg").alias("_p"))
+        .select(
+            g, F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur")
+        )
+        .where(
+            F.col("prev").isNotNull()
+            & (F.col("prev") != "")
+            & F.col("cur").isNotNull()
+            & (F.col("cur") != "")
+        )
+    )
+    bf = (
+        bg.groupBy(g, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("_bf"))
+        .persist()
+    )
+    cf = bf.groupBy(g, "prev").agg(
+        F.sum("_bf").cast("double").alias("_cf")
+    )
+    tot = bf.groupBy(g).agg(F.sum("_bf").cast("double").alias("_tot"))
+    return (
+        bf.join(cf, [g, "prev"])
+        .join(F.broadcast(tot), g)
+        .select(
+            g,
+            "prev",
+            "cur",
+            (F.col("_bf") / F.col("_cf")).alias("q"),
+            (F.col("_cf") / F.col("_tot")).alias("pm"),
+        )
+    )
+
+
+def transition_jsd_sources(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise bigram-TRANSITION Jensen-Shannon divergence between
+    groups: the mixture-marginal-weighted mean of the per-context JSD
+    between the groups' conditional next-token distributions,
+
+        D(a, b) = sum_prev w(prev) · JSD( P_a(·|prev), P_b(·|prev) ),
+        w(prev) = (pm_a(prev) + pm_b(prev)) / 2,
+
+    with a context present in only ONE group contributing the maximal
+    ln 2 (its transition behaviour is unobservable in the other). This
+    is the ORDER-sensitive companion to ``jsd_sources``: two sources
+    with identical vocabularies (unigram JSD ≈ 0) but different word
+    order — template-stitched vs natural text — diverge here and only
+    here. Bounded [0, ln 2]; 0 iff every shared context transitions
+    identically and the context marginals coincide.
+
+    The same shared-support collapse as ``jsd_sources`` applies
+    per-context (each conditional sums to 1), and the one-sided terms
+    telescope against the weight normalization, leaving::
+
+        D = ln 2 − Σ over (prev, cur) shared of
+              w(prev) · [ m·ln m − (qa/2)·ln(qa/2) − (qb/2)·ln(qb/2) ],
+        m = (qa + qb) / 2
+
+    — so the only pairwise work is an EQUI-join of the transition
+    frame with itself on (prev, cur): output-sensitive in shared
+    bigrams, no outer join, no per-pair corpus scan. Returns
+    (source_a, source_b, n_shared_bigrams, tjsd), 6 dp.
+    """
+    dist = source_transition_dist(
+        df, group_col, text_col=text_col
+    ).persist()
+    a = dist.select(
+        F.col(group_col).alias("source_a"),
+        "prev",
+        "cur",
+        F.col("q").alias("_qa"),
+        F.col("pm").alias("_pa"),
+    )
+    b = dist.select(
+        F.col(group_col).alias("source_b"),
+        "prev",
+        "cur",
+        F.col("q").alias("_qb"),
+        F.col("pm").alias("_pb"),
+    )
+    m = (F.col("_qa") + F.col("_qb")) / 2.0
+    w = (F.col("_pa") + F.col("_pb")) / 2.0
+    half = lambda c: (c / 2.0) * F.log(c / 2.0)  # noqa: E731
+    shared = (
+        a.join(b, ["prev", "cur"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_bigrams"),
+            F.sum(
+                w * (m * F.log(m) - half(F.col("_qa")) - half(F.col("_qb")))
+            ).alias("_t"),
+        )
+    )
+    groups = dist.select(group_col).distinct()
+    ga = groups.select(F.col(group_col).alias("source_a"))
+    gb = groups.select(F.col(group_col).alias("source_b"))
+    pairs = ga.crossJoin(gb).where(F.col("source_a") < F.col("source_b"))
+    return pairs.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared_bigrams"), F.lit(0)).alias(
+            "n_shared_bigrams"
+        ),
+        F.round(
+            F.lit(log(2.0)) - F.coalesce(F.col("_t"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("tjsd"),
+    )
+
+
 def basket_lift(
     df: DataFrame,
     basket_cols: list[str],
