@@ -4889,6 +4889,41 @@ FROM c GROUP BY 1
 """
 
 
+def _drift_zscores(spark, sf_dir):
+    """Shared per-event_type two-sided z-test frame (event_type, z,
+    p_value): pooled-variance normal approximation of each type's mean
+    value vs the pooled mean, p via the A&S erfc polynomial
+    (operators/likelihood.py erfc_expr). One scan: a single
+    groupBy(event_type) power-sum aggregate feeds z and p; the pooled
+    sums are window-over-() on the |types|-row frame (a separate
+    .agg() would re-derive it => second scan). Feeds BOTH multiplicity
+    corrections (BH step-up, Holm step-down)."""
+    from htm_streamer_spark.operators.likelihood import erfc_expr
+
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    w_all = W.partitionBy()
+    mu = F.col("sg") / F.col("nn")
+    var = F.col("ssg") / F.col("nn") - mu * mu
+    z = (F.col("s") / F.col("n") - mu) / F.sqrt(var / F.col("n"))
+    return (
+        agg.withColumn("nn", F.sum("n").over(w_all))
+        .withColumn("sg", F.sum("s").over(w_all))
+        .withColumn("ssg", F.sum("ss").over(w_all))
+        .withColumn("z", z)
+        .withColumn(
+            "p_value", erfc_expr(F.abs(F.col("z")) / F.lit(1.4142135623730951))
+        )
+        .select("event_type", "z", "p_value")
+    )
+
+
 def q_fdr_drift_events(spark, sf_dir):
     """Benjamini–Hochberg FDR-controlled drift alerting
     (operators/stattests.py benjamini_hochberg): one two-sided z-test of
@@ -4900,33 +4935,9 @@ def q_fdr_drift_events(spark, sf_dir):
     honest at fleet scale (thousands of partitions => a fixed alpha
     guarantees false alarms). One scan: a single groupBy(event_type)
     power-sum aggregate feeds z, p, and the BH rank."""
-    from htm_streamer_spark.operators.likelihood import erfc_expr
     from htm_streamer_spark.operators.stattests import benjamini_hochberg
 
-    from pyspark.sql import Window as W
-
-    e = _t(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("value").alias("s"),
-        F.sum(F.col("value") * F.col("value")).alias("ss"),
-    )
-    # pooled sums as window-over-() on the |types|-row frame: one fact
-    # scan total (a separate .agg() would re-derive agg => second scan)
-    w_all = W.partitionBy()
-    mu = F.col("sg") / F.col("nn")
-    var = F.col("ssg") / F.col("nn") - mu * mu
-    z = (F.col("s") / F.col("n") - mu) / F.sqrt(var / F.col("n"))
-    scored = (
-        agg.withColumn("nn", F.sum("n").over(w_all))
-        .withColumn("sg", F.sum("s").over(w_all))
-        .withColumn("ssg", F.sum("ss").over(w_all))
-        .withColumn("z", z)
-        .withColumn(
-            "p_value", erfc_expr(F.abs(F.col("z")) / F.lit(1.4142135623730951))
-        )
-        .select("event_type", "z", "p_value")
-    )
+    scored = _drift_zscores(spark, sf_dir)
     bh = benjamini_hochberg(scored, "p_value", q=0.05, tie_cols=("event_type",))
     return bh.select(
         "event_type",
@@ -4980,6 +4991,76 @@ SELECT event_type, round(z, 6) + 0.0 AS z,
        round(rank * 0.05 / m, 6) + 0.0 AS bh_threshold,
        (CASE WHEN rank <= k.k AND k.k > 0 THEN 1 ELSE 0 END)::INT AS rejected
 FROM flags, k
+"""
+
+
+def q_holm_drift_events(spark, sf_dir):
+    """Holm step-down FWER-controlled drift alerting
+    (operators/stattests.py holm_stepdown) over the SAME per-type
+    z-test frame as fdr_drift_events: BH bounds the false-alarm
+    FRACTION (triage), Holm bounds the probability of even ONE false
+    alarm (paging), no independence assumption. The first rank that
+    misses alpha/(m-i+1) stops everything after it — the prefix rule
+    is one cumulative min over the rank order."""
+    from htm_streamer_spark.operators.stattests import holm_stepdown
+
+    scored = _drift_zscores(spark, sf_dir)
+    h = holm_stepdown(scored, "p_value", alpha=0.05, tie_cols=("event_type",))
+    return h.select(
+        "event_type",
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
+        F.col("rank").cast("long").alias("rank"),
+        "holm_threshold",
+        F.col("rejected").cast("int").alias("rejected"),
+    )
+
+
+SQL_HOLM_DRIFT = """
+WITH agg AS (
+  SELECT event_type, count(*)::DOUBLE AS n, sum(value)::DOUBLE AS s,
+         sum(value * value)::DOUBLE AS ss
+  FROM events GROUP BY 1
+),
+pool AS (SELECT sum(n) AS nn, sum(s) AS sg, sum(ss) AS ssg FROM agg),
+zc AS (
+  SELECT event_type,
+         (s / n - sg / nn)
+           / sqrt((ssg / nn - (sg / nn) * (sg / nn)) / n) AS z
+  FROM agg, pool
+),
+pv AS (
+  SELECT event_type, z, 1.0 / (1.0 + 0.3275911 * x) AS t, x
+  FROM (SELECT event_type, z, abs(z) / 1.4142135623730951 AS x FROM zc)
+),
+p AS (
+  SELECT event_type, z,
+         (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429))))) * exp(-x * x)
+           AS p_value
+  FROM pv
+),
+ranked AS (
+  SELECT event_type, z, p_value,
+         row_number() OVER (ORDER BY p_value, event_type) AS rank,
+         count(*) OVER () AS m
+  FROM p
+),
+flags AS (
+  SELECT *,
+         CASE WHEN p_value <= 0.05 / (m - rank + 1) THEN 1 ELSE 0 END AS ok
+  FROM ranked
+),
+pref AS (
+  SELECT *, min(ok) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS pok
+  FROM flags
+)
+SELECT event_type, round(z, 6) + 0.0 AS z,
+       round(p_value, 6) + 0.0 AS p_value,
+       rank::BIGINT AS rank,
+       round(0.05 / (m - rank + 1), 6) + 0.0 AS holm_threshold,
+       pok::INT AS rejected
+FROM pref
 """
 
 
@@ -6968,6 +7049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomaly_events": q_seasonal_anomaly_events,
         "energy_drift_events": q_energy_drift_events,
         "hurst_events": q_hurst_events,
+        "holm_drift_events": q_holm_drift_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
         "fd_check_events": q_fd_check_events,
@@ -7140,6 +7222,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY,
         "energy_drift_events": SQL_ENERGY_DRIFT,
         "hurst_events": SQL_HURST,
+        "holm_drift_events": SQL_HOLM_DRIFT,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,
         "entropy_docs": SQL_ENTROPY,

@@ -46,6 +46,7 @@ __all__ = [
     "mad_count_outliers",
     "wasserstein_binned",
     "benjamini_hochberg",
+    "holm_stepdown",
     "cusum_changepoint",
     "gini_concentration",
     "acf_bucket_counts",
@@ -424,6 +425,50 @@ def benjamini_hochberg(
         flagged.withColumn("bh_threshold", F.round(thresh, 6))
         .withColumn("rejected", (F.col("rank") <= k) & (k > 0))
         .drop("hit_rank")
+    )
+
+
+def holm_stepdown(
+    pvals: DataFrame,
+    p_col: str = "p_value",
+    alpha: float = 0.05,
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Holm step-down FWER control over one p-value per test — the
+    strict companion to ``benjamini_hochberg``: BH bounds the expected
+    FRACTION of false alarms (fine for triage queues), Holm bounds the
+    probability of even ONE false alarm (what a paging alert needs),
+    with no independence assumption (Holm 1979).
+
+    Sort p ascending; reject rank i iff ``p_(j) <= alpha/(m − j + 1)``
+    for ALL j ≤ i — the first failure stops everything after it, even
+    ranks that pass their own threshold (the step-DOWN property; a
+    per-row flag without the prefix rule would be plain Bonferroni at
+    varying levels and is wrong). The prefix rule is one cumulative
+    ``min`` over the rank order.
+
+    Adds (rank, m, holm_threshold, rejected) to every input row.
+    ``tie_cols`` makes the rank total and deterministic. Input is one
+    row per TEST (metadata-sized); the single-partition rank window is
+    by construction not a fact-table sort — same documented bound as
+    ``benjamini_hochberg``.
+    """
+    w_rank = Window.orderBy(p_col, *tie_cols)
+    w_all = Window.partitionBy()
+    ranked = pvals.withColumn(
+        "rank", F.row_number().over(w_rank)
+    ).withColumn("m", F.count(F.lit(1)).over(w_all))
+    thresh = F.lit(float(alpha)) / (F.col("m") - F.col("rank") + 1)
+    w_pref = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = ranked.withColumn(
+        "_ok", (F.col(p_col) <= thresh).cast("int")
+    )
+    return (
+        flagged.withColumn("holm_threshold", F.round(thresh, 6))
+        .withColumn("rejected", F.min("_ok").over(w_pref) == 1)
+        .drop("_ok")
     )
 
 

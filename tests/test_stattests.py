@@ -321,3 +321,102 @@ def test_bh_rejection_set_is_p_prefix(spark):
     rejected_ranks = sorted(r.rank for r in rows if r.rejected)
     assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
     assert len(rejected_ranks) >= 5  # the planted small p-values reject
+
+
+def _holm_ref(pvals, alpha):
+    """Loop reference: step down in p-ascending order, stop at the
+    first rank that misses alpha/(m - i + 1)."""
+    order = np.argsort(pvals, kind="stable")
+    m = len(pvals)
+    ranked = np.asarray(pvals)[order]
+    rejected = np.zeros(m, dtype=bool)
+    for i in range(m):
+        if ranked[i] <= alpha / (m - i):
+            rejected[order[i]] = True
+        else:
+            break
+    return rejected
+
+
+@pytest.mark.parametrize(
+    "pvals",
+    [
+        [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.6],
+        [0.9, 0.95, 0.99],  # nothing rejects
+        [1e-9, 1e-8, 1e-7],  # everything rejects
+        [0.01, 0.01, 0.01, 0.8],  # ties
+        # THE step-down differentiator: rank 2 (0.04) misses 0.05/2 but
+        # rank 3 (0.016) would pass its own 0.05/1 — Holm must stop at
+        # rank 2 and NOT reject rank 3, unlike a per-row threshold flag
+        [0.004, 0.04, 0.016][:2] + [0.045],
+    ],
+)
+def test_holm_matches_reference(spark, pvals):
+    from htm_streamer_spark.operators.stattests import holm_stepdown
+
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", float(p)) for i, p in enumerate(pvals)],
+        ["test_id", "p_value"],
+    )
+    out = holm_stepdown(df, "p_value", alpha=0.05, tie_cols=("test_id",))
+    got = {r.test_id: r.rejected for r in out.collect()}
+    want = _holm_ref(pvals, 0.05)
+    assert got == {f"t{i:02d}": bool(want[i]) for i in range(len(pvals))}
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(pvals) + 1))
+    # Holm thresholds ascend with rank (alpha / (m - i + 1))
+    assert all(
+        rows[i].holm_threshold <= rows[i + 1].holm_threshold
+        for i in range(len(rows) - 1)
+    )
+
+
+def test_holm_stops_at_first_failure_even_if_later_p_passes(spark):
+    from htm_streamer_spark.operators.stattests import holm_stepdown
+
+    # m=3: thresholds are 0.05/3, 0.05/2, 0.05/1.
+    # sorted p = (0.004, 0.030, 0.040): rank1 passes (0.004<=0.0167),
+    # rank2 FAILS (0.030>0.025), rank3 would pass alone (0.040<=0.05)
+    # but the step-down rule must keep it accepted.
+    df = spark.createDataFrame(
+        [("a", 0.004), ("b", 0.030), ("c", 0.040)], ["test_id", "p_value"]
+    )
+    got = {
+        r.test_id: r.rejected
+        for r in holm_stepdown(
+            df, "p_value", alpha=0.05, tie_cols=("test_id",)
+        ).collect()
+    }
+    assert got == {"a": True, "b": False, "c": False}
+
+
+def test_holm_rejections_subset_of_bh(spark):
+    from htm_streamer_spark.operators.stattests import (
+        benjamini_hochberg,
+        holm_stepdown,
+    )
+
+    rng = np.random.default_rng(29)
+    pv = np.concatenate(
+        [rng.uniform(0, 0.005, 4), rng.uniform(0.01, 0.2, 12), rng.uniform(0.5, 1, 9)]
+    )
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", float(p)) for i, p in enumerate(pv)],
+        ["test_id", "p_value"],
+    )
+    bh = {
+        r.test_id
+        for r in benjamini_hochberg(
+            df, "p_value", q=0.05, tie_cols=("test_id",)
+        ).collect()
+        if r.rejected
+    }
+    holm = {
+        r.test_id
+        for r in holm_stepdown(
+            df, "p_value", alpha=0.05, tie_cols=("test_id",)
+        ).collect()
+        if r.rejected
+    }
+    assert holm <= bh  # FWER control is never more permissive than FDR
+    assert len(holm) >= 1  # the planted tiny p-values still reject
