@@ -6909,6 +6909,58 @@ GROUP BY key, tot.n
 """
 
 
+def q_json_types_events(spark, sf_dir):
+    """Per (key, canonical value type) profile of the events props
+    JSON blob (operators/profiling.py json_type_profile): the TYPE
+    member of the semi-structured schema-drift family — a key whose
+    values silently flip int→string breaks downstream parsers while
+    presence stays 100%. Spark variant type names canonicalized to
+    {null,bool,int,float,string,array,object}; the DuckDB twin maps
+    json_type names to the same set. One scan, one (key,vtype)
+    shuffle."""
+    from htm_streamer_spark.operators.profiling import json_type_profile
+
+    e = _t(spark, sf_dir, "events")
+    return json_type_profile(e, "props")
+
+
+SQL_JSON_TYPES = """
+WITH keyed AS (
+  SELECT t.key, json_type(try_cast(props AS JSON), '$.' || t.key) AS jt,
+         try_cast(json_extract(try_cast(props AS JSON), '$.' || t.key)
+                  AS DOUBLE) AS xv
+  FROM events,
+       LATERAL (
+         SELECT unnest(json_keys(try_cast(props AS JSON))) AS key
+       ) t
+),
+canon AS (
+  SELECT key,
+         CASE coalesce(jt, 'NULL')
+           WHEN 'NULL' THEN 'null'
+           WHEN 'BOOLEAN' THEN 'bool'
+           WHEN 'BIGINT' THEN 'int'
+           WHEN 'UBIGINT' THEN 'int'
+           WHEN 'HUGEINT' THEN 'int'
+           WHEN 'DOUBLE' THEN
+             CASE WHEN xv IS NOT NULL AND (xv % 1) = 0
+                  THEN 'int' ELSE 'float' END
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'ARRAY' THEN 'array'
+           WHEN 'OBJECT' THEN 'object'
+           ELSE 'other'
+         END AS vtype
+  FROM keyed
+),
+agg AS (
+  SELECT key, vtype, count(*)::BIGINT AS n FROM canon GROUP BY 1, 2
+)
+SELECT key, vtype, n,
+       round(n / (sum(n) OVER (PARTITION BY key)) + 1e-9, 6) + 0.0 AS share
+FROM agg
+"""
+
+
 def q_page_hinkley_events(spark, sf_dir):
     """Per-event_type Page–Hinkley change statistic over value in
     (ts, event_id) order (operators/stattests.py page_hinkley): the
@@ -7121,6 +7173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": q_readability_docs,
         "perm_entropy_events": q_perm_entropy_events,
         "json_keys_events": q_json_keys_events,
+        "json_types_events": q_json_types_events,
         "page_hinkley_events": q_page_hinkley_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -7295,6 +7348,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": SQL_READABILITY,
         "perm_entropy_events": SQL_PERM_ENTROPY,
         "json_keys_events": SQL_JSON_KEYS,
+        "json_types_events": SQL_JSON_TYPES,
         "page_hinkley_events": SQL_PAGE_HINKLEY,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,

@@ -212,6 +212,102 @@ def json_key_profile(
     )
 
 
+def json_type_profile(
+    df: DataFrame,
+    json_col: str,
+) -> DataFrame:
+    """Per (top-level key, canonical value TYPE) profile of a JSON
+    string column — the TYPE member of the semi-structured
+    schema-drift family: ``json_key_profile`` sees a key appear or
+    decay, this sees a key silently change type (the `"5"`-vs-`5`
+    migration that breaks every downstream parser while presence
+    stays 100%). A key that is 95% int / 5% string IS the violation
+    feed.
+
+    Types are canonicalized to {null, bool, int, float, string,
+    array, object}, with numbers classified by VALUE, not lexeme:
+    ``int`` = integer-valued (``5``, ``2.0`` and ``1e2`` all canon to
+    int), ``float`` = fractional. Value-based is the only PORTABLE
+    contract: Spark's variant normalizes ``2.0`` to ``DECIMAL(1,0)``
+    (the trailing-zero lexeme is unrecoverable) while DuckDB's
+    ``json_type`` reports the lexeme class ``DOUBLE`` — so any
+    syntax-based mapping diverges on trailing-zero decimals. Spark
+    mapping (``schema_of_variant(variant_get(...))``): VOID→null,
+    int types and DECIMAL(p,0)→int, DECIMAL(p,s>0)→float (variant
+    strips trailing zeros, so scale>0 implies a genuine fraction),
+    DOUBLE/FLOAT→integral-value check, ARRAY<…>→array,
+    OBJECT/STRUCT→object. The DuckDB twin maps
+    BIGINT/UBIGINT/HUGEINT→int and applies the same integral-value
+    check to DOUBLE. Share is within-key: ``n / Σ n over the key`` —
+    presence itself is the sibling operator's job.
+
+    Plan: one scan — ``json_object_keys`` + ``explode_outer`` (the
+    plan-hygiene rule), variant functions are JVM codegen (no
+    Python), one ``groupBy(key, vtype)`` shuffle over key×type-sized
+    rows; the within-key total is a window on that aggregated frame.
+    Malformed/NULL blobs produce no keys and are skipped (presence
+    accounting lives in ``json_key_profile``). Returns
+    (key, vtype, n, share), 6 dp.
+    """
+    from pyspark.sql import Window
+
+    keyed = (
+        df.select(F.col(json_col).alias("_js"))
+        .select(
+            F.explode_outer(F.json_object_keys("_js")).alias("key"),
+            "_js",
+        )
+        .where(F.col("key").isNotNull())
+    )
+    t = F.expr(
+        "schema_of_variant(variant_get(try_parse_json(_js), '$.' || key))"
+    )
+    x = F.expr(
+        "try_cast(variant_get(try_parse_json(_js), '$.' || key)"
+        " AS DOUBLE)"
+    )
+    typed = keyed.select("key", t.alias("_t"), x.alias("_x"))
+    canon = (
+        F.when(F.col("_t") == "VOID", "null")
+        .when(F.col("_t") == "BOOLEAN", "bool")
+        .when(
+            F.col("_t").isin("TINYINT", "SMALLINT", "INT", "BIGINT"), "int"
+        )
+        .when(F.col("_t").rlike(r"^DECIMAL\([0-9]+,0\)$"), "int")
+        .when(F.col("_t").startswith("DECIMAL"), "float")
+        .when(
+            (F.col("_t") == "DOUBLE") | (F.col("_t") == "FLOAT"),
+            # integral test via fmod, NOT floor: Spark floor(double)
+            # returns BIGINT and ANSI-overflows on e.g. 1e300
+            F.when(
+                F.col("_x").isNotNull()
+                & ((F.col("_x") % F.lit(1.0)) == F.lit(0.0)),
+                F.lit("int"),
+            ).otherwise(F.lit("float")),
+        )
+        .when(F.col("_t") == "STRING", "string")
+        .when(F.col("_t").startswith("ARRAY"), "array")
+        .when(
+            F.col("_t").startswith("OBJECT")
+            | F.col("_t").startswith("STRUCT"),
+            "object",
+        )
+        .otherwise("other")
+    )
+    agg = typed.select("key", canon.alias("vtype")).groupBy(
+        "key", "vtype"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_key = Window.partitionBy("key")
+    return agg.select(
+        "key",
+        "vtype",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(w_key) + F.lit(1e-9), 6
+        ).alias("share"),
+    )
+
+
 def time_gaps(
     df: DataFrame,
     ts_col: str,
