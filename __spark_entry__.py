@@ -6961,6 +6961,62 @@ FROM agg
 """
 
 
+def q_isotonic_events(spark, sf_dir):
+    """Per-event_type isotonic regression of mean value over
+    hour-of-day (operators/isotonic.py isotonic_fit): the monotone
+    calibration curve, exact weighted PAVA computed distributed via
+    the minimax identity max_{j<=i} min_{k>=i} wmean(j..k) — joins and
+    aggregates over the 24-bucket frame, one fact shuffle, no
+    sequential pass."""
+    from htm_streamer_spark.operators.isotonic import isotonic_fit
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hod"), "value"
+    )
+    out = isotonic_fit(e, "event_type", "hod", "value")
+    return out.select(
+        "event_type",
+        F.col("x").alias("hod"),
+        "n",
+        "mean_y",
+        "iso_y",
+    )
+
+
+SQL_ISOTONIC = """
+WITH agg AS (
+  SELECT event_type AS g, extract(hour FROM ts)::BIGINT AS x,
+         count(*)::BIGINT AS w, sum(value)::DOUBLE AS sy
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+pre AS (
+  SELECT g, x, w, sy,
+         sum(sy) OVER (
+           PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING
+         ) AS cy,
+         sum(w) OVER (
+           PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING
+         ) AS cw
+  FROM agg
+),
+pairs AS (
+  SELECT l.g, l.x AS xj, h.x AS xk,
+         (h.cy - (l.cy - l.sy)) / (h.cw - (l.cw - l.w)) AS m
+  FROM pre l JOIN pre h ON l.g = h.g AND l.x <= h.x
+),
+inner_ AS (
+  SELECT p.g, a.x AS xi, p.xj, min(p.m) AS minm
+  FROM pairs p JOIN agg a ON a.g = p.g AND p.xj <= a.x AND a.x <= p.xk
+  GROUP BY 1, 2, 3
+),
+iso AS (SELECT g, xi, max(minm) AS iso FROM inner_ GROUP BY 1, 2)
+SELECT a.g AS event_type, a.x AS hod, a.w AS n,
+       round(a.sy / a.w + 1e-9, 6) + 0.0 AS mean_y,
+       round(iso.iso + 1e-9, 6) + 0.0 AS iso_y
+FROM agg a JOIN iso ON iso.g = a.g AND iso.xi = a.x
+"""
+
+
 def q_page_hinkley_events(spark, sf_dir):
     """Per-event_type Page–Hinkley change statistic over value in
     (ts, event_id) order (operators/stattests.py page_hinkley): the
@@ -7174,6 +7230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perm_entropy_events": q_perm_entropy_events,
         "json_keys_events": q_json_keys_events,
         "json_types_events": q_json_types_events,
+        "isotonic_events": q_isotonic_events,
         "page_hinkley_events": q_page_hinkley_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "multimodal_features": q_multimodal_features,
@@ -7349,6 +7406,7 @@ def oracle_sql() -> dict[str, str]:
         "perm_entropy_events": SQL_PERM_ENTROPY,
         "json_keys_events": SQL_JSON_KEYS,
         "json_types_events": SQL_JSON_TYPES,
+        "isotonic_events": SQL_ISOTONIC,
         "page_hinkley_events": SQL_PAGE_HINKLEY,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
