@@ -231,6 +231,15 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "readability_docs",
         "perm_entropy_events",
         "page_hinkley_events",
+        "pacf_events",
+        "seasonal_profile_events",
+        "seasonal_anomaly_events",
+        "energy_drift_events",
+        "hurst_events",
+        "transition_jsd_docs",
+        "holm_drift_events",
+        "json_types_events",
+        "isotonic_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
