@@ -159,6 +159,46 @@ def run(name):
         # (source, fp) collapse -> bounded fp self-join
         from htm_streamer_spark.operators.contamination import cross_source_overlap
         df = cross_source_overlap(d)
+    elif name == "energy":
+        # rank-coefficient union-sort family: three cumulative sums +
+        # group totals over ONE per-group sort of a 32M-row frame (20
+        # groups) — the O(N log N) two-sample shape; heavy inflation
+        # because the 4M variant finished in 0.7s and per-job overhead
+        # buried the parallelism signal (same trap as table_digest)
+        from htm_streamer_spark.operators.stattests import energy_distance
+        wide = big.crossJoin(
+            big.sparkSession.range(64).select(F.col("id").alias("rep"))
+        ).select(
+            "source",
+            (F.col("n_chars") + F.col("rep") * 7).alias("v"),
+            (F.col("doc_id") % 2).alias("half"),
+        )
+        df = energy_distance(wide, "source", "v", "half", a_value=0)
+    elif name == "isotonic":
+        # bucket-minimax family: the fact work is ONE (group, x)
+        # aggregate over 128M rows; the exact-PAVA minimax runs as joins
+        # on the resulting 24-bucket frame — probes that the
+        # shape-constrained fit stays aggregate-bound, never
+        # sequential
+        from htm_streamer_spark.operators.isotonic import isotonic_fit
+        # 128M rows: the minimax tail is a fixed ~1s of metadata joins
+        # at any level, so the probe must make the fact aggregate
+        # dominate or the tail floors the N->4N ratio
+        wide = big.crossJoin(
+            big.sparkSession.range(256).select(F.col("id").alias("rep"))
+        ).select(
+            "lang",
+            (F.col("n_chars") % 24).alias("x"),
+            (F.col("n_chars") + F.col("rep") * 3).cast("double").alias("y"),
+        )
+        df = isotonic_fit(wide, "lang", "x", "y")
+    elif name == "transition_jsd":
+        # bigram-graph family: tokenize 500k docs -> in-array bigram
+        # build -> (source, prev, cur) count shuffle -> conditional +
+        # marginal joins -> pairwise equi-join on (prev, cur) over 20
+        # sources — the order-sensitive corpus-comparison shape
+        from htm_streamer_spark.operators.infotheory import transition_jsd_sources
+        df = transition_jsd_sources(big, "source")
     else:
         raise ValueError(name)
     t0 = time.time()
@@ -166,7 +206,7 @@ def run(name):
     return time.time() - t0, n
 
 import os as _os
-_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile", "heaps", "source_overlap")
+_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile", "heaps", "source_overlap", "energy", "isotonic", "transition_jsd")
 _only = _os.environ.get("SPARK_GRAFT_FAMILIES")
 if _only:
     _names = tuple(n for n in _names if n in _only.split(","))
