@@ -5783,6 +5783,96 @@ FROM m
 """
 
 
+def q_dominant_period_events(spark, sf_dir):
+    """Per-event_type dominant period of the dense hourly count series
+    via the discrete periodogram (operators/stattests.py
+    dominant_period): acf_events tests fixed short lags and
+    diurnal_events assumes 24 h — this DISCOVERS the cadence (harmonic
+    argmax of DFT power, k = 1..8, sub-Nyquist, Parseval-exact
+    variance fraction). One fact shuffle; all 16 trig sums come out of
+    one aggregation over the dense metadata-sized bucket frame."""
+    from htm_streamer_spark.operators.stattests import dominant_period
+
+    e = _t(spark, sf_dir, "events")
+    return dominant_period(e, "event_type", "ts", bucket="hour", max_k=8)
+
+
+# the 2*pi*k literals are Python-repr doubles, bit-identical to the
+# F.lit(two_pi * k) constants the Spark side folds in
+_DP_LITS = {
+    1: "6.283185307179586",
+    2: "12.566370614359172",
+    3: "18.84955592153876",
+    4: "25.132741228718345",
+    5: "31.41592653589793",
+    6: "37.69911184307752",
+    7: "43.982297150257104",
+    8: "50.26548245743669",
+}
+SQL_DOMINANT_PERIOD = (
+    """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+idx AS (
+  SELECT event_type,
+         (row_number() OVER (PARTITION BY event_type ORDER BY b) - 1)::DOUBLE
+           AS t,
+         count(*) OVER (PARTITION BY event_type)::DOUBLE AS n,
+         c - avg(c) OVER (PARTITION BY event_type) AS d
+  FROM dense
+),
+agg AS (
+  SELECT event_type, max(n) AS nn, sum(d * d) AS ss,
+"""
+    + ",\n".join(
+        f"         sum(d * cos(t * {lit} / n)) AS sa{k},\n"
+        f"         sum(d * sin(t * {lit} / n)) AS sb{k}"
+        for k, lit in _DP_LITS.items()
+    )
+    + """
+  FROM idx GROUP BY 1
+),
+stacked AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT event_type, nn, ss, {k} AS k, sa{k} AS sa, sb{k} AS sb"
+        " FROM agg"
+        for k in _DP_LITS
+    )
+    + """
+),
+valid AS (
+  SELECT event_type, nn, ss, k, (sa * sa + sb * sb) * 2.0 / nn AS pw
+  FROM stacked WHERE ss > 0 AND k <= floor((nn - 1) / 2)
+),
+best AS (
+  SELECT event_type, k, nn, ss, pw, row_number() OVER (
+    PARTITION BY event_type ORDER BY round(pw + 1e-9, 6) DESC, k
+  ) AS rn
+  FROM valid
+)
+SELECT agg.event_type, agg.nn::BIGINT AS n_buckets,
+       b2.k::BIGINT AS best_k,
+       round(b2.nn / b2.k + 1e-9, 6) + 0.0 AS period_buckets,
+       round(b2.pw + 1e-9, 6) + 0.0 AS "power",
+       round(b2.pw / b2.ss + 1e-9, 6) + 0.0 AS power_frac
+FROM agg LEFT JOIN (SELECT * FROM best WHERE rn = 1) b2
+  ON b2.event_type = agg.event_type
+"""
+)
+
+
 def q_mann_kendall_events(spark, sf_dir):
     """Per-event_type Mann–Kendall monotone-trend test over the dense
     hourly count series (operators/stattests.py mann_kendall): the
@@ -7157,6 +7247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomaly_events": q_seasonal_anomaly_events,
         "energy_drift_events": q_energy_drift_events,
         "hurst_events": q_hurst_events,
+        "dominant_period_events": q_dominant_period_events,
         "holm_drift_events": q_holm_drift_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
@@ -7332,6 +7423,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY,
         "energy_drift_events": SQL_ENERGY_DRIFT,
         "hurst_events": SQL_HURST,
+        "dominant_period_events": SQL_DOMINANT_PERIOD,
         "holm_drift_events": SQL_HOLM_DRIFT,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,

@@ -236,6 +236,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "seasonal_anomaly_events",
         "energy_drift_events",
         "hurst_events",
+        "dominant_period_events",
         "transition_jsd_docs",
         "holm_drift_events",
         "json_types_events",

@@ -53,6 +53,7 @@ __all__ = [
     "pacf_durbin_levinson",
     "energy_distance",
     "hurst_rescaled_range",
+    "dominant_period",
     "seasonal_cells",
     "seasonal_profile",
     "seasonal_anomalies",
@@ -1844,4 +1845,156 @@ def quantile_qq_drift(
                 6,
             ).alias("qq_dist"),
         )
+    )
+
+
+def dominant_period(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_k: int = 8,
+) -> DataFrame:
+    """Per-group DOMINANT PERIOD of the bucketed arrival process via
+    the discrete periodogram — the period-DISCOVERY member of the
+    arrival-process family: ``acf_bucket_counts`` tests short fixed
+    lags, ``diurnal_harmonic`` assumes the cycle is 24 h and measures
+    its strength; this operator FINDS the cycle. A feed that quietly
+    switches from a daily to a 12 h batch cadence moves its dominant
+    period long before any volume or value check fires (the
+    reference's single anomaly-likelihood mechanism,
+    htm_streamer/utils/anomaly.py, has no spectral view at all).
+
+    Over the dense mean-centered series ``d_t`` (t = 0..T-1,
+    gap-as-zero — the family stance) the periodogram ordinate at
+    harmonic k is::
+
+        a_k = sum_t d_t cos(2 pi k t / T),
+        b_k = sum_t d_t sin(2 pi k t / T),
+        power_k = (a_k^2 + b_k^2) * 2 / T
+
+    and by Parseval ``sum_k power_k = sum_t d_t^2`` over the
+    sub-Nyquist harmonics, so ``power_frac = power_k / sum_t d_t^2``
+    is the exact fraction of series variance the harmonic explains.
+    The dominant harmonic is the argmax of ``power_k`` over
+    k = 1..min(max_k, floor((T-1)/2)) (6-dp-rounded power, smallest k
+    on ties — cross-engine determinism), reported as
+    ``period_buckets = T / k``. Periods shorter than ``T / max_k``
+    buckets are out of scope by construction: pick ``bucket`` so the
+    cadence of interest is a low harmonic. Constant series (zero
+    deviation energy) and series too short for any sub-Nyquist
+    harmonic (T < 3) report NULLs.
+
+    Plan: one ``groupBy(group, bucket)`` count shuffle (the persisted
+    metadata-sized bucket frame feeds both the span derivation and the
+    dense join, one fact scan — the multi-scan lint); one per-group
+    window pass indexes the dense grid; all 2*max_k trig sums come out
+    of ONE aggregation (conditional columns, not per-k unions); the
+    argmax runs on the |groups| x max_k stacked frame. Zero Python in
+    the plan. Returns
+    (group, n_buckets, best_k, period_buckets, power, power_frac),
+    6 dp.
+    """
+    import math
+
+    g = group_col
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = df.groupBy(F.col(g), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    counts = counts.persist()  # span + dense join: one fact scan
+    span = counts.groupBy(g).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    grid = span.select(
+        g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
+    )
+    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    tot = Window.partitionBy(g)
+    ord_w = Window.partitionBy(g).orderBy("_b")
+    two_pi = 2.0 * math.pi
+    # one window pass: index t, length T, mean — then deviations
+    idx = dense.select(
+        g,
+        (F.row_number().over(ord_w) - 1).cast("double").alias("_t"),
+        F.count(F.lit(1)).over(tot).cast("double").alias("_n"),
+        (
+            F.col("_c").cast("double")
+            - F.sum("_c").over(tot) / F.count(F.lit(1)).over(tot)
+        ).alias("_d"),
+    )
+    # all trig terms in one projection; the per-k angle literal
+    # (2*pi*k) is folded in Python so the oracle can embed the exact
+    # same double
+    terms = idx.select(
+        g,
+        "_n",
+        (F.col("_d") * F.col("_d")).alias("_dd"),
+        *[
+            (
+                F.col("_d")
+                * F.cos(F.col("_t") * F.lit(two_pi * k) / F.col("_n"))
+            ).alias(f"_ca{k}")
+            for k in range(1, max_k + 1)
+        ],
+        *[
+            (
+                F.col("_d")
+                * F.sin(F.col("_t") * F.lit(two_pi * k) / F.col("_n"))
+            ).alias(f"_cb{k}")
+            for k in range(1, max_k + 1)
+        ],
+    )
+    agg = terms.groupBy(g).agg(
+        F.max("_n").alias("_nn"),
+        F.sum("_dd").alias("_ss"),
+        *[F.sum(f"_ca{k}").alias(f"_sa{k}") for k in range(1, max_k + 1)],
+        *[F.sum(f"_cb{k}").alias(f"_sb{k}") for k in range(1, max_k + 1)],
+    )
+    pairs = ", ".join(f"{k}, _sa{k}, _sb{k}" for k in range(1, max_k + 1))
+    stacked = agg.select(
+        g,
+        "_nn",
+        "_ss",
+        F.expr(f"stack({max_k}, {pairs}) as (_k, _sa, _sb)"),
+    )
+    valid = stacked.where(
+        (F.col("_ss") > 0)
+        & (F.col("_k") <= F.floor((F.col("_nn") - 1) / 2))
+    ).select(
+        g,
+        "_nn",
+        "_ss",
+        "_k",
+        (
+            (F.col("_sa") * F.col("_sa") + F.col("_sb") * F.col("_sb"))
+            * 2.0
+            / F.col("_nn")
+        ).alias("_pw"),
+    )
+    rank_w = Window.partitionBy(g).orderBy(
+        F.round(F.col("_pw") + F.lit(1e-9), 6).desc(), F.col("_k").asc()
+    )
+    best = (
+        valid.withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") == 1)
+        .select(
+            g,
+            F.col("_k").cast("long").alias("best_k"),
+            F.round(F.col("_nn") / F.col("_k") + F.lit(1e-9), 6).alias(
+                "period_buckets"
+            ),
+            F.round(F.col("_pw") + F.lit(1e-9), 6).alias("power"),
+            F.round(F.col("_pw") / F.col("_ss") + F.lit(1e-9), 6).alias(
+                "power_frac"
+            ),
+        )
+    )
+    # keep constant / too-short groups with NULLs (contract: every
+    # observed group reports)
+    base = agg.select(g, F.col("_nn").cast("long").alias("n_buckets"))
+    return base.join(best, [g], "left").select(
+        g, "n_buckets", "best_k", "period_buckets", "power", "power_frac"
     )
