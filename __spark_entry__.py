@@ -5873,6 +5873,290 @@ FROM agg LEFT JOIN (SELECT * FROM best WHERE rn = 1) b2
 )
 
 
+def q_ljung_box_events(spark, sf_dir):
+    """Per-event_type Ljung-Box portmanteau whiteness test over lags
+    1..5 of the dense hourly count series (operators/stattests.py
+    ljung_box): collapses the ACF into one chi-square verdict — iid
+    arrivals pass, any batch/cron/retry correlation structure fires.
+    Q is computed from the 6-dp-rounded r_k (the PACF oracle contract)
+    so both engines fold identical doubles. One fact shuffle."""
+    from htm_streamer_spark.operators.stattests import ljung_box
+
+    e = _t(spark, sf_dir, "events")
+    return ljung_box(e, "event_type", "ts", bucket="hour", max_lag=5)
+
+
+SQL_LJUNG_BOX = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+m AS (SELECT event_type, avg(c) AS mu FROM dense GROUP BY 1),
+dev AS (
+  SELECT dense.event_type, b, c - mu AS d
+  FROM dense JOIN m ON m.event_type = dense.event_type
+),
+l AS (
+  SELECT event_type, d,
+         lag(d, 1) OVER w AS d1, lag(d, 2) OVER w AS d2,
+         lag(d, 3) OVER w AS d3, lag(d, 4) OVER w AS d4,
+         lag(d, 5) OVER w AS d5
+  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+a AS (
+  SELECT event_type, count(*)::BIGINT AS nb, sum(d * d) AS dn,
+         sum(d * d1) AS s1, sum(d * d2) AS s2, sum(d * d3) AS s3,
+         sum(d * d4) AS s4, sum(d * d5) AS s5
+  FROM l GROUP BY 1
+),
+r AS (
+  SELECT event_type, nb, nb::DOUBLE AS nn,
+         CASE WHEN dn > 0 THEN round(s1 / dn + 1e-9, 6) + 0.0 END AS r1,
+         CASE WHEN dn > 0 THEN round(s2 / dn + 1e-9, 6) + 0.0 END AS r2,
+         CASE WHEN dn > 0 THEN round(s3 / dn + 1e-9, 6) + 0.0 END AS r3,
+         CASE WHEN dn > 0 THEN round(s4 / dn + 1e-9, 6) + 0.0 END AS r4,
+         CASE WHEN dn > 0 THEN round(s5 / dn + 1e-9, 6) + 0.0 END AS r5
+  FROM a
+),
+q AS (
+  SELECT event_type, nb,
+         CASE WHEN nb > 5 AND r1 IS NOT NULL THEN
+           nn * (nn + 2.0) * (r1 * r1 / (nn - 1) + r2 * r2 / (nn - 2)
+             + r3 * r3 / (nn - 3) + r4 * r4 / (nn - 4)
+             + r5 * r5 / (nn - 5))
+         END AS qv
+  FROM r
+)
+SELECT event_type, nb AS n_buckets,
+       round(qv + 1e-9, 6) + 0.0 AS q_stat,
+       CASE WHEN qv IS NOT NULL THEN qv > 11.070497693516351 END AS lb_reject
+FROM q
+"""
+
+
+def q_dispersion_events(spark, sf_dir):
+    """Per-event_type index of dispersion (Fano factor) of the dense
+    hourly count series with the Fisher-approximated chi-square
+    over/under-dispersion verdict (operators/stattests.py
+    dispersion_index): variance==mean is the Poisson signature; D>>1
+    flags batch flushes / retry storms, D<<1 rate-limiting. Exact
+    power-sum arithmetic — bit-identical across engines. One fact
+    shuffle."""
+    from htm_streamer_spark.operators.stattests import dispersion_index
+
+    e = _t(spark, sf_dir, "events")
+    return dispersion_index(e, "event_type", "ts", bucket="hour")
+
+
+SQL_DISPERSION = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+a AS (
+  SELECT event_type, count(*)::BIGINT AS nb,
+         sum(c) AS s1, sum(c * c) AS s2
+  FROM dense GROUP BY 1
+),
+f AS (
+  SELECT event_type, nb, nb::DOUBLE AS nn, s1 / nb::DOUBLE AS mean,
+         CASE WHEN nb > 1 THEN
+           (s2 - nb::DOUBLE * (s1 / nb::DOUBLE) * (s1 / nb::DOUBLE))
+             / (nb::DOUBLE - 1.0)
+         END AS var
+  FROM a
+),
+z AS (
+  SELECT event_type, nb, mean,
+         CASE WHEN mean > 0 THEN var / mean END AS fano,
+         CASE WHEN (nn - 1.0) * (CASE WHEN mean > 0 THEN var / mean END) >= 0
+              THEN sqrt(2.0 * ((nn - 1.0)
+                     * (CASE WHEN mean > 0 THEN var / mean END)))
+                   - sqrt(2.0 * (nn - 1.0) - 1.0)
+         END AS zv
+  FROM f
+)
+SELECT event_type, nb AS n_buckets,
+       round(mean + 1e-9, 6) + 0.0 AS mean_rate,
+       round(fano + 1e-9, 6) + 0.0 AS fano,
+       round(zv + 1e-9, 6) + 0.0 AS z,
+       CASE WHEN zv IS NULL THEN NULL
+            WHEN zv > 1.959963984540054 THEN 'over'
+            WHEN zv < -1.959963984540054 THEN 'under'
+            ELSE 'poisson' END AS dispersion
+FROM z
+"""
+
+
+def q_spectral_entropy_events(spark, sf_dir):
+    """Per-event_type band-limited spectral entropy + Wiener flatness
+    of the dense hourly count series over the k=1..8 sub-Nyquist
+    periodogram (operators/stattests.py spectral_entropy):
+    dominant_period names the winning cadence, this says whether the
+    spectrum is a spike (one cycle), a few lines, or white noise.
+    Shares the single-fact-shuffle periodogram core."""
+    from htm_streamer_spark.operators.stattests import spectral_entropy
+
+    e = _t(spark, sf_dir, "events")
+    return spectral_entropy(e, "event_type", "ts", bucket="hour", max_k=8)
+
+
+SQL_SPECTRAL_ENTROPY = (
+    """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+idx AS (
+  SELECT event_type,
+         (row_number() OVER (PARTITION BY event_type ORDER BY b) - 1)::DOUBLE
+           AS t,
+         count(*) OVER (PARTITION BY event_type)::DOUBLE AS n,
+         c - avg(c) OVER (PARTITION BY event_type) AS d
+  FROM dense
+),
+agg AS (
+  SELECT event_type, max(n) AS nn, sum(d * d) AS ss,
+"""
+    + ",\n".join(
+        f"         sum(d * cos(t * {lit} / n)) AS sa{k},\n"
+        f"         sum(d * sin(t * {lit} / n)) AS sb{k}"
+        for k, lit in _DP_LITS.items()
+    )
+    + """
+  FROM idx GROUP BY 1
+),
+stacked AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT event_type, nn, ss, {k} AS k, sa{k} AS sa, sb{k} AS sb"
+        " FROM agg"
+        for k in _DP_LITS
+    )
+    + """
+),
+valid AS (
+  SELECT event_type, nn, ss, k, (sa * sa + sb * sb) * 2.0 / nn AS pw
+  FROM stacked WHERE ss > 0 AND k <= floor((nn - 1) / 2)
+),
+k0 AS (
+  SELECT event_type, count(*)::BIGINT AS n_harmonics,
+         count(CASE WHEN pw > 0 THEN 1 END)::BIGINT AS kk,
+         sum(CASE WHEN pw > 0 THEN pw END) AS tot,
+         sum(CASE WHEN pw > 0 THEN pw * ln(pw) END) AS plogp,
+         sum(CASE WHEN pw > 0 THEN ln(pw) END) AS logsum
+  FROM valid GROUP BY 1
+)
+SELECT agg.event_type, agg.nn::BIGINT AS n_buckets, k0.n_harmonics,
+       CASE WHEN n_harmonics > 1 AND tot > 0 THEN
+         round((ln(tot) - plogp / tot) / ln(n_harmonics::DOUBLE)
+               + 1e-9, 6) + 0.0
+       END AS spec_entropy,
+       CASE WHEN tot > 0 AND kk = n_harmonics THEN
+         round(exp(logsum / n_harmonics::DOUBLE)
+                 / (tot / n_harmonics::DOUBLE) + 1e-9, 6) + 0.0
+            WHEN tot > 0 THEN round(0.0 + 1e-9, 6) + 0.0
+       END AS flatness
+FROM agg LEFT JOIN k0 ON k0.event_type = agg.event_type
+"""
+)
+
+
+def q_exp_gap_ks_events(spark, sf_dir):
+    """Per-event_type Lilliefors-style KS test of the interarrival
+    gaps (integer microseconds) against the exponential distribution
+    with Stephens' modified statistic (operators/stattests.py
+    exp_interarrival_ks): the memorylessness check — a strict
+    heartbeat or batched feed rejects even when bucketed variance
+    looks Poisson. One shuffle; gap tie-collapse reuses the group
+    partitioning."""
+    from htm_streamer_spark.operators.stattests import exp_interarrival_ks
+
+    e = _t(spark, sf_dir, "events")
+    return exp_interarrival_ks(e, "event_type", "ts")
+
+
+SQL_EXP_GAP_KS = """
+WITH gp AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts
+         ) AS gap
+  FROM events
+),
+pv AS (
+  SELECT event_type, gap, count(*)::BIGINT AS cnt
+  FROM gp WHERE gap IS NOT NULL GROUP BY 1, 2
+),
+e AS (
+  SELECT event_type, gap, cnt,
+         sum(cnt) OVER (PARTITION BY event_type) AS ntot,
+         sum(gap * cnt) OVER (PARTITION BY event_type) AS gsum,
+         sum(cnt) OVER (
+           PARTITION BY event_type ORDER BY gap ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM pv
+),
+f AS (
+  SELECT event_type,
+         ntot::DOUBLE AS n,
+         gsum::DOUBLE / ntot::DOUBLE AS mu,
+         cum::DOUBLE / ntot::DOUBLE AS fu,
+         (cum - cnt)::DOUBLE / ntot::DOUBLE AS fl,
+         CASE WHEN gsum::DOUBLE / ntot::DOUBLE > 0 THEN
+           1.0 - exp(-(gap::DOUBLE) / (gsum::DOUBLE / ntot::DOUBLE))
+         END AS fe
+  FROM e
+),
+a AS (
+  SELECT event_type, max(n)::BIGINT AS n_gaps, max(mu) AS mu,
+         max(greatest(abs(fu - fe), abs(fl - fe))) AS d
+  FROM f GROUP BY 1
+),
+s AS (
+  SELECT event_type, n_gaps, mu, d,
+         CASE WHEN d IS NOT NULL THEN
+           (d - 0.2 / n_gaps::DOUBLE)
+             * (sqrt(n_gaps::DOUBLE) + 0.26 + 0.5 / sqrt(n_gaps::DOUBLE))
+         END AS stat
+  FROM a
+)
+SELECT event_type, n_gaps,
+       round(mu + 1e-9, 6) + 0.0 AS mean_gap_us,
+       round(d + 1e-9, 6) + 0.0 AS ks_d,
+       round(stat + 1e-9, 6) + 0.0 AS ks_stat,
+       CASE WHEN stat IS NOT NULL THEN stat > 1.094 END AS exp_reject
+FROM s
+"""
+
+
 def q_mann_kendall_events(spark, sf_dir):
     """Per-event_type Mann–Kendall monotone-trend test over the dense
     hourly count series (operators/stattests.py mann_kendall): the
@@ -7248,6 +7532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_drift_events": q_energy_drift_events,
         "hurst_events": q_hurst_events,
         "dominant_period_events": q_dominant_period_events,
+        "spectral_entropy_events": q_spectral_entropy_events,
+        "ljung_box_events": q_ljung_box_events,
+        "dispersion_events": q_dispersion_events,
+        "exp_gap_ks_events": q_exp_gap_ks_events,
         "holm_drift_events": q_holm_drift_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
@@ -7424,6 +7712,10 @@ def oracle_sql() -> dict[str, str]:
         "energy_drift_events": SQL_ENERGY_DRIFT,
         "hurst_events": SQL_HURST,
         "dominant_period_events": SQL_DOMINANT_PERIOD,
+        "spectral_entropy_events": SQL_SPECTRAL_ENTROPY,
+        "ljung_box_events": SQL_LJUNG_BOX,
+        "dispersion_events": SQL_DISPERSION,
+        "exp_gap_ks_events": SQL_EXP_GAP_KS,
         "holm_drift_events": SQL_HOLM_DRIFT,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,

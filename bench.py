@@ -237,6 +237,10 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "energy_drift_events",
         "hurst_events",
         "dominant_period_events",
+        "spectral_entropy_events",
+        "ljung_box_events",
+        "dispersion_events",
+        "exp_gap_ks_events",
         "transition_jsd_docs",
         "holm_drift_events",
         "json_types_events",

@@ -54,6 +54,10 @@ __all__ = [
     "energy_distance",
     "hurst_rescaled_range",
     "dominant_period",
+    "spectral_entropy",
+    "ljung_box",
+    "dispersion_index",
+    "exp_interarrival_ks",
     "seasonal_cells",
     "seasonal_profile",
     "seasonal_anomalies",
@@ -624,6 +628,22 @@ def acf_bucket_counts(
     windows run per group on that frame. Constant series (zero
     variance) report NULL acf. Returns (group, lag, acf).
     """
+    return _acf_core(df, group_col, ts_col, bucket, max_lag).select(
+        group_col, "lag", "acf"
+    )
+
+
+def _acf_core(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    bucket: str,
+    max_lag: int,
+) -> DataFrame:
+    """Shared ACF pipeline: ``acf_bucket_counts`` plus the dense series
+    length ``_T`` each consumer (Ljung–Box) needs. Values and plan
+    shape are identical to the historical ``acf_bucket_counts`` body —
+    the extra column rides the existing window/aggregate passes."""
     g = group_col
     b = F.date_trunc(bucket, F.col(ts_col))
     counts = df.groupBy(F.col(g), b.alias("_b")).agg(
@@ -644,7 +664,10 @@ def acf_bucket_counts(
     ord_w = Window.partitionBy(g).orderBy("_b")
     mean = F.sum("_c").over(tot) / F.count(F.lit(1)).over(tot)
     dev = dense.select(
-        g, "_b", (F.col("_c") - mean).alias("_d")
+        g,
+        "_b",
+        (F.col("_c") - mean).alias("_d"),
+        F.count(F.lit(1)).over(tot).alias("_T"),
     )
     # all lags come out of ONE window pass (shared ordering), then one
     # aggregate and a stack unpivot — a per-lag union would re-derive
@@ -652,6 +675,7 @@ def acf_bucket_counts(
     # lints against)
     lagged = dev.select(
         g,
+        "_T",
         (F.col("_d") * F.col("_d")).alias("_den"),
         *[
             (F.col("_d") * F.lag("_d", k).over(ord_w)).alias(f"_n{k}")
@@ -659,17 +683,20 @@ def acf_bucket_counts(
         ],
     )
     agg = lagged.groupBy(g).agg(
+        F.max("_T").alias("_T"),
         F.sum("_den").alias("_dn"),
         *[F.sum(f"_n{k}").alias(f"_s{k}") for k in range(1, max_lag + 1)],
     )
     pairs = ", ".join(f"{k}, _s{k}" for k in range(1, max_lag + 1))
     stacked = agg.select(
         g,
+        "_T",
         "_dn",
         F.expr(f"stack({max_lag}, {pairs}) as (lag, _n)"),
     )
     return stacked.select(
         g,
+        "_T",
         "lag",
         F.when(
             F.col("_dn") > 0,
@@ -1848,54 +1875,19 @@ def quantile_qq_drift(
     )
 
 
-def dominant_period(
+def _periodogram_valid(
     df: DataFrame,
     group_col: str,
     ts_col: str,
-    *,
-    bucket: str = "hour",
-    max_k: int = 8,
-) -> DataFrame:
-    """Per-group DOMINANT PERIOD of the bucketed arrival process via
-    the discrete periodogram — the period-DISCOVERY member of the
-    arrival-process family: ``acf_bucket_counts`` tests short fixed
-    lags, ``diurnal_harmonic`` assumes the cycle is 24 h and measures
-    its strength; this operator FINDS the cycle. A feed that quietly
-    switches from a daily to a 12 h batch cadence moves its dominant
-    period long before any volume or value check fires (the
-    reference's single anomaly-likelihood mechanism,
-    htm_streamer/utils/anomaly.py, has no spectral view at all).
-
-    Over the dense mean-centered series ``d_t`` (t = 0..T-1,
-    gap-as-zero — the family stance) the periodogram ordinate at
-    harmonic k is::
-
-        a_k = sum_t d_t cos(2 pi k t / T),
-        b_k = sum_t d_t sin(2 pi k t / T),
-        power_k = (a_k^2 + b_k^2) * 2 / T
-
-    and by Parseval ``sum_k power_k = sum_t d_t^2`` over the
-    sub-Nyquist harmonics, so ``power_frac = power_k / sum_t d_t^2``
-    is the exact fraction of series variance the harmonic explains.
-    The dominant harmonic is the argmax of ``power_k`` over
-    k = 1..min(max_k, floor((T-1)/2)) (6-dp-rounded power, smallest k
-    on ties — cross-engine determinism), reported as
-    ``period_buckets = T / k``. Periods shorter than ``T / max_k``
-    buckets are out of scope by construction: pick ``bucket`` so the
-    cadence of interest is a low harmonic. Constant series (zero
-    deviation energy) and series too short for any sub-Nyquist
-    harmonic (T < 3) report NULLs.
-
-    Plan: one ``groupBy(group, bucket)`` count shuffle (the persisted
-    metadata-sized bucket frame feeds both the span derivation and the
-    dense join, one fact scan — the multi-scan lint); one per-group
-    window pass indexes the dense grid; all 2*max_k trig sums come out
-    of ONE aggregation (conditional columns, not per-k unions); the
-    argmax runs on the |groups| x max_k stacked frame. Zero Python in
-    the plan. Returns
-    (group, n_buckets, best_k, period_buckets, power, power_frac),
-    6 dp.
-    """
+    bucket: str,
+    max_k: int,
+):
+    """Shared periodogram core: returns ``(valid, base)`` where
+    ``valid`` is the sub-Nyquist per-harmonic frame
+    (group, _nn, _ss, _k, _pw) and ``base`` is the all-groups frame
+    (group, n_buckets). One fact scan (persisted bucket frame), one
+    aggregation for all 2*max_k trig sums; see ``dominant_period``
+    for the math and determinism notes."""
     import math
 
     g = group_col
@@ -1974,6 +1966,60 @@ def dominant_period(
             / F.col("_nn")
         ).alias("_pw"),
     )
+    base = agg.select(g, F.col("_nn").cast("long").alias("n_buckets"))
+    return valid, base
+
+
+def dominant_period(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_k: int = 8,
+) -> DataFrame:
+    """Per-group DOMINANT PERIOD of the bucketed arrival process via
+    the discrete periodogram — the period-DISCOVERY member of the
+    arrival-process family: ``acf_bucket_counts`` tests short fixed
+    lags, ``diurnal_harmonic`` assumes the cycle is 24 h and measures
+    its strength; this operator FINDS the cycle. A feed that quietly
+    switches from a daily to a 12 h batch cadence moves its dominant
+    period long before any volume or value check fires (the
+    reference's single anomaly-likelihood mechanism,
+    htm_streamer/utils/anomaly.py, has no spectral view at all).
+
+    Over the dense mean-centered series ``d_t`` (t = 0..T-1,
+    gap-as-zero — the family stance) the periodogram ordinate at
+    harmonic k is::
+
+        a_k = sum_t d_t cos(2 pi k t / T),
+        b_k = sum_t d_t sin(2 pi k t / T),
+        power_k = (a_k^2 + b_k^2) * 2 / T
+
+    and by Parseval ``sum_k power_k = sum_t d_t^2`` over the
+    sub-Nyquist harmonics, so ``power_frac = power_k / sum_t d_t^2``
+    is the exact fraction of series variance the harmonic explains.
+    The dominant harmonic is the argmax of ``power_k`` over
+    k = 1..min(max_k, floor((T-1)/2)) (6-dp-rounded power, smallest k
+    on ties — cross-engine determinism), reported as
+    ``period_buckets = T / k``. Periods shorter than ``T / max_k``
+    buckets are out of scope by construction: pick ``bucket`` so the
+    cadence of interest is a low harmonic. Constant series (zero
+    deviation energy) and series too short for any sub-Nyquist
+    harmonic (T < 3) report NULLs.
+
+    Plan: one ``groupBy(group, bucket)`` count shuffle (the persisted
+    metadata-sized bucket frame feeds both the span derivation and the
+    dense join, one fact scan — the multi-scan lint); one per-group
+    window pass indexes the dense grid; all 2*max_k trig sums come out
+    of ONE aggregation (conditional columns, not per-k unions); the
+    argmax runs on the |groups| x max_k stacked frame. Zero Python in
+    the plan. Returns
+    (group, n_buckets, best_k, period_buckets, power, power_frac),
+    6 dp.
+    """
+    g = group_col
+    valid, base = _periodogram_valid(df, g, ts_col, bucket, max_k)
     rank_w = Window.partitionBy(g).orderBy(
         F.round(F.col("_pw") + F.lit(1e-9), 6).desc(), F.col("_k").asc()
     )
@@ -1994,7 +2040,344 @@ def dominant_period(
     )
     # keep constant / too-short groups with NULLs (contract: every
     # observed group reports)
-    base = agg.select(g, F.col("_nn").cast("long").alias("n_buckets"))
     return base.join(best, [g], "left").select(
         g, "n_buckets", "best_k", "period_buckets", "power", "power_frac"
+    )
+
+
+# chi-square 95th-percentile critical values by degrees of freedom
+# (standard published table, e.g. scipy.stats.chi2.ppf(0.95, df))
+_CHI2_95 = {
+    1: 3.841458820694124,
+    2: 5.991464547107979,
+    3: 7.814727903251179,
+    4: 9.487729036781154,
+    5: 11.070497693516351,
+    6: 12.591587243743977,
+    7: 14.067140449340169,
+    8: 15.50731305586545,
+    9: 16.918977604620448,
+    10: 18.307038053275146,
+}
+
+
+def ljung_box(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_lag: int = 5,
+    alpha_q: float | None = None,
+) -> DataFrame:
+    """Per-group Ljung–Box portmanteau WHITENESS test of the bucketed
+    count series — the hypothesis-test member of the arrival-process
+    family: ``acf_bucket_counts`` reports the per-lag correlations but
+    leaves "is any of this real?" to the reader; Ljung–Box collapses
+    the first h lags into one chi-square statistic::
+
+        Q = T (T + 2) * sum_{k=1..h} r_k^2 / (T - k)
+
+    rejecting whiteness at ``Q > chi2_{0.95, h}`` (Ljung & Box 1978).
+    An iid feed passes; any residual autocorrelation structure —
+    batchiness, retry storms, a cron cadence — fires the single
+    verdict a monitor can alarm on.
+
+    Cross-engine determinism: Q is computed from the 6-dp-ROUNDED
+    ``r_k`` (the same contract ``pacf_durbin_levinson``'s oracle uses),
+    so both engines feed identical doubles into an identical
+    left-to-right sum. Groups with a constant series (NULL acf) or
+    with T <= max_lag (the k = T term would divide by zero; the
+    asymptotics need T >> h anyway) report NULL Q / NULL verdict.
+
+    Plan: inherits the single fact shuffle from ``_acf_core``; the Q
+    reduction runs on the |groups| x max_lag stacked frame. Returns
+    (group, n_buckets, q_stat, lb_reject), 6 dp.
+    """
+    if alpha_q is None:
+        if max_lag not in _CHI2_95:
+            raise ValueError(
+                f"no built-in chi-square critical value for max_lag="
+                f"{max_lag}; pass alpha_q explicitly"
+            )
+        alpha_q = _CHI2_95[max_lag]
+    g = group_col
+    core = _acf_core(df, g, ts_col, bucket, max_lag)
+    t = F.col("_T").cast("double")
+    agg = core.groupBy(g).agg(
+        F.max("_T").cast("long").alias("n_buckets"),
+        # ANSI-safe: guard the T == k arm instead of dividing by zero
+        F.sum(
+            F.when(
+                (F.col("_T") > F.col("lag")) & F.col("acf").isNotNull(),
+                F.col("acf") * F.col("acf") / (t - F.col("lag")),
+            )
+        ).alias("_s"),
+        F.count(F.when(F.col("acf").isNotNull(), 1)).alias("_nr"),
+    )
+    nn = F.col("n_buckets").cast("double")
+    q = F.when(
+        (F.col("n_buckets") > max_lag) & (F.col("_nr") == max_lag),
+        nn * (nn + 2.0) * F.col("_s"),
+    )
+    return agg.select(
+        g,
+        "n_buckets",
+        F.round(q + F.lit(1e-9), 6).alias("q_stat"),
+        F.when(q.isNotNull(), q > alpha_q).alias("lb_reject"),
+    )
+
+
+def dispersion_index(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group INDEX OF DISPERSION (Fano factor) of the bucketed
+    count series with a chi-square over/under-dispersion verdict — the
+    Poisson-ness member of the arrival-process family: a memoryless
+    feed has variance == mean per bucket (D = 1); D >> 1 is burstiness
+    (batch flushes, retry storms), D << 1 is smoothing/rate-limiting
+    upstream. The classic test (Cox & Lewis 1966) treats
+    ``(T-1) * D`` as chi-square with T-1 dof under H0; the Fisher
+    normal approximation ``z = sqrt(2 chi2) - sqrt(2 df - 1)`` gives a
+    two-sided verdict at |z| > z_crit (default 1.96, 5%).
+
+    Determinism: the variance comes from raw power sums
+    ``(sum c^2 - T mean^2) / (T - 1)`` — integer-valued double sums
+    are exact, the mean is an exact-args division, and sqrt is
+    IEEE-correctly-rounded, so every output is bit-identical across
+    engines (no rounding slack needed beyond the house 6 dp).
+
+    Plan: one ``groupBy(group, bucket)`` count shuffle (persisted —
+    span + dense join, one fact scan); everything after is arithmetic
+    on the |groups|-row frame. Degenerate groups (T < 2 or mean 0)
+    report NULLs. Returns
+    (group, n_buckets, mean_rate, fano, z, dispersion), 6 dp.
+    """
+    g = group_col
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = df.groupBy(F.col(g), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    counts = counts.persist()  # span + dense join: one fact scan
+    span = counts.groupBy(g).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    grid = span.select(
+        g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
+    )
+    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    agg = dense.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_c").cast("double").alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).cast("double").alias("_s2"),
+    )
+    nn = F.col("n_buckets").cast("double")
+    mean = F.col("_s1") / nn
+    var = F.when(
+        F.col("n_buckets") > 1,
+        (F.col("_s2") - nn * mean * mean) / (nn - 1.0),
+    )
+    fano = F.when(mean > 0, var / mean)
+    chi2 = (nn - 1.0) * fano
+    z = F.when(
+        chi2 >= 0,
+        F.sqrt(2.0 * chi2) - F.sqrt(2.0 * (nn - 1.0) - 1.0),
+    )
+    return agg.select(
+        g,
+        "n_buckets",
+        F.round(mean + F.lit(1e-9), 6).alias("mean_rate"),
+        F.round(fano + F.lit(1e-9), 6).alias("fano"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+        F.when(z.isNull(), F.lit(None).cast("string"))
+        .when(z > z_crit, F.lit("over"))
+        .when(z < -z_crit, F.lit("under"))
+        .otherwise(F.lit("poisson"))
+        .alias("dispersion"),
+    )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_k: int = 8,
+) -> DataFrame:
+    """Per-group band-limited SPECTRAL ENTROPY and flatness of the
+    bucketed arrival series — the how-periodic-overall member of the
+    arrival-process family: ``dominant_period`` names the winning
+    cadence; spectral entropy says whether the spectrum is a spike
+    (one strong cycle — entropy → 0), a few cycles, or white noise
+    (flat spectrum — entropy → 1). The complementary flatness measure
+    (Wiener entropy, geometric/arithmetic mean ratio) reacts harder to
+    a single dominant line.
+
+    Over the sub-Nyquist periodogram ordinates ``power_k``
+    (k = 1..min(max_k, floor((T-1)/2)), shared core with
+    ``dominant_period``) with ``p_k = power_k / sum power``::
+
+        spec_entropy = - sum p_k ln p_k / ln(K)     (K > 1)
+        flatness     = exp(mean ln power_k) / mean power_k
+
+    Zero ordinates are excluded from both logs (measure-zero terms:
+    ``p ln p -> 0``; flatness of a spectrum with a true zero line is
+    0, reported as such). Band-limited by construction: entropy is
+    over the k <= max_k harmonics only — the monitoring question is
+    "did the LOW-frequency structure change", so a fixed small band is
+    the deliberate contract, not an approximation. Constant series
+    and K < 2 report NULL entropy.
+
+    Plan: one fact shuffle (shared periodogram core); the entropy
+    reduction runs on the |groups| x K stacked frame. Returns
+    (group, n_buckets, n_harmonics, spec_entropy, flatness), 6 dp.
+    """
+    g = group_col
+    valid, base = _periodogram_valid(df, g, ts_col, bucket, max_k)
+    nz = valid.where(F.col("_pw") > 0)
+    agg = nz.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("_kk"),
+        F.sum("_pw").alias("_tot"),
+        F.sum(F.col("_pw") * F.log(F.col("_pw"))).alias("_plogp"),
+        F.sum(F.log("_pw")).alias("_logsum"),
+    )
+    # count of ALL sub-Nyquist ordinates (zero lines included: they
+    # zero the flatness numerator and contribute p ln p -> 0 to the
+    # entropy, but they DO widen the band normalizer ln K)
+    kall = valid.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_harmonics")
+    )
+    j = kall.join(agg, [g], "left")
+    kb = F.col("n_harmonics").cast("double")
+    # H = -sum p ln p / ln K  with  p = pw/tot:
+    #   -sum (pw/tot)(ln pw - ln tot) = ln tot - plogp/tot
+    ent = F.when(
+        (F.col("n_harmonics") > 1) & (F.col("_tot") > 0),
+        (F.log(F.col("_tot")) - F.col("_plogp") / F.col("_tot"))
+        / F.log(kb),
+    )
+    flat = F.when(
+        (F.col("_tot") > 0) & (F.col("_kk") == F.col("n_harmonics")),
+        F.exp(F.col("_logsum") / kb) / (F.col("_tot") / kb),
+    ).otherwise(
+        F.when(F.col("_tot") > 0, F.lit(0.0))
+    )
+    out = j.select(
+        g,
+        "n_harmonics",
+        F.round(ent + F.lit(1e-9), 6).alias("spec_entropy"),
+        F.round(flat + F.lit(1e-9), 6).alias("flatness"),
+    )
+    return base.join(out, [g], "left").select(
+        g, "n_buckets", "n_harmonics", "spec_entropy", "flatness"
+    )
+
+
+def exp_interarrival_ks(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    alpha_stat: float = 1.094,
+) -> DataFrame:
+    """Per-group KS goodness-of-fit of the INTERARRIVAL gaps against
+    the exponential distribution — the memorylessness member of the
+    arrival-process family, and the continuous-time complement of
+    ``dispersion_index``: Fano tests bucketed variance, this tests the
+    full gap distribution (a feed can hold variance == mean per hour
+    while its within-hour gaps are wildly non-exponential — e.g. a
+    strict 36 s heartbeat).
+
+    Gaps are integer microseconds between consecutive events per group
+    (lag over the ts sort; the multiset of consecutive differences of
+    a sorted sequence is tie-order invariant, so no tie-break column
+    is needed). With the mean estimated from the data, plain KS
+    critical values are invalid (Lilliefors); we report Stephens'
+    (1974) modified statistic for the exponential case::
+
+        D    = sup_x |F_n(x) - (1 - exp(-x/mean))|   (both ECDF sides)
+        stat = (D - 0.2/n) * (sqrt(n) + 0.26 + 0.5/sqrt(n))
+
+    rejecting exponentiality at ``stat > 1.094`` (the published 5%
+    point). Zero-width gap ties are collapsed before the sup (discrete
+    ECDF treatment, same as ``ks_two_sample``). Groups with < 2 events
+    or zero mean gap (all simultaneous) report NULLs.
+
+    Plan: one shuffle partitions by group; the ts sort feeds the lag
+    window, the (group, gap) tie-collapse reuses the same
+    partitioning (subset-key clustering — no second exchange), and
+    the sup is one aggregate. Per-group sort is the same accepted
+    single-task bound as ``likelihood_events``. Returns
+    (group, n_gaps, mean_gap_us, ks_d, ks_stat, exp_reject), 6 dp.
+    """
+    g = group_col
+    # integer microseconds: Spark truncates unix_timestamp() on
+    # fractional seconds while other engines round — timestampdiff
+    # at MICROSECOND granularity is exact on both (house rule)
+    gaps = (
+        df.select(
+            g,
+            F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"lag({ts_col}) over "
+                f"(partition by {g} order by {ts_col}), {ts_col})"
+            ).alias("_gap"),
+        )
+        .where(F.col("_gap").isNotNull())
+    )
+    per_v = gaps.groupBy(g, "_gap").agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = Window.partitionBy(g)
+    cum_w = (
+        Window.partitionBy(g)
+        .orderBy("_gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.sum("_cnt").over(tot).cast("double")
+    mean = F.sum(F.col("_gap") * F.col("_cnt")).over(tot).cast(
+        "double"
+    ) / n
+    ecdf = per_v.select(
+        g,
+        n.alias("_n"),
+        mean.alias("_mu"),
+        (F.sum("_cnt").over(cum_w).cast("double") / n).alias("_fu"),
+        (
+            (F.sum("_cnt").over(cum_w) - F.col("_cnt")).cast("double")
+            / n
+        ).alias("_fl"),
+        F.when(
+            mean > 0,
+            1.0 - F.exp(-F.col("_gap").cast("double") / mean),
+        ).alias("_fe"),
+    )
+    agg = ecdf.groupBy(g).agg(
+        F.max("_n").cast("long").alias("n_gaps"),
+        F.max("_mu").alias("_mu"),
+        F.max(
+            F.greatest(
+                F.abs(F.col("_fu") - F.col("_fe")),
+                F.abs(F.col("_fl") - F.col("_fe")),
+            )
+        ).alias("_d"),
+    )
+    nn = F.col("n_gaps").cast("double")
+    stat = F.when(
+        F.col("_d").isNotNull(),
+        (F.col("_d") - 0.2 / nn)
+        * (F.sqrt(nn) + 0.26 + 0.5 / F.sqrt(nn)),
+    )
+    return agg.select(
+        g,
+        "n_gaps",
+        F.round(F.col("_mu") + F.lit(1e-9), 6).alias("mean_gap_us"),
+        F.round(F.col("_d") + F.lit(1e-9), 6).alias("ks_d"),
+        F.round(stat + F.lit(1e-9), 6).alias("ks_stat"),
+        F.when(stat.isNotNull(), stat > alpha_stat).alias("exp_reject"),
     )
