@@ -6157,6 +6157,199 @@ FROM s
 """
 
 
+def q_kruskal_wallis_docs(spark, sf_dir):
+    """Kruskal-Wallis H per lang across the k=|sources| classes on
+    n_chars (operators/rankstats.py kruskal_wallis): the k-sample
+    location test — one verdict instead of k(k-1)/2 pairwise MWUs.
+    Tie-corrected pooled midranks, chi-square ladder verdict at
+    df = k-1. One exchange; both reductions subset-key clustered."""
+    from htm_streamer_spark.operators.rankstats import kruskal_wallis
+
+    d = _t(spark, sf_dir, "documents")
+    return kruskal_wallis(d, "lang", "n_chars", "source")
+
+
+def _chi2_case_sql(df_expr: str) -> str:
+    """CASE ladder mapping ``df_expr`` (degrees of freedom) to the
+    chi-square 95% critical value — the same literals the Spark side
+    folds from operators/stattests._CHI2_95."""
+    from htm_streamer_spark.operators.stattests import _CHI2_95
+
+    arms = " ".join(
+        f"WHEN {d} THEN {v!r}" for d, v in _CHI2_95.items()
+    )
+    return f"(CASE {df_expr} {arms} END)"
+
+
+SQL_KRUSKAL_WALLIS = f"""
+WITH ranked AS (
+  SELECT lang, source AS cls,
+         rank() OVER (PARTITION BY lang ORDER BY n_chars)
+           + (count(*) OVER (PARTITION BY lang, n_chars) - 1) / 2.0 AS r,
+         count(*) OVER (PARTITION BY lang, n_chars) AS t
+  FROM documents WHERE n_chars IS NOT NULL
+),
+pc AS (
+  SELECT lang, cls, count(*)::BIGINT AS nj, sum(r) AS rj,
+         sum(t::DOUBLE * t - 1.0) AS ties
+  FROM ranked GROUP BY 1, 2
+),
+a AS (
+  SELECT lang, sum(nj)::BIGINT AS n, count(*)::BIGINT AS k,
+         sum(rj * rj / nj) AS rsum, sum(ties) AS ts
+  FROM pc GROUP BY 1
+),
+h AS (
+  SELECT lang, n, k,
+    CASE WHEN k > 1
+          AND (1.0 - ts / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) > 0
+         THEN (12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * rsum
+                 - 3.0 * (n::DOUBLE + 1.0))
+              / (1.0 - ts
+                   / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE))
+    END AS hc
+  FROM h0
+)
+SELECT lang, n, k,
+       round(hc + 1e-9, 6) + 0.0 AS h_stat,
+       CASE WHEN hc IS NOT NULL
+             AND {_chi2_case_sql("k - 1")} IS NOT NULL
+            THEN hc > {_chi2_case_sql("k - 1")} END AS kw_reject
+FROM h
+""".replace("FROM h0", "FROM a")
+
+
+def q_brown_forsythe_docs(spark, sf_dir):
+    """Brown-Forsythe (median Levene) variance-homogeneity per lang
+    across sources on n_chars (operators/rankstats.py brown_forsythe):
+    the SCALE member of the k-sample family — fires on a source whose
+    doc-length spread changed even when its median held. Median pinned
+    to avg-of-two-middles on the tie-collapsed frame (no percentile-
+    implementation drift); ONE fact scan, broadcast median join."""
+    from htm_streamer_spark.operators.rankstats import brown_forsythe
+
+    d = _t(spark, sf_dir, "documents")
+    return brown_forsythe(d, "lang", "n_chars", "source")
+
+
+SQL_BROWN_FORSYTHE = f"""
+WITH col AS (
+  SELECT lang, source AS cls, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2, 3
+),
+wc AS (
+  SELECT lang, cls, v, c,
+         sum(c) OVER (
+           PARTITION BY lang, cls ORDER BY v ROWS UNBOUNDED PRECEDING
+         ) AS cum,
+         sum(c) OVER (PARTITION BY lang, cls) AS nj
+  FROM col
+),
+med AS (
+  SELECT lang, cls,
+         min(CASE WHEN cum >= ceil(nj / 2) THEN v END) AS lo,
+         min(CASE WHEN cum >= floor(nj / 2) + 1 THEN v END) AS hi
+  FROM wc GROUP BY 1, 2
+),
+dev AS (
+  SELECT col.lang, col.cls, col.c,
+         abs(col.v::DOUBLE - (med.lo + med.hi) / 2.0) AS z
+  FROM col JOIN med ON med.lang = col.lang AND med.cls = col.cls
+),
+pc AS (
+  SELECT lang, cls, sum(c)::BIGINT AS nj,
+         sum(c * z) AS sz, sum(c * z * z) AS szz
+  FROM dev GROUP BY 1, 2
+),
+a AS (
+  SELECT lang, sum(nj)::BIGINT AS n, count(*)::BIGINT AS k,
+         sum(sz * sz / nj) AS b, sum(sz) AS szt,
+         sum(szz - sz * sz / nj) AS ssw
+  FROM pc GROUP BY 1
+),
+w AS (
+  SELECT lang, n, k,
+    CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+      (n::DOUBLE - k::DOUBLE) / (k::DOUBLE - 1.0)
+        * (b - szt * szt / n::DOUBLE) / ssw
+    END AS wv
+  FROM a
+)
+SELECT lang, n, k,
+       round(wv + 1e-9, 6) + 0.0 AS bf_stat,
+       CASE WHEN wv IS NOT NULL
+             AND {_chi2_case_sql("k - 1")} IS NOT NULL
+            THEN (k::DOUBLE - 1.0) * wv > {_chi2_case_sql("k - 1")}
+       END AS bf_reject
+FROM w
+"""
+
+
+def q_welch_t_events(spark, sf_dir):
+    """Welch's unequal-variance t-test per event_type between the
+    even/odd event_id halves of value (operators/stattests.py
+    welch_t): the parametric mean-shift member of the two-sample
+    family (MWU = robust location, KS/CvM/energy = omnibus), with the
+    Satterthwaite df reported. ONE map-side-combinable aggregation —
+    the cheapest operator in the battery."""
+    from htm_streamer_spark.operators.stattests import welch_t
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 2).alias("half")
+    )
+    return welch_t(e, "event_type", "value", "half")
+
+
+SQL_WELCH_T = """
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         value AS v
+  FROM events WHERE value IS NOT NULL
+),
+a AS (
+  SELECT event_type,
+         sum(ia)::BIGINT AS n_a, sum(1 - ia)::BIGINT AS n_b,
+         sum(CASE WHEN ia = 1 THEN v END) AS sa,
+         sum(CASE WHEN ia = 0 THEN v END) AS sb,
+         sum(CASE WHEN ia = 1 THEN v * v END) AS qa,
+         sum(CASE WHEN ia = 0 THEN v * v END) AS qb
+  FROM s GROUP BY 1
+),
+f AS (
+  SELECT event_type, n_a, n_b,
+         sa / n_a::DOUBLE AS ma, sb / n_b::DOUBLE AS mb,
+         CASE WHEN n_a > 1 THEN
+           (qa - n_a::DOUBLE * (sa / n_a::DOUBLE) * (sa / n_a::DOUBLE))
+             / (n_a::DOUBLE - 1.0) END AS va,
+         CASE WHEN n_b > 1 THEN
+           (qb - n_b::DOUBLE * (sb / n_b::DOUBLE) * (sb / n_b::DOUBLE))
+             / (n_b::DOUBLE - 1.0) END AS vb
+  FROM a
+),
+t AS (
+  SELECT event_type, n_a, n_b, ma, mb, va, vb,
+         va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2
+  FROM f
+)
+SELECT event_type, n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(ma - mb + 1e-9, 6) + 0.0 END AS mean_diff,
+  CASE WHEN se2 > 0 THEN
+    round((ma - mb) / sqrt(se2) + 1e-9, 6) + 0.0 END AS t_stat,
+  CASE WHEN se2 > 0 THEN
+    round(se2 * se2
+            / ((va / n_a::DOUBLE) * (va / n_a::DOUBLE)
+                 / (n_a::DOUBLE - 1.0)
+               + (vb / n_b::DOUBLE) * (vb / n_b::DOUBLE)
+                 / (n_b::DOUBLE - 1.0))
+          + 1e-9, 6) + 0.0 END AS dof,
+  CASE WHEN se2 > 0 THEN
+    abs((ma - mb) / sqrt(se2)) > 1.959963984540054 END AS t_reject
+FROM t
+"""
+
+
 def q_mann_kendall_events(spark, sf_dir):
     """Per-event_type Mann–Kendall monotone-trend test over the dense
     hourly count series (operators/stattests.py mann_kendall): the
@@ -7536,6 +7729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_events": q_ljung_box_events,
         "dispersion_events": q_dispersion_events,
         "exp_gap_ks_events": q_exp_gap_ks_events,
+        "kruskal_wallis_docs": q_kruskal_wallis_docs,
+        "brown_forsythe_docs": q_brown_forsythe_docs,
+        "welch_t_events": q_welch_t_events,
         "holm_drift_events": q_holm_drift_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
@@ -7716,6 +7912,9 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box_events": SQL_LJUNG_BOX,
         "dispersion_events": SQL_DISPERSION,
         "exp_gap_ks_events": SQL_EXP_GAP_KS,
+        "kruskal_wallis_docs": SQL_KRUSKAL_WALLIS,
+        "brown_forsythe_docs": SQL_BROWN_FORSYTHE,
+        "welch_t_events": SQL_WELCH_T,
         "holm_drift_events": SQL_HOLM_DRIFT,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,

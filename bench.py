@@ -241,6 +241,9 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "ljung_box_events",
         "dispersion_events",
         "exp_gap_ks_events",
+        "kruskal_wallis_docs",
+        "brown_forsythe_docs",
+        "welch_t_events",
         "transition_jsd_docs",
         "holm_drift_events",
         "json_types_events",

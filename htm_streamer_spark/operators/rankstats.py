@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["spearman_corr", "mann_whitney_u"]
+from htm_streamer_spark.operators.stattests import _CHI2_95
+
+__all__ = [
+    "spearman_corr",
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "brown_forsythe",
+]
 
 
 def _avg_rank(group_col: str, value_col: str):
@@ -112,4 +119,192 @@ def mann_whitney_u(
         F.round(
             F.when(var_u > 0, (u1 - mean_u) / F.sqrt(var_u)), 6
         ).alias("mwu_z"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H per group: the K-SAMPLE extension of the
+    two-sample battery (MWU/KS/CvM/energy all compare exactly two
+    samples; a corpus sliced by source has k of them, and running
+    k(k-1)/2 pairwise tests both loses power and multiplies the FDR
+    problem ``holm_stepdown`` exists to fix). H asks once: "do the k
+    classes share one value distribution, against location shifts?"
+
+    Textbook tie-corrected form over pooled midranks::
+
+        H  = 12 / (N (N+1)) * sum_j R_j^2 / n_j  -  3 (N + 1)
+        C  = 1 - sum(t^3 - t) / (N^3 - N)        (t = tie-bucket size)
+        Hc = H / C,   reject at Hc > chi2_{0.95, k-1}
+
+    Midranks and the tie sum use the same per-row identities as
+    ``mann_whitney_u`` (rank + (tie-1)/2; each tie row contributes
+    t^2 - 1) — exact half-integer arithmetic, engine-agnostic. The
+    chi-square verdict is a literal df -> critical-value ladder for
+    k - 1 in 1..30 (NULL beyond — at that many classes the caller
+    should model, not gate). Degenerate groups (k < 2, or every
+    pooled value tied: C <= 0) report NULL H.
+
+    Plan: one exchange partitions by group (both rank windows and
+    both re-aggregations are subset-key clustered on it); the class
+    and group reductions are map-side combinable. Per-group sort is
+    the accepted hot-group bound. Returns
+    (group, n, k, h_stat, kw_reject), 6 dp.
+    """
+    g = group_col
+    ranked = df.where(F.col(value_col).isNotNull()).select(
+        g,
+        F.col(class_col).alias("_cls"),
+        _avg_rank(g, value_col).alias("_r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(g, value_col))
+        .alias("_t"),
+    )
+    per_cls = ranked.groupBy(g, "_cls").agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum("_r").alias("_rj"),
+        F.sum(F.col("_t").cast("double") * F.col("_t") - 1.0).alias(
+            "_ties"
+        ),
+    )
+    agg = per_cls.groupBy(g).agg(
+        F.sum("_nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("_rj") * F.col("_rj") / F.col("_nj")).alias("_rsum"),
+        F.sum("_ties").alias("_ts"),
+    )
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1.0)) * F.col("_rsum") - 3.0 * (nn + 1.0)
+    c = 1.0 - F.col("_ts") / (nn * nn * nn - nn)
+    hc = F.when((F.col("k") > 1) & (c > 0), h / c)
+    crit = F.lit(None).cast("double")
+    for dof, cv in _CHI2_95.items():
+        crit = F.when(F.col("k") - 1 == dof, F.lit(cv)).otherwise(crit)
+    return agg.select(
+        g,
+        "n",
+        "k",
+        F.round(hc + F.lit(1e-9), 6).alias("h_stat"),
+        F.when(hc.isNotNull() & crit.isNotNull(), hc > crit).alias(
+            "kw_reject"
+        ),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Brown–Forsythe (median-based Levene) variance-homogeneity test
+    per group: the SCALE member of the k-sample family —
+    ``kruskal_wallis`` detects location shifts across the k classes,
+    Brown–Forsythe detects a class whose SPREAD changed (a source
+    whose doc-length variance exploded is mixing two populations even
+    if its median held). One-way ANOVA F on the absolute deviations
+    from each class's median::
+
+        z_ij = |x_ij - median_j|
+        W = (N-k)/(k-1) * sum_j n_j (zbar_j - zbar)^2
+                        / sum_ij (z_ij - zbar_j)^2
+
+    with the large-N verdict ``(k-1) W > chi2_{0.95, k-1}`` (the
+    numerator's asymptotic law; exact F quantiles have no closed
+    form — df are reported so a caller can apply exact tables).
+
+    Determinism: the median is pinned to "average of the two middle
+    order statistics", computed from cumulative weights on the
+    tie-collapsed (class, value, count) frame — identical in any
+    engine, no percentile-implementation drift. All sums afterwards
+    are weighted power sums on that collapsed frame.
+
+    Plan: ONE fact scan — the ``groupBy(group, class, value)``
+    tie-collapse is the only full-data shuffle; the median window,
+    join-back (broadcast: |classes| rows), and both reductions run on
+    the collapsed frame. Degenerate groups (k < 2, N <= k, or zero
+    within-class deviation SS) report NULL W. Returns
+    (group, n, k, bf_stat, bf_reject), 6 dp.
+    """
+    g = group_col
+    collapsed = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(g, F.col(class_col).alias("_cls"), F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cum_w = (
+        Window.partitionBy(g, "_cls")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy(g, "_cls")
+    with_cum = collapsed.select(
+        g,
+        "_cls",
+        "_v",
+        "_c",
+        F.sum("_c").over(cum_w).alias("_cum"),
+        F.sum("_c").over(tot_w).alias("_nj"),
+    )
+    # median = avg of the two middle order stats: lo = first value
+    # whose cumulative count reaches ceil(Nj/2), hi = first reaching
+    # floor(Nj/2)+1 (equal when Nj is odd)
+    med = with_cum.groupBy(g, "_cls").agg(
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.col("_nj") / 2), F.col("_v")
+            )
+        ).alias("_lo"),
+        F.min(
+            F.when(
+                F.col("_cum") >= F.floor(F.col("_nj") / 2) + 1,
+                F.col("_v"),
+            )
+        ).alias("_hi"),
+    )
+    dev = collapsed.join(F.broadcast(med), [g, "_cls"]).select(
+        g,
+        "_cls",
+        "_c",
+        F.abs(
+            F.col("_v").cast("double")
+            - (F.col("_lo") + F.col("_hi")) / 2.0
+        ).alias("_z"),
+    )
+    per_cls = dev.groupBy(g, "_cls").agg(
+        F.sum("_c").alias("_nj"),
+        F.sum(F.col("_c") * F.col("_z")).alias("_sz"),
+        F.sum(F.col("_c") * F.col("_z") * F.col("_z")).alias("_szz"),
+    )
+    agg = per_cls.groupBy(g).agg(
+        F.sum("_nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("_sz") * F.col("_sz") / F.col("_nj")).alias("_b"),
+        F.sum("_sz").alias("_szt"),
+        F.sum(F.col("_szz") - F.col("_sz") * F.col("_sz") / F.col("_nj"))
+        .alias("_ssw"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    ssb = F.col("_b") - F.col("_szt") * F.col("_szt") / nn
+    w = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("_ssw") > 0),
+        (nn - kk) / (kk - 1.0) * ssb / F.col("_ssw"),
+    )
+    crit = F.lit(None).cast("double")
+    for dof, cv in _CHI2_95.items():
+        crit = F.when(F.col("k") - 1 == dof, F.lit(cv)).otherwise(crit)
+    return agg.select(
+        g,
+        "n",
+        "k",
+        F.round(w + F.lit(1e-9), 6).alias("bf_stat"),
+        F.when(
+            w.isNotNull() & crit.isNotNull(),
+            (kk - 1.0) * w > crit,
+        ).alias("bf_reject"),
     )

@@ -58,6 +58,7 @@ __all__ = [
     "ljung_box",
     "dispersion_index",
     "exp_interarrival_ks",
+    "welch_t",
     "seasonal_cells",
     "seasonal_profile",
     "seasonal_anomalies",
@@ -2058,6 +2059,26 @@ _CHI2_95 = {
     8: 15.50731305586545,
     9: 16.918977604620448,
     10: 18.307038053275146,
+    11: 19.675137572682488,
+    12: 21.026069817483055,
+    13: 22.36203249482694,
+    14: 23.684791304840566,
+    15: 24.995790139728612,
+    16: 26.296227604864228,
+    17: 27.587111638275317,
+    18: 28.86929943039263,
+    19: 30.14352720564616,
+    20: 31.410432844230932,
+    21: 32.6705733409173,
+    22: 33.92443847144379,
+    23: 35.17246162690806,
+    24: 36.4150285018073,
+    25: 37.65248413348276,
+    26: 38.88513865983005,
+    27: 40.11327206941361,
+    28: 41.33713815142741,
+    29: 42.556967804292654,
+    30: 43.77297182574216,
 }
 
 
@@ -2380,4 +2401,90 @@ def exp_interarrival_ks(
         F.round(F.col("_d") + F.lit(1e-9), 6).alias("ks_d"),
         F.round(stat + F.lit(1e-9), 6).alias("ks_stat"),
         F.when(stat.isNotNull(), stat > alpha_stat).alias("exp_reject"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sample_col: str,
+    *,
+    a_value=0,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group Welch's unequal-variance t-test between the two
+    samples split by ``sample_col`` — the parametric MEAN-shift member
+    of the two-sample family: MWU is the robust location test on
+    ranks, KS/CvM/energy are omnibus; Welch answers the narrower and
+    more sensitive question "did the mean move?", without Student's
+    equal-variance assumption (which a drifting pipeline violates by
+    definition)::
+
+        t  = (mean_a - mean_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)^2
+             / ((v_a/n_a)^2/(n_a-1) + (v_b/n_b)^2/(n_b-1))
+
+    (Welch 1947; Satterthwaite df). Verdict at |t| > z_crit — the
+    NORMAL approximation (default 1.96, 5%), valid at validation-scale
+    n; the exact Satterthwaite df is reported so a caller with tiny
+    samples can consult t-tables instead. Rows with
+    ``sample_col = a_value`` form sample A, all others B; NULL values
+    drop. Groups needing guards (either n < 2, zero pooled standard
+    error) report NULLs.
+
+    Plan: ONE ``groupBy(group)`` aggregation over conditional power
+    sums — no window, no join, map-side combinable; the cheapest
+    operator in the battery. Returns
+    (group, n_a, n_b, mean_diff, t_stat, dof, t_reject), 6 dp.
+    """
+    g = group_col
+    is_a = (F.col(sample_col) == F.lit(a_value)).cast("int")
+    narrow = df.where(F.col(value_col).isNotNull()).select(
+        g,
+        is_a.alias("_ia"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    agg = narrow.groupBy(g).agg(
+        F.sum("_ia").cast("long").alias("n_a"),
+        F.sum(1 - F.col("_ia")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_ia") == 1, F.col("_v"))).alias("_sa"),
+        F.sum(F.when(F.col("_ia") == 0, F.col("_v"))).alias("_sb"),
+        F.sum(
+            F.when(F.col("_ia") == 1, F.col("_v") * F.col("_v"))
+        ).alias("_qa"),
+        F.sum(
+            F.when(F.col("_ia") == 0, F.col("_v") * F.col("_v"))
+        ).alias("_qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    va = F.when(
+        F.col("n_a") > 1, (F.col("_qa") - na * ma * ma) / (na - 1.0)
+    )
+    vb = F.when(
+        F.col("n_b") > 1, (F.col("_qb") - nb * mb * mb) / (nb - 1.0)
+    )
+    se2 = va / na + vb / nb
+    t = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        se2
+        * se2
+        / (
+            (va / na) * (va / na) / (na - 1.0)
+            + (vb / nb) * (vb / nb) / (nb - 1.0)
+        ),
+    )
+    diff = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), ma - mb)
+    return agg.select(
+        g,
+        "n_a",
+        "n_b",
+        F.round(diff + F.lit(1e-9), 6).alias("mean_diff"),
+        F.round(t + F.lit(1e-9), 6).alias("t_stat"),
+        F.round(dof + F.lit(1e-9), 6).alias("dof"),
+        F.when(t.isNotNull(), F.abs(t) > z_crit).alias("t_reject"),
     )
