@@ -6350,6 +6350,175 @@ FROM t
 """
 
 
+def q_arrival_profile_events(spark, sf_dir):
+    """FUSED per-event_type arrival-process health report
+    (operators/stattests.py arrival_profile): dispersion + Ljung-Box
+    + dominant period + spectral entropy from ONE fact scan — the
+    operator a monitor schedules instead of re-reading the fact table
+    once per statistic. Single groupBy(group,bucket) shuffle into a
+    persisted dense frame; all derivations + three broadcast-sized
+    joins run on it. Each statistic is bit-identical to its standalone
+    operator (same code, dense injected); the oracle is the join of
+    the individual oracles."""
+    from htm_streamer_spark.operators.stattests import arrival_profile
+
+    e = _t(spark, sf_dir, "events")
+    return arrival_profile(e, "event_type", "ts", bucket="hour")
+
+
+SQL_ARRIVAL_PROFILE = (
+    """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+-- dispersion (Fano): exact power sums
+a_d AS (
+  SELECT event_type, count(*)::BIGINT AS nb, sum(c) AS s1, sum(c * c) AS s2
+  FROM dense GROUP BY 1
+),
+f_d AS (
+  SELECT event_type, nb, nb::DOUBLE AS nn, s1 / nb::DOUBLE AS mean,
+         CASE WHEN nb > 1 THEN
+           (s2 - nb::DOUBLE * (s1 / nb::DOUBLE) * (s1 / nb::DOUBLE))
+             / (nb::DOUBLE - 1.0)
+         END AS var
+  FROM a_d
+),
+z_d AS (
+  SELECT event_type, nb, mean,
+         CASE WHEN mean > 0 THEN var / mean END AS fano,
+         CASE WHEN (nn - 1.0) * (CASE WHEN mean > 0 THEN var / mean END) >= 0
+              THEN sqrt(2.0 * ((nn - 1.0)
+                     * (CASE WHEN mean > 0 THEN var / mean END)))
+                   - sqrt(2.0 * (nn - 1.0) - 1.0)
+         END AS zv
+  FROM f_d
+),
+-- Ljung-Box over 6-dp-rounded ACF
+m AS (SELECT event_type, avg(c) AS mu FROM dense GROUP BY 1),
+dev AS (
+  SELECT dense.event_type, b, c - mu AS d
+  FROM dense JOIN m ON m.event_type = dense.event_type
+),
+l AS (
+  SELECT event_type, d,
+         lag(d, 1) OVER w AS d1, lag(d, 2) OVER w AS d2,
+         lag(d, 3) OVER w AS d3, lag(d, 4) OVER w AS d4,
+         lag(d, 5) OVER w AS d5
+  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+a_l AS (
+  SELECT event_type, count(*)::BIGINT AS nb, sum(d * d) AS dn,
+         sum(d * d1) AS s1, sum(d * d2) AS s2, sum(d * d3) AS s3,
+         sum(d * d4) AS s4, sum(d * d5) AS s5
+  FROM l GROUP BY 1
+),
+r_l AS (
+  SELECT event_type, nb, nb::DOUBLE AS nn,
+         CASE WHEN dn > 0 THEN round(s1 / dn + 1e-9, 6) + 0.0 END AS r1,
+         CASE WHEN dn > 0 THEN round(s2 / dn + 1e-9, 6) + 0.0 END AS r2,
+         CASE WHEN dn > 0 THEN round(s3 / dn + 1e-9, 6) + 0.0 END AS r3,
+         CASE WHEN dn > 0 THEN round(s4 / dn + 1e-9, 6) + 0.0 END AS r4,
+         CASE WHEN dn > 0 THEN round(s5 / dn + 1e-9, 6) + 0.0 END AS r5
+  FROM a_l
+),
+q_l AS (
+  SELECT event_type,
+         CASE WHEN nb > 5 AND r1 IS NOT NULL THEN
+           nn * (nn + 2.0) * (r1 * r1 / (nn - 1) + r2 * r2 / (nn - 2)
+             + r3 * r3 / (nn - 3) + r4 * r4 / (nn - 4)
+             + r5 * r5 / (nn - 5))
+         END AS qv
+  FROM r_l
+),
+-- periodogram: dominant harmonic + band-limited entropy
+idx AS (
+  SELECT event_type,
+         (row_number() OVER (PARTITION BY event_type ORDER BY b) - 1)::DOUBLE
+           AS t,
+         count(*) OVER (PARTITION BY event_type)::DOUBLE AS n,
+         c - avg(c) OVER (PARTITION BY event_type) AS d
+  FROM dense
+),
+agg_p AS (
+  SELECT event_type, max(n) AS nn, sum(d * d) AS ss,
+"""
+    + ",\n".join(
+        f"         sum(d * cos(t * {lit} / n)) AS sa{k},\n"
+        f"         sum(d * sin(t * {lit} / n)) AS sb{k}"
+        for k, lit in _DP_LITS.items()
+    )
+    + """
+  FROM idx GROUP BY 1
+),
+stacked AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT event_type, nn, ss, {k} AS k, sa{k} AS sa, sb{k} AS sb"
+        " FROM agg_p"
+        for k in _DP_LITS
+    )
+    + """
+),
+valid AS (
+  SELECT event_type, nn, ss, k, (sa * sa + sb * sb) * 2.0 / nn AS pw
+  FROM stacked WHERE ss > 0 AND k <= floor((nn - 1) / 2)
+),
+best AS (
+  SELECT event_type, k, nn, ss, pw, row_number() OVER (
+    PARTITION BY event_type ORDER BY round(pw + 1e-9, 6) DESC, k
+  ) AS rn
+  FROM valid
+),
+k0 AS (
+  SELECT event_type, count(*)::BIGINT AS n_harmonics,
+         count(CASE WHEN pw > 0 THEN 1 END)::BIGINT AS kk,
+         sum(CASE WHEN pw > 0 THEN pw END) AS tot,
+         sum(CASE WHEN pw > 0 THEN pw * ln(pw) END) AS plogp,
+         sum(CASE WHEN pw > 0 THEN ln(pw) END) AS logsum
+  FROM valid GROUP BY 1
+)
+SELECT z_d.event_type, z_d.nb AS n_buckets,
+       round(z_d.mean + 1e-9, 6) + 0.0 AS mean_rate,
+       round(z_d.fano + 1e-9, 6) + 0.0 AS fano,
+       CASE WHEN z_d.zv IS NULL THEN NULL
+            WHEN z_d.zv > 1.959963984540054 THEN 'over'
+            WHEN z_d.zv < -1.959963984540054 THEN 'under'
+            ELSE 'poisson' END AS dispersion,
+       round(q_l.qv + 1e-9, 6) + 0.0 AS q_stat,
+       CASE WHEN q_l.qv IS NOT NULL
+            THEN q_l.qv > 11.070497693516351 END AS lb_reject,
+       b2.k::BIGINT AS best_k,
+       round(b2.nn / b2.k + 1e-9, 6) + 0.0 AS period_buckets,
+       round(b2.pw / b2.ss + 1e-9, 6) + 0.0 AS power_frac,
+       CASE WHEN k0.n_harmonics > 1 AND k0.tot > 0 THEN
+         round((ln(k0.tot) - k0.plogp / k0.tot)
+                 / ln(k0.n_harmonics::DOUBLE) + 1e-9, 6) + 0.0
+       END AS spec_entropy,
+       CASE WHEN k0.tot > 0 AND k0.kk = k0.n_harmonics THEN
+         round(exp(k0.logsum / k0.n_harmonics::DOUBLE)
+                 / (k0.tot / k0.n_harmonics::DOUBLE) + 1e-9, 6) + 0.0
+            WHEN k0.tot > 0 THEN round(0.0 + 1e-9, 6) + 0.0
+       END AS flatness
+FROM z_d
+LEFT JOIN q_l ON q_l.event_type = z_d.event_type
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b2
+  ON b2.event_type = z_d.event_type
+LEFT JOIN k0 ON k0.event_type = z_d.event_type
+"""
+)
+
+
 def q_mann_kendall_events(spark, sf_dir):
     """Per-event_type Mann–Kendall monotone-trend test over the dense
     hourly count series (operators/stattests.py mann_kendall): the
@@ -7732,6 +7901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis_docs": q_kruskal_wallis_docs,
         "brown_forsythe_docs": q_brown_forsythe_docs,
         "welch_t_events": q_welch_t_events,
+        "arrival_profile_events": q_arrival_profile_events,
         "holm_drift_events": q_holm_drift_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
@@ -7915,6 +8085,7 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis_docs": SQL_KRUSKAL_WALLIS,
         "brown_forsythe_docs": SQL_BROWN_FORSYTHE,
         "welch_t_events": SQL_WELCH_T,
+        "arrival_profile_events": SQL_ARRIVAL_PROFILE,
         "holm_drift_events": SQL_HOLM_DRIFT,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,

@@ -244,6 +244,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "kruskal_wallis_docs",
         "brown_forsythe_docs",
         "welch_t_events",
+        "arrival_profile_events",
         "transition_jsd_docs",
         "holm_drift_events",
         "json_types_events",

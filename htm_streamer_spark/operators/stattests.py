@@ -59,6 +59,7 @@ __all__ = [
     "dispersion_index",
     "exp_interarrival_ks",
     "welch_t",
+    "arrival_profile",
     "seasonal_cells",
     "seasonal_profile",
     "seasonal_anomalies",
@@ -634,25 +635,26 @@ def acf_bucket_counts(
     )
 
 
-def _acf_core(
+def _dense_counts(
     df: DataFrame,
     group_col: str,
     ts_col: str,
     bucket: str,
-    max_lag: int,
 ) -> DataFrame:
-    """Shared ACF pipeline: ``acf_bucket_counts`` plus the dense series
-    length ``_T`` each consumer (Ljung–Box) needs. Values and plan
-    shape are identical to the historical ``acf_bucket_counts`` body —
-    the extra column rides the existing window/aggregate passes."""
+    """Shared dense bucket-count grid: per-group counts at ``bucket``
+    granularity with gaps filled as zero over the observed
+    [min, max] span — the substrate every arrival-process operator
+    consumes. The count frame is persisted (it feeds both the span
+    derivation and the dense join), so the fact table is scanned ONCE
+    no matter how many derivations run on the result — the sharing
+    point ``arrival_profile`` exploits to fuse the whole battery into
+    a single scan. Returns (group, _b, _c)."""
     g = group_col
     b = F.date_trunc(bucket, F.col(ts_col))
     counts = df.groupBy(F.col(g), b.alias("_b")).agg(
         F.count(F.lit(1)).alias("_c")
     )
-    # counts feeds BOTH the span derivation and the dense join below —
-    # persist the metadata-sized frame so the fact table is scanned once
-    counts = counts.persist()
+    counts = counts.persist()  # span + dense join: one fact scan
     span = counts.groupBy(g).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     )
@@ -660,7 +662,26 @@ def _acf_core(
     grid = span.select(
         g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
     )
-    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    return grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+
+
+def _acf_core(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    bucket: str,
+    max_lag: int,
+    dense: DataFrame | None = None,
+) -> DataFrame:
+    """Shared ACF pipeline: ``acf_bucket_counts`` plus the dense series
+    length ``_T`` each consumer (Ljung–Box) needs. Values and plan
+    shape are identical to the historical ``acf_bucket_counts`` body —
+    the extra column rides the existing window/aggregate passes.
+    ``dense`` injects a prebuilt ``_dense_counts`` frame so a fused
+    caller (``arrival_profile``) shares one fact scan."""
+    g = group_col
+    if dense is None:
+        dense = _dense_counts(df, g, ts_col, bucket)
     tot = Window.partitionBy(g)
     ord_w = Window.partitionBy(g).orderBy("_b")
     mean = F.sum("_c").over(tot) / F.count(F.lit(1)).over(tot)
@@ -1882,29 +1903,20 @@ def _periodogram_valid(
     ts_col: str,
     bucket: str,
     max_k: int,
+    dense: DataFrame | None = None,
 ):
     """Shared periodogram core: returns ``(valid, base)`` where
     ``valid`` is the sub-Nyquist per-harmonic frame
     (group, _nn, _ss, _k, _pw) and ``base`` is the all-groups frame
     (group, n_buckets). One fact scan (persisted bucket frame), one
     aggregation for all 2*max_k trig sums; see ``dominant_period``
-    for the math and determinism notes."""
+    for the math and determinism notes. ``dense`` injects a prebuilt
+    ``_dense_counts`` frame for fused single-scan callers."""
     import math
 
     g = group_col
-    b = F.date_trunc(bucket, F.col(ts_col))
-    counts = df.groupBy(F.col(g), b.alias("_b")).agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    counts = counts.persist()  # span + dense join: one fact scan
-    span = counts.groupBy(g).agg(
-        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
-    )
-    step = F.expr(f"interval 1 {bucket}")
-    grid = span.select(
-        g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
-    )
-    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    if dense is None:
+        dense = _dense_counts(df, g, ts_col, bucket)
     tot = Window.partitionBy(g)
     ord_w = Window.partitionBy(g).orderBy("_b")
     two_pi = 2.0 * math.pi
@@ -1978,6 +1990,7 @@ def dominant_period(
     *,
     bucket: str = "hour",
     max_k: int = 8,
+    dense: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group DOMINANT PERIOD of the bucketed arrival process via
     the discrete periodogram — the period-DISCOVERY member of the
@@ -2020,7 +2033,9 @@ def dominant_period(
     6 dp.
     """
     g = group_col
-    valid, base = _periodogram_valid(df, g, ts_col, bucket, max_k)
+    valid, base = _periodogram_valid(
+        df, g, ts_col, bucket, max_k, dense=dense
+    )
     rank_w = Window.partitionBy(g).orderBy(
         F.round(F.col("_pw") + F.lit(1e-9), 6).desc(), F.col("_k").asc()
     )
@@ -2090,6 +2105,7 @@ def ljung_box(
     bucket: str = "hour",
     max_lag: int = 5,
     alpha_q: float | None = None,
+    dense: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group Ljung–Box portmanteau WHITENESS test of the bucketed
     count series — the hypothesis-test member of the arrival-process
@@ -2123,7 +2139,7 @@ def ljung_box(
             )
         alpha_q = _CHI2_95[max_lag]
     g = group_col
-    core = _acf_core(df, g, ts_col, bucket, max_lag)
+    core = _acf_core(df, g, ts_col, bucket, max_lag, dense=dense)
     t = F.col("_T").cast("double")
     agg = core.groupBy(g).agg(
         F.max("_T").cast("long").alias("n_buckets"),
@@ -2156,6 +2172,7 @@ def dispersion_index(
     *,
     bucket: str = "hour",
     z_crit: float = 1.959963984540054,
+    dense: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group INDEX OF DISPERSION (Fano factor) of the bucketed
     count series with a chi-square over/under-dispersion verdict — the
@@ -2180,19 +2197,8 @@ def dispersion_index(
     (group, n_buckets, mean_rate, fano, z, dispersion), 6 dp.
     """
     g = group_col
-    b = F.date_trunc(bucket, F.col(ts_col))
-    counts = df.groupBy(F.col(g), b.alias("_b")).agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    counts = counts.persist()  # span + dense join: one fact scan
-    span = counts.groupBy(g).agg(
-        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
-    )
-    step = F.expr(f"interval 1 {bucket}")
-    grid = span.select(
-        g, F.explode(F.sequence("_lo", "_hi", step)).alias("_b")
-    )
-    dense = grid.join(counts, [g, "_b"], "left").fillna({"_c": 0})
+    if dense is None:
+        dense = _dense_counts(df, g, ts_col, bucket)
     agg = dense.groupBy(g).agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.sum("_c").cast("double").alias("_s1"),
@@ -2231,6 +2237,7 @@ def spectral_entropy(
     *,
     bucket: str = "hour",
     max_k: int = 8,
+    dense: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group band-limited SPECTRAL ENTROPY and flatness of the
     bucketed arrival series — the how-periodic-overall member of the
@@ -2261,7 +2268,9 @@ def spectral_entropy(
     (group, n_buckets, n_harmonics, spec_entropy, flatness), 6 dp.
     """
     g = group_col
-    valid, base = _periodogram_valid(df, g, ts_col, bucket, max_k)
+    valid, base = _periodogram_valid(
+        df, g, ts_col, bucket, max_k, dense=dense
+    )
     nz = valid.where(F.col("_pw") > 0)
     agg = nz.groupBy(g).agg(
         F.count(F.lit(1)).cast("long").alias("_kk"),
@@ -2487,4 +2496,68 @@ def welch_t(
         F.round(t + F.lit(1e-9), 6).alias("t_stat"),
         F.round(dof + F.lit(1e-9), 6).alias("dof"),
         F.when(t.isNotNull(), F.abs(t) > z_crit).alias("t_reject"),
+    )
+
+
+def arrival_profile(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_lag: int = 5,
+    max_k: int = 8,
+) -> DataFrame:
+    """FUSED arrival-process health report: every per-bucket member of
+    the battery — dispersion (Poisson-ness), Ljung–Box (whiteness),
+    dominant period (cadence), spectral entropy (spikiness) — computed
+    from ONE scan of the fact table and joined into one row per group.
+
+    This is the operator a monitoring pipeline actually schedules: the
+    individual operators exist for targeted queries and for their
+    oracles, but running them separately at 100 TB re-reads the fact
+    table once per statistic. All four consume the same
+    ``_dense_counts`` substrate (per-group gap-as-zero bucket counts,
+    persisted after a single ``groupBy(group, bucket)`` shuffle), so
+    the fused plan is: one fact scan → one metadata-sized dense frame
+    → three window passes + four aggregations on it → three
+    broadcast-sized joins of |groups|-row frames. Every statistic is
+    bit-for-bit the same as its standalone operator (same code paths,
+    ``dense`` injected) — the fusion changes the PLAN, never the
+    answer, and the oracle is the join of the individual oracles.
+
+    Returns (group, n_buckets, mean_rate, fano, dispersion, q_stat,
+    lb_reject, best_k, period_buckets, power_frac, spec_entropy,
+    flatness), 6 dp.
+    """
+    g = group_col
+    dense = _dense_counts(df, g, ts_col, bucket)
+    disp = dispersion_index(df, g, ts_col, bucket=bucket, dense=dense)
+    lb = ljung_box(
+        df, g, ts_col, bucket=bucket, max_lag=max_lag, dense=dense
+    ).select(g, "q_stat", "lb_reject")
+    dp = dominant_period(
+        df, g, ts_col, bucket=bucket, max_k=max_k, dense=dense
+    ).select(g, "best_k", "period_buckets", "power_frac")
+    se = spectral_entropy(
+        df, g, ts_col, bucket=bucket, max_k=max_k, dense=dense
+    ).select(g, "spec_entropy", "flatness")
+    return (
+        disp.join(lb, [g], "left")
+        .join(dp, [g], "left")
+        .join(se, [g], "left")
+        .select(
+            g,
+            "n_buckets",
+            "mean_rate",
+            "fano",
+            "dispersion",
+            "q_stat",
+            "lb_reject",
+            "best_k",
+            "period_buckets",
+            "power_frac",
+            "spec_entropy",
+            "flatness",
+        )
     )

@@ -275,3 +275,55 @@ def test_exp_ks_tie_order_invariance_and_degenerates(spark):
     r = exp_interarrival_ks(simo, "g", "ts").collect()[0]
     assert r["n_gaps"] == 4 and r["ks_stat"] is None
     assert r["exp_reject"] is None
+
+
+# ------------------------------------------------------ fused profile
+
+
+def test_arrival_profile_fusion_matches_standalones(spark):
+    from htm_streamer_spark.operators.stattests import (
+        arrival_profile,
+        dispersion_index,
+        dominant_period,
+        ljung_box,
+        spectral_entropy,
+    )
+
+    rng = np.random.default_rng(31)
+    T = 200
+    t = np.arange(T)
+    a = np.round(40 + 25 * np.sin(2 * np.pi * t * 5 / T)) + rng.poisson(
+        4, T
+    )
+    b = rng.poisson(30, T)
+    pdf = pd.concat([_hourly_events(a, "a"), _hourly_events(b, "b")])
+    df = spark.createDataFrame(pdf).repartition(6)
+    fused = {r["g"]: r for r in arrival_profile(df, "g", "ts").collect()}
+    disp = {r["g"]: r for r in dispersion_index(df, "g", "ts").collect()}
+    lb = {r["g"]: r for r in ljung_box(df, "g", "ts").collect()}
+    dp = {r["g"]: r for r in dominant_period(df, "g", "ts").collect()}
+    se = {r["g"]: r for r in spectral_entropy(df, "g", "ts").collect()}
+    for g in ("a", "b"):
+        # fusion changes the plan, never the answer: bit-identical
+        assert fused[g]["fano"] == disp[g]["fano"]
+        assert fused[g]["dispersion"] == disp[g]["dispersion"]
+        assert fused[g]["q_stat"] == lb[g]["q_stat"]
+        assert fused[g]["lb_reject"] == lb[g]["lb_reject"]
+        assert fused[g]["best_k"] == dp[g]["best_k"]
+        assert fused[g]["power_frac"] == dp[g]["power_frac"]
+        assert fused[g]["spec_entropy"] == se[g]["spec_entropy"]
+        assert fused[g]["flatness"] == se[g]["flatness"]
+    assert fused["a"]["best_k"] == 5  # the planted 5th harmonic
+
+
+def test_arrival_profile_single_fact_scan(spark):
+    from htm_streamer_spark.operators.stattests import arrival_profile
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = arrival_profile(df, "event_type", "ts")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # every source reference must hit the persisted counts cache: the
+    # only parquet Relation allowed is the one inside the cached plan
+    n_rel = plan.count("Relation")
+    n_mem = plan.count("InMemoryRelation")
+    assert n_mem > 0 and n_rel == n_mem, (n_rel, n_mem)
