@@ -4595,6 +4595,80 @@ FROM v GROUP BY label
 """
 
 
+def q_embed_isotropy(spark, sf_dir):
+    """Per-label embedding-space collapse detector
+    (operators/veccheck.py embedding_isotropy): centroid ratio
+    (direction+magnitude alignment), spherical mean resultant length
+    (direction-only collapse), and the participation-ratio effective
+    dimension of per-dim variances (rank collapse) — the population-
+    geometry member of the embedding family (integrity = per-vector,
+    dim profile = marginal drift). Same 100-TB plan contract as the
+    dim profile: NO posexplode; one shuffle of (3*dim+2)-counter
+    partial rows."""
+    from htm_streamer_spark.operators.veccheck import embedding_isotropy
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_isotropy(e, "embedding", dim=64, group_by="label")
+
+
+def _iso_oracle_sql(dim: int = 64) -> str:
+    sums = ",\n".join(
+        f"         sum(e[{j + 1}]) AS s{j},"
+        f" sum(e[{j + 1}] * e[{j + 1}]) AS q{j},"
+        f" sum(e[{j + 1}] / nrm) AS u{j}"
+        for j in range(dim)
+    )
+    cent = "\n           + ".join(
+        f"(s{j} / nv) * (s{j} / nv)" for j in range(dim)
+    )
+    resu = "\n           + ".join(
+        f"(u{j} / nv) * (u{j} / nv)" for j in range(dim)
+    )
+    vj = lambda j: f"(q{j} / nv - (s{j} / nv) * (s{j} / nv))"  # noqa: E731
+    vsum = "\n           + ".join(vj(j) for j in range(dim))
+    vsq = "\n           + ".join(f"{vj(j)} * {vj(j)}" for j in range(dim))
+    return f"""
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e,
+         sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                               list_transform(embedding, x -> x::DOUBLE)))
+           AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    AND len(list_filter(embedding,
+            x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) = 0
+),
+w AS (SELECT label, e, nrm FROM v WHERE nrm > 0),
+a AS (
+  SELECT label, count(*)::BIGINT AS n_valid, sum(nrm) AS sn,
+{sums}
+  FROM w GROUP BY 1
+),
+b AS (
+  SELECT label, n_valid, sn, n_valid::DOUBLE AS nv FROM a
+),
+c AS (
+  SELECT b.label, b.n_valid, b.sn, b.nv,
+         ({cent}) AS cent,
+         ({resu}) AS resu,
+         ({vsum}) AS vs,
+         ({vsq}) AS vq
+  FROM b JOIN a ON a.label = b.label
+)
+SELECT label, n_valid,
+       round(sn / nv + 1e-12, 6) + 0.0 AS mean_norm,
+       round(sqrt(cent) / (sn / nv) + 1e-12, 6) + 0.0 AS centroid_ratio,
+       round(sqrt(resu) + 1e-12, 6) + 0.0 AS resultant,
+       CASE WHEN vq > 0 THEN
+         round(vs * vs / vq / {float(dim)!r} + 1e-12, 6) + 0.0
+       END AS eff_dim_frac
+FROM c
+"""
+
+
+SQL_EMBED_ISOTROPY = _iso_oracle_sql(64)
+
+
 def q_embed_dim_profile(spark, sf_dir):
     """Per-dimension mean/std of the embedding column per label
     (operators/veccheck.py embedding_dim_profile) — the baseline a
@@ -7945,6 +8019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_embeddings": q_rp_embeddings,
         "embed_integrity": q_embed_integrity,
         "embed_dim_profile": q_embed_dim_profile,
+        "embed_isotropy": q_embed_isotropy,
         "leak_split_docs": q_leak_split_docs,
         "gaps_events": q_gaps_events,
         "dup_component_sizes_docs": q_dup_component_sizes_docs,
@@ -8130,6 +8205,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_embeddings": _sql_rp_embeddings(),
         "embed_integrity": SQL_EMBED_INTEGRITY,
         "embed_dim_profile": SQL_EMBED_DIM_PROFILE,
+        "embed_isotropy": SQL_EMBED_ISOTROPY,
         "leak_split_docs": SQL_LEAK_SPLIT,
         "gaps_events": SQL_GAPS_EVENTS,
         "dup_component_sizes_docs": SQL_DUP_COMPONENT_SIZES,

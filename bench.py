@@ -245,6 +245,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "brown_forsythe_docs",
         "welch_t_events",
         "arrival_profile_events",
+        "embed_isotropy",
         "transition_jsd_docs",
         "holm_drift_events",
         "json_types_events",

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["embedding_integrity", "embedding_dim_profile"]
+__all__ = [
+    "embedding_integrity",
+    "embedding_dim_profile",
+    "embedding_isotropy",
+]
 
 
 def embedding_integrity(
@@ -140,3 +144,97 @@ def embedding_dim_profile(
     return agg.select(
         F.col(group_by), F.explode(packed).alias("p")
     ).select(group_by, "p.j", "p.mean", "p.std")
+
+
+def embedding_isotropy(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    group_by: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group embedding-space COLLAPSE detector — the geometric
+    member of the embedding-validation family: ``embedding_integrity``
+    checks each vector alone, ``embedding_dim_profile`` tracks
+    marginal drift; this measures whether the POPULATION is losing
+    spread, the classic failure of a degenerating encoder (all texts
+    mapping into a narrow cone scores near-1 cosine for everything,
+    silently breaking dedup and ANN downstream). Three complementary
+    ratios per group, each in [0, 1]:
+
+    - ``centroid_ratio`` = ||mean vector|| / mean ||v||: 0 for a
+      centered cloud, -> 1 when vectors align in direction AND length.
+    - ``resultant`` = || mean of unit vectors || (the spherical-
+      statistics mean resultant length): direction-only collapse,
+      magnitude-blind — 0 uniform directions, 1 a single ray.
+    - ``eff_dim_frac`` = participation ratio of the per-dimension
+      (marginal) variances, (sum var_j)^2 / sum var_j^2 / dim: 1 when
+      variance spreads evenly across coordinates, -> 1/dim when one
+      COORDINATE carries it all. Basis-aligned by construction — a
+      rank collapse along a rotated direction shows up as the spread
+      of its squared loadings (well below 1, not 1/dim); the rotation-
+      invariant version needs the covariance spectrum, which is a
+      dim^2 aggregation + an eigensolve, deliberately out of scope
+      for this single-shuffle monitor.
+
+    Validity gate shared with ``embedding_integrity`` (NULL / wrong
+    dim / non-finite skipped) plus norm > 0 (zero vectors have no
+    direction; they are integrity's ``n_zero``, not a direction
+    sample). Groups with no valid vector vanish; zero total variance
+    (all vectors identical) reports NULL eff_dim_frac.
+
+    Plan shape at 10^12 rows: same contract as the dim profile — NO
+    posexplode (that shuffles dim rows per vector); the row-local
+    norm is one codegen ``aggregate`` fold, each dimension is three
+    aggregate expressions over ``element_at``, so the single shuffle
+    carries one (3*dim+2)-counter partial row per (task, group).
+    Returns (group, n_valid, mean_norm, centroid_ratio, resultant,
+    eff_dim_frac), 6 dp.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == F.lit(dim))
+        & ~F.exists(
+            vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    valid = df.where(ok).select(
+        group_by, vd.alias("_e"), norm.alias("_nrm")
+    ).where(F.col("_nrm") > 0)
+    cell = lambda j: F.element_at(F.col("_e"), j + 1)  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_valid"),
+        F.sum("_nrm").alias("_sn"),
+    ]
+    for j in range(dim):
+        aggs.append(F.sum(cell(j)).alias(f"_s{j}"))
+        aggs.append(F.sum(cell(j) * cell(j)).alias(f"_q{j}"))
+        aggs.append(F.sum(cell(j) / F.col("_nrm")).alias(f"_u{j}"))
+    agg = valid.groupBy(group_by).agg(*aggs)
+
+    n = F.col("n_valid").cast("double")
+    mean_sq = lambda j: (F.col(f"_s{j}") / n) * (F.col(f"_s{j}") / n)  # noqa: E731
+    var_j = lambda j: F.col(f"_q{j}") / n - mean_sq(j)  # noqa: E731
+    cent = sum((mean_sq(j) for j in range(dim)), F.lit(0.0))
+    resu = sum(
+        ((F.col(f"_u{j}") / n) * (F.col(f"_u{j}") / n) for j in range(dim)),
+        F.lit(0.0),
+    )
+    vsum = sum((var_j(j) for j in range(dim)), F.lit(0.0))
+    vsq = sum((var_j(j) * var_j(j) for j in range(dim)), F.lit(0.0))
+    mean_norm = F.col("_sn") / n
+    rounded = lambda c: F.round(c + F.lit(1e-12), round_to) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        F.col(group_by),
+        "n_valid",
+        rounded(mean_norm).alias("mean_norm"),
+        rounded(F.sqrt(cent) / mean_norm).alias("centroid_ratio"),
+        rounded(F.sqrt(resu)).alias("resultant"),
+        F.when(
+            vsq > 0, rounded(vsum * vsum / vsq / F.lit(float(dim)))
+        ).alias("eff_dim_frac"),
+    )
