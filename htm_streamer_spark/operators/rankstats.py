@@ -236,6 +236,9 @@ def brown_forsythe(
         .groupBy(g, F.col(class_col).alias("_cls"), F.col(value_col).alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    # collapsed feeds BOTH the median derivation and the deviation
+    # join — persist it so the fact table is scanned once
+    collapsed = collapsed.persist()
     cum_w = (
         Window.partitionBy(g, "_cls")
         .orderBy("_v")
