@@ -6593,6 +6593,95 @@ LEFT JOIN k0 ON k0.event_type = z_d.event_type
 )
 
 
+def q_logrank_events(spark, sf_dir):
+    """Two-sample log-rank test per event_type between the even/odd
+    user_id halves of the inter-event gap survival curves
+    (operators/survival.py logrank_test): the inferential member of
+    the survival family — km_survival draws the censoring-correct
+    curve, log-rank answers 'are the two curves the same?' with
+    censored tails kept in the risk set. One persisted narrow scan
+    (shared duration derivation); both classes fold as conditional
+    aggregates on one collapsed frame — no per-class union or
+    self-join. Durations bucketed to 600 s like km_survival."""
+    from htm_streamer_spark.operators.survival import logrank_test
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "ts",
+        (F.col("user_id") % 2).alias("half"),
+    )
+    return logrank_test(
+        e, "event_type", "user_id", "ts", "half", round_to=600
+    )
+
+
+SQL_LOGRANK = """
+WITH eg AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         ts,
+         lead(ts) OVER (
+           PARTITION BY event_type, user_id ORDER BY ts
+         ) AS nxt
+  FROM events
+),
+endt AS (SELECT max(ts) AS e FROM events),
+dur AS (
+  SELECT event_type, ia,
+         ((epoch_us(coalesce(nxt, endt.e)) - epoch_us(ts))
+          // (600 * 1000000)) * 600 AS t,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM eg CROSS JOIN endt
+),
+gt AS (
+  SELECT event_type, t,
+         sum(CASE WHEN ia = 1 THEN ev END)::BIGINT AS da,
+         sum(ev)::BIGINT AS d,
+         sum(ia)::BIGINT AS ma,
+         count(*)::BIGINT AS m
+  FROM dur GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, t, da, d,
+         (sum(ma) OVER (PARTITION BY event_type)
+           - (sum(ma) OVER win - ma)) AS na,
+         (sum(m) OVER (PARTITION BY event_type)
+           - (sum(m) OVER win - m)) AS n,
+         sum(ma) OVER (PARTITION BY event_type) AS tot_a,
+         (sum(m) OVER (PARTITION BY event_type)
+           - sum(ma) OVER (PARTITION BY event_type)) AS tot_b
+  FROM gt
+  WINDOW win AS (
+    PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING
+  )
+),
+a AS (
+  SELECT event_type,
+         max(tot_a)::BIGINT AS n_a, max(tot_b)::BIGINT AS n_b,
+         sum(da)::BIGINT AS o_a,
+         sum(d::DOUBLE * (na::DOUBLE / n::DOUBLE)) AS ea,
+         sum(CASE WHEN n > 1 THEN
+           d::DOUBLE * (na::DOUBLE / n::DOUBLE)
+             * (1.0 - na::DOUBLE / n::DOUBLE)
+             * (n::DOUBLE - d::DOUBLE) / (n::DOUBLE - 1.0)
+         END) AS v
+  FROM rk WHERE d > 0 GROUP BY 1
+)
+SELECT event_type, n_a, n_b, o_a,
+       round(ea + 1e-9, 6) + 0.0 AS e_a,
+       CASE WHEN n_a > 0 AND n_b > 0 AND v > 0 THEN
+         round((o_a::DOUBLE - ea) * (o_a::DOUBLE - ea) / v + 1e-9, 6)
+           + 0.0
+       END AS logrank_chi2,
+       CASE WHEN n_a > 0 AND n_b > 0 AND v > 0 THEN
+         (o_a::DOUBLE - ea) * (o_a::DOUBLE - ea) / v
+           > 3.841458820694124
+       END AS lr_reject
+FROM a
+"""
+
+
 def q_mann_kendall_events(spark, sf_dir):
     """Per-event_type Mann–Kendall monotone-trend test over the dense
     hourly count series (operators/stattests.py mann_kendall): the
@@ -7976,6 +8065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe_docs": q_brown_forsythe_docs,
         "welch_t_events": q_welch_t_events,
         "arrival_profile_events": q_arrival_profile_events,
+        "logrank_events": q_logrank_events,
         "holm_drift_events": q_holm_drift_events,
         "benford_docs": q_benford_docs,
         "entropy_docs": q_entropy_docs,
@@ -8161,6 +8251,7 @@ def oracle_sql() -> dict[str, str]:
         "brown_forsythe_docs": SQL_BROWN_FORSYTHE,
         "welch_t_events": SQL_WELCH_T,
         "arrival_profile_events": SQL_ARRIVAL_PROFILE,
+        "logrank_events": SQL_LOGRANK,
         "holm_drift_events": SQL_HOLM_DRIFT,
         "chisq_docs": SQL_CHISQ_DOCS,
         "benford_docs": SQL_BENFORD,

@@ -246,6 +246,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "welch_t_events",
         "arrival_profile_events",
         "embed_isotropy",
+        "logrank_events",
         "transition_jsd_docs",
         "holm_drift_events",
         "json_types_events",
