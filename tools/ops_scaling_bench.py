@@ -199,6 +199,69 @@ def run(name):
         # sources — the order-sensitive corpus-comparison shape
         from htm_streamer_spark.operators.infotheory import transition_jsd_sources
         df = transition_jsd_sources(big, "source")
+    elif name == "arrival_profile":
+        # fused arrival-battery family: ONE (group, hour) count
+        # aggregate over 32M synthetic event rows feeds dispersion +
+        # Ljung-Box + periodogram + spectral entropy via the shared
+        # persisted dense frame — probes that the fusion stays
+        # aggregate-bound (the windows/joins run on the metadata-sized
+        # bucket frame, invariant to the fact size)
+        from htm_streamer_spark.operators.stattests import arrival_profile
+        wide = big.crossJoin(
+            big.sparkSession.range(64).select(F.col("id").alias("rep"))
+        ).select(
+            "lang",
+            F.timestamp_seconds(
+                F.lit(1700000000)
+                + ((F.col("doc_id") * 37 + F.col("rep") * 911) % (720 * 3600))
+            ).alias("ts"),
+        )
+        df = arrival_profile(wide, "lang", "ts", bucket="hour")
+    elif name == "logrank":
+        # survival family: per-(group, entity) lead window over 32M
+        # rows (3.2M entities — wide task parallelism), then the
+        # collapsed per-duration frame; probes the duration-derivation
+        # window plane, the family's only fact-sized work
+        from htm_streamer_spark.operators.survival import logrank_test
+        wide = big.crossJoin(
+            big.sparkSession.range(64).select(F.col("id").alias("rep"))
+        ).select(
+            "lang",
+            F.col("doc_id").alias("entity"),
+            F.timestamp_seconds(
+                F.lit(1700000000)
+                + ((F.col("doc_id") * 37 + F.col("rep") * 911
+                    + F.col("n_chars")) % (720 * 3600))
+            ).alias("ts"),
+            (F.col("doc_id") % 2).alias("half"),
+        )
+        df = logrank_test(
+            wide, "lang", "entity", "ts", "half", round_to=600
+        )
+    elif name == "kruskal":
+        # k-sample rank family: pooled midranks = two windows over one
+        # per-group sort of 128M rows across 64 synthetic shards (the
+        # hot-group serial bound spread wide), then subset-key
+        # clustered reductions; 256x inflation because the 32M variant
+        # finished in ~1s and per-job overhead buried the signal
+        from htm_streamer_spark.operators.rankstats import kruskal_wallis
+        wide = big.crossJoin(
+            big.sparkSession.range(256).select(F.col("id").alias("rep"))
+        ).select(
+            (F.col("doc_id") % 64).alias("shard"),
+            "source",
+            (F.col("n_chars") + F.col("rep") * 7).alias("v"),
+        )
+        df = kruskal_wallis(wide, "shard", "v", "source")
+    elif name == "isotropy":
+        # population-geometry family: 194 codegen agg expressions
+        # (3 per dim + norm fold) over 1M dim-64 vectors, one
+        # counter-row shuffle — the heaviest single-aggregate plan in
+        # the repo; probes codegen-wide aggregate scaling
+        from htm_streamer_spark.operators.veccheck import embedding_isotropy
+        emb = spark.read.parquet({emb_xl!r}).withColumn(
+            "label", (F.col("vec_id") % 20).cast("string"))
+        df = embedding_isotropy(emb, "embedding", dim=64, group_by="label")
     else:
         raise ValueError(name)
     t0 = time.time()
@@ -206,7 +269,7 @@ def run(name):
     return time.time() - t0, n
 
 import os as _os
-_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile", "heaps", "source_overlap", "energy", "isotonic", "transition_jsd")
+_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile", "heaps", "source_overlap", "energy", "isotonic", "transition_jsd", "arrival_profile", "logrank", "kruskal", "isotropy")
 _only = _os.environ.get("SPARK_GRAFT_FAMILIES")
 if _only:
     _names = tuple(n for n in _names if n in _only.split(","))
