@@ -6744,6 +6744,78 @@ FROM z
 """
 
 
+def q_seasonal_mk_events(spark, sf_dir):
+    """Per-event_type SEASONAL Mann–Kendall trend test over the dense
+    hourly series (operators/stattests.py seasonal_mann_kendall,
+    Hirsch & Slack 1984): the seasonality-robust trend member — the
+    series splits into 24 hour-of-day seasons, S_j and tie-corrected
+    Var_j are computed day-over-day WITHIN each season, then summed,
+    so a diurnal cycle stops masking slow monotone decay. Same single
+    fact shuffle as mann_kendall; the pairwise sign sum self-joins the
+    metadata-sized bucket frame within (group, season) — 24x fewer
+    pairs than the unstratified test."""
+    from htm_streamer_spark.operators.stattests import seasonal_mann_kendall
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_mann_kendall(e, "event_type", "ts", bucket="hour")
+
+
+SQL_SEASONAL_MK = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, extract(hour FROM grid.b)::BIGINT AS season,
+         coalesce(cnt.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+s AS (
+  SELECT a.event_type, sum(sign(b.c - a.c))::BIGINT AS s
+  FROM dense a JOIN dense b
+    ON a.event_type = b.event_type AND a.season = b.season AND a.b < b.b
+  GROUP BY 1
+),
+n AS (SELECT event_type, count(*)::BIGINT AS n_buckets FROM dense GROUP BY 1),
+nj AS (
+  SELECT event_type, season, count(*)::DOUBLE AS nj
+  FROM dense GROUP BY 1, 2
+),
+ties AS (
+  SELECT event_type, season, sum(t * (t - 1) * (2 * t + 5)) AS tc
+  FROM (SELECT event_type, season, count(*)::DOUBLE AS t
+        FROM dense GROUP BY event_type, season, c)
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT nj.event_type,
+         sum((nj.nj * (nj.nj - 1) * (2 * nj.nj + 5) - ties.tc) / 18.0) AS var_s
+  FROM nj JOIN ties USING (event_type, season)
+  GROUP BY 1
+),
+z AS (
+  SELECT n.event_type, n.n_buckets, coalesce(s.s, 0)::BIGINT AS s,
+         CASE WHEN v.var_s <= 0 THEN NULL
+              WHEN coalesce(s.s, 0) > 0 THEN (s.s - 1) / sqrt(v.var_s)
+              WHEN coalesce(s.s, 0) < 0 THEN (s.s + 1) / sqrt(v.var_s)
+              ELSE 0.0 END AS zv
+  FROM n LEFT JOIN s USING (event_type) LEFT JOIN v USING (event_type)
+)
+SELECT event_type, n_buckets, s,
+       round(zv + 1e-9, 6) + 0.0 AS z,
+       CASE WHEN zv IS NULL THEN NULL
+            WHEN zv > 1.959964 THEN 'increasing'
+            WHEN zv < -1.959964 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM z
+"""
+
+
 def q_truncation_docs(spark, sf_dir):
     """Histogram spike detector over whitespace token counts
     (operators/stattests.py histogram_spikes): the truncation/clipping
@@ -8116,6 +8188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_docs": q_winsorized_docs,
         "heaps_docs": q_heaps_docs,
         "mann_kendall_events": q_mann_kendall_events,
+        "seasonal_mk_events": q_seasonal_mk_events,
         "truncation_docs": q_truncation_docs,
         "source_overlap_docs": q_source_overlap_docs,
         "token_budget_docs": q_token_budget_docs,
@@ -8303,6 +8376,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_docs": SQL_WINSORIZED,
         "heaps_docs": SQL_HEAPS,
         "mann_kendall_events": SQL_MANN_KENDALL,
+        "seasonal_mk_events": SQL_SEASONAL_MK,
         "truncation_docs": SQL_TRUNCATION,
         "source_overlap_docs": SQL_SOURCE_OVERLAP,
         "token_budget_docs": SQL_TOKEN_BUDGET,

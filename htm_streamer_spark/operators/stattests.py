@@ -64,6 +64,7 @@ __all__ = [
     "seasonal_profile",
     "seasonal_anomalies",
     "mann_kendall",
+    "seasonal_mann_kendall",
     "histogram_spikes",
     "quantile_qq_drift",
 ]
@@ -2559,5 +2560,111 @@ def arrival_profile(
             "power_frac",
             "spec_entropy",
             "flatness",
+        )
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    alpha_z: float = 1.959964,
+) -> DataFrame:
+    """Per-group SEASONAL Mann–Kendall trend test (Hirsch & Slack
+    1984) over the dense bucketed count series — the
+    seasonality-robust member of the trend family: plain
+    ``mann_kendall`` on an hourly feed with a strong diurnal cycle
+    wastes its power comparing 3 am against 3 pm (the cycle injects
+    sign noise, and a slow decay hides under it). The seasonal variant
+    only compares LIKE WITH LIKE: the series splits into 24
+    hour-of-day seasons, S_j and the tie-corrected Var_j are computed
+    within each season's day-over-day subseries, and::
+
+        S' = sum_j S_j,   Var' = sum_j Var_j,
+        z  = (S' -/+ 1) / sqrt(Var')   (continuity-corrected)
+
+    with the usual two-sided verdict. Exact integer S and closed-form
+    variance — deterministic across engines.
+
+    Plan: the same single ``groupBy(group, bucket)`` fact shuffle as
+    ``mann_kendall``; the pairwise sign sum is a self-join of the
+    dense metadata-sized frame WITHIN (group, season) — 24x fewer
+    pairs than the unstratified test on the same span. Degenerate
+    groups (every season constant: Var' <= 0) report NULL z. Returns
+    (group, n_buckets, s, z, trend), 6 dp.
+    """
+    g = group_col
+    dense = _dense_counts(df, g, ts_col, bucket).withColumn(
+        "_season", F.hour("_b")
+    )
+    dense = dense.persist()  # pairs + ties + n derive from it
+    a = dense.select(
+        g, "_season", F.col("_b").alias("_bi"), F.col("_c").alias("_ci")
+    )
+    c2 = dense.select(
+        g, "_season", F.col("_b").alias("_bj"), F.col("_c").alias("_cj")
+    )
+    s = (
+        a.join(c2, [g, "_season"])
+        .where(F.col("_bi") < F.col("_bj"))
+        .groupBy(g)
+        .agg(
+            F.sum(F.signum(F.col("_cj") - F.col("_ci")))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n = dense.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    # per-season n and tie terms -> per-season Var_j, summed per group
+    per_season = dense.groupBy(g, "_season").agg(
+        F.count(F.lit(1)).cast("double").alias("_nj")
+    )
+    ties = (
+        dense.groupBy(g, "_season", "_c")
+        .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        .groupBy(g, "_season")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tc")
+        )
+    )
+    var_j = per_season.join(ties, [g, "_season"]).select(
+        g,
+        (
+            (
+                F.col("_nj")
+                * (F.col("_nj") - 1)
+                * (2 * F.col("_nj") + 5)
+                - F.col("_tc")
+            )
+            / 18.0
+        ).alias("_vj"),
+    )
+    var = var_j.groupBy(g).agg(F.sum("_vj").alias("_var"))
+    z = F.when(
+        F.col("_var") <= 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("_var")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("_var")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, [g], "left")
+        .join(var, [g], "left")
+        .select(
+            g,
+            "n_buckets",
+            F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+            F.round(z + F.lit(1e-9), 6).alias("z"),
+            F.when(z.isNull(), F.lit(None).cast("string"))
+            .when(z > alpha_z, F.lit("increasing"))
+            .when(z < -alpha_z, F.lit("decreasing"))
+            .otherwise(F.lit("none"))
+            .alias("trend"),
         )
     )
