@@ -6816,6 +6816,166 @@ FROM z
 """
 
 
+def q_pettitt_events(spark, sf_dir):
+    """Per-event_type Pettitt change-point test over the dense hourly
+    series (operators/stattests.py pettitt_changepoint, Pettitt 1979):
+    the RANK member of the change-point family — CUSUM standardizes by
+    a sigma that fat tails inflate, Page-Hinkley needs a tuned delta;
+    Pettitt is distribution-free with a closed-form p. Computed via
+    the midrank identity U_t = 2 S_t - t(n+1): one rank window + one
+    cumulative window on the bucket frame — NO O(n^2) pair join."""
+    from htm_streamer_spark.operators.stattests import pettitt_changepoint
+
+    e = _t(spark, sf_dir, "events")
+    return pettitt_changepoint(e, "event_type", "ts", bucket="hour")
+
+
+SQL_PETTITT = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+ranked AS (
+  SELECT event_type, b,
+         rank() OVER (PARTITION BY event_type ORDER BY c)
+           + (count(*) OVER (PARTITION BY event_type, c) - 1) / 2.0 AS r
+  FROM dense
+),
+scored AS (
+  SELECT event_type, b,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY b) AS t,
+         2.0 * sum(r) OVER (PARTITION BY event_type ORDER BY b
+                            ROWS UNBOUNDED PRECEDING)
+           - row_number() OVER (PARTITION BY event_type ORDER BY b)
+             * (count(*) OVER (PARTITION BY event_type) + 1) AS u
+  FROM ranked
+),
+pre AS (SELECT * FROM scored WHERE t < n),
+peak AS (
+  SELECT event_type, b, u,
+         max(abs(u)) OVER (PARTITION BY event_type) AS k
+  FROM pre
+),
+best AS (
+  SELECT event_type, max(k)::BIGINT AS k_stat, min(b) AS cp
+  FROM peak WHERE abs(u) = k GROUP BY 1
+),
+totals AS (
+  SELECT event_type, count(*)::BIGINT AS n_buckets FROM dense GROUP BY 1
+)
+SELECT t.event_type, t.n_buckets,
+       coalesce(best.k_stat, 0)::BIGINT AS k_stat,
+       CASE WHEN coalesce(best.k_stat, 0) > 0 THEN best.cp END AS cp_bucket,
+       round(least(1.0,
+         2.0 * exp(-6.0 * coalesce(best.k_stat, 0)::DOUBLE
+                        * coalesce(best.k_stat, 0)::DOUBLE
+                   / (t.n_buckets::DOUBLE * t.n_buckets * t.n_buckets
+                      + t.n_buckets::DOUBLE * t.n_buckets)))
+         + 1e-9, 6) + 0.0 AS p_approx,
+       least(1.0,
+         2.0 * exp(-6.0 * coalesce(best.k_stat, 0)::DOUBLE
+                        * coalesce(best.k_stat, 0)::DOUBLE
+                   / (t.n_buckets::DOUBLE * t.n_buckets * t.n_buckets
+                      + t.n_buckets::DOUBLE * t.n_buckets))) < 0.05
+         AS shift_detected
+FROM totals t LEFT JOIN best USING (event_type)
+"""
+
+
+def q_kpss_events(spark, sf_dir):
+    """Per-event_type KPSS level-stationarity test over the dense
+    hourly series (operators/stattests.py kpss_level, KPSS 1992): the
+    stationarity member of the trend family with the null REVERSED vs
+    Mann-Kendall — rejecting is positive evidence the arrival level
+    wanders (trend/unit root) and a frozen likelihood baseline will go
+    stale. Bartlett long-run variance at l = floor(4 (n/100)^0.25);
+    one fact shuffle, one per-group sort window feeding the cumsum and
+    all lag columns, one combinable aggregation."""
+    from htm_streamer_spark.operators.stattests import kpss_level
+
+    e = _t(spark, sf_dir, "events")
+    return kpss_level(e, "event_type", "ts", bucket="hour", max_lag=12)
+
+
+_KPSS_LAGS = "\n".join(
+    f"         lag(e, {j}) OVER (PARTITION BY event_type ORDER BY b) AS l{j},"
+    for j in range(1, 13)
+)
+_KPSS_GSUMS = "\n".join(
+    f"         sum(e * l{j}) AS g{j}," for j in range(1, 13)
+)
+_KPSS_TERMS = "\n".join(
+    f"         + CASE WHEN lag_l >= {j} THEN 2.0 * (1.0 - {j}.0 / (lag_l + 1.0))"
+    f" * coalesce(g{j}, 0.0) / n_buckets ELSE 0.0 END"
+    for j in range(1, 13)
+)
+SQL_KPSS = f"""
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM cnt GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, interval '1 hour')) AS b
+  FROM span
+),
+dense AS (
+  SELECT grid.event_type, grid.b, coalesce(cnt.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type AND cnt.b = grid.b
+),
+st AS (
+  SELECT event_type, b,
+         c - avg(c) OVER (PARTITION BY event_type) AS e
+  FROM dense
+),
+sc AS (
+  SELECT event_type, e,
+         sum(e) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS s,
+{_KPSS_LAGS}
+         b
+  FROM st
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_buckets,
+         sum(s * s) AS num, sum(e * e) AS g0,
+{_KPSS_GSUMS}
+         0 AS _pad
+  FROM sc GROUP BY 1
+),
+l AS (
+  SELECT *, least(floor(4.0 * pow(n_buckets / 100.0, 0.25) + 1e-9)::BIGINT,
+                  12::BIGINT, n_buckets - 1) AS lag_l
+  FROM agg
+),
+s2 AS (
+  SELECT event_type, n_buckets, lag_l, num,
+         g0 / n_buckets
+{_KPSS_TERMS}
+         AS s2v
+  FROM l
+)
+SELECT event_type, n_buckets, lag_l,
+       round(CASE WHEN s2v > 0
+                  THEN num / (n_buckets::DOUBLE * n_buckets * s2v) END
+             + 1e-9, 6) + 0.0 AS kpss_stat,
+       CASE WHEN s2v > 0
+            THEN num / (n_buckets::DOUBLE * n_buckets * s2v) > 0.463
+       END AS kpss_reject
+FROM s2
+"""
+
+
 def q_truncation_docs(spark, sf_dir):
     """Histogram spike detector over whitespace token counts
     (operators/stattests.py histogram_spikes): the truncation/clipping
@@ -8189,6 +8349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_docs": q_heaps_docs,
         "mann_kendall_events": q_mann_kendall_events,
         "seasonal_mk_events": q_seasonal_mk_events,
+        "pettitt_events": q_pettitt_events,
+        "kpss_events": q_kpss_events,
         "truncation_docs": q_truncation_docs,
         "source_overlap_docs": q_source_overlap_docs,
         "token_budget_docs": q_token_budget_docs,
@@ -8377,6 +8539,8 @@ def oracle_sql() -> dict[str, str]:
         "heaps_docs": SQL_HEAPS,
         "mann_kendall_events": SQL_MANN_KENDALL,
         "seasonal_mk_events": SQL_SEASONAL_MK,
+        "pettitt_events": SQL_PETTITT,
+        "kpss_events": SQL_KPSS,
         "truncation_docs": SQL_TRUNCATION,
         "source_overlap_docs": SQL_SOURCE_OVERLAP,
         "token_budget_docs": SQL_TOKEN_BUDGET,

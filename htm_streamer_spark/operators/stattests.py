@@ -65,6 +65,8 @@ __all__ = [
     "seasonal_anomalies",
     "mann_kendall",
     "seasonal_mann_kendall",
+    "pettitt_changepoint",
+    "kpss_level",
     "histogram_spikes",
     "quantile_qq_drift",
 ]
@@ -2667,4 +2669,182 @@ def seasonal_mann_kendall(
             .otherwise(F.lit("none"))
             .alias("trend"),
         )
+    )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-group Pettitt change-point test (Pettitt 1979) over the
+    dense bucketed count series — the RANK member of the change-point
+    family: ``cusum_changepoint`` standardizes by the sample sigma
+    (one fat-tailed burst inflates sigma and buries a real level
+    shift), ``page_hinkley`` needs a tuned delta; Pettitt is the
+    distribution-free retrospective test with an exact-form p-value::
+
+        U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j)
+        K   = max_{t<n} |U_t|,   p ~= 2 exp(-6 K^2 / (n^3 + n^2))
+
+    computed WITHOUT the O(n^2) pair join via the midrank identity
+    (sum_{j != i} sign(x_i - x_j) = 2 r_i - (n + 1), exact under
+    midranks; the within-prefix pair sum cancels by antisymmetry)::
+
+        U_t = 2 S_t - t (n + 1),   S_t = cumulative midrank sum
+
+    so the whole test is one rank window plus one cumulative window —
+    a strictly better 100-TB shape than the Mann-Kendall pair join.
+    The change point is the EARLIEST bucket attaining K (U is
+    integer-valued; the comparison is exact). Degenerate groups
+    (n == 1, or a constant series: K == 0) report p 1.0 and a NULL
+    change point. Returns
+    (group, n_buckets, k_stat, cp_bucket, p_approx, shift_detected),
+    p at 6 dp, reject at p < 0.05.
+    """
+    g = group_col
+    dense = _dense_counts(df, g, ts_col, bucket)
+    order = Window.partitionBy(g).orderBy("_c")
+    ties = Window.partitionBy(g, "_c")
+    by_t = Window.partitionBy(g).orderBy("_b")
+    tot = Window.partitionBy(g)
+    ranked = dense.select(
+        g,
+        "_b",
+        (
+            F.rank().over(order)
+            + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+        ).alias("_r"),
+    )
+    n = F.count(F.lit(1)).over(tot)
+    t = F.row_number().over(by_t)
+    s = F.sum("_r").over(
+        by_t.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = ranked.select(
+        g,
+        "_b",
+        n.alias("_n"),
+        t.alias("_t"),
+        (2.0 * s - t * (n + 1)).alias("_u"),
+    ).where(F.col("_t") < F.col("_n"))
+    peak = scored.withColumn(
+        "_k", F.max(F.abs(F.col("_u"))).over(Window.partitionBy(g))
+    )
+    best = (
+        peak.where(F.abs(F.col("_u")) == F.col("_k"))
+        .groupBy(g)
+        .agg(
+            F.min("_n").cast("long").alias("n_buckets"),
+            F.min("_k").cast("long").alias("k_stat"),
+            F.min("_b").alias("cp_bucket"),
+        )
+    )
+    totals = dense.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    out = totals.join(best.drop("n_buckets"), [g], "left")
+    nn = F.col("n_buckets").cast("double")
+    k = F.coalesce(F.col("k_stat"), F.lit(0)).cast("double")
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-6.0 * k * k / (nn * nn * nn + nn * nn)),
+    )
+    return out.select(
+        g,
+        "n_buckets",
+        F.coalesce(F.col("k_stat"), F.lit(0).cast("long")).alias(
+            "k_stat"
+        ),
+        F.when(k > 0, F.col("cp_bucket")).alias("cp_bucket"),
+        F.round(p + F.lit(1e-9), 6).alias("p_approx"),
+        (p < 0.05).alias("shift_detected"),
+    )
+
+
+def kpss_level(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "hour",
+    max_lag: int = 12,
+) -> DataFrame:
+    """Per-group KPSS level-stationarity test (Kwiatkowski, Phillips,
+    Schmidt & Shin 1992) over the dense bucketed count series — the
+    STATIONARITY member of the trend family, with the null REVERSED
+    relative to Mann-Kendall: MK's null is "no trend" (failing to
+    reject proves nothing for a short noisy series); KPSS's null is
+    "level-stationary", so REJECTING is positive evidence the series
+    wanders (trend or unit root) and the likelihood baseline built on
+    it will go stale::
+
+        e_t = x_t - xbar,  S_t = sum_{i<=t} e_i
+        eta = sum_t S_t^2 / (n^2 s^2(l))
+        s^2(l) = g_0 + 2 sum_{j=1..l} (1 - j/(l+1)) g_j   (Bartlett)
+        g_j = (1/n) sum_{t>j} e_t e_{t-j}
+
+    with the standard bandwidth l = floor(4 (n/100)^{1/4}) clamped to
+    ``min(max_lag, n-1)`` and the 5% level critical value 0.463.
+    The Bartlett (Newey-West) weights keep s^2 nonnegative.
+
+    Plan: the single ``groupBy(group, bucket)`` fact shuffle; ONE
+    per-group sort window supplies the cumulative sum and all
+    ``max_lag`` lag columns (same sort spec - one Window node), then
+    one map-side-combinable aggregation; the bandwidth ladder is a
+    literal expression. Degenerate groups (constant series: s^2 == 0)
+    report NULL stat/verdict. Returns
+    (group, n_buckets, lag_l, kpss_stat, kpss_reject), 6 dp.
+    """
+    g = group_col
+    dense = _dense_counts(df, g, ts_col, bucket)
+    tot = Window.partitionBy(g)
+    by_t = Window.partitionBy(g).orderBy("_b")
+    withe = dense.select(
+        g,
+        "_b",
+        (F.col("_c") - F.avg("_c").over(tot)).alias("_e"),
+    )
+    cum = by_t.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = withe.select(
+        g,
+        "_e",
+        F.sum("_e").over(cum).alias("_s"),
+        *[
+            F.lag("_e", j).over(by_t).alias(f"_l{j}")
+            for j in range(1, max_lag + 1)
+        ],
+    )
+    agg = scored.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("_s") * F.col("_s")).alias("_num"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_g0"),
+        *[
+            F.sum(F.col("_e") * F.col(f"_l{j}")).alias(f"_g{j}")
+            for j in range(1, max_lag + 1)
+        ],
+    )
+    nn = F.col("n_buckets").cast("double")
+    lag = F.least(
+        F.floor(4.0 * F.pow(nn / 100.0, 0.25) + 1e-9),
+        F.lit(max_lag).cast("long"),
+        F.col("n_buckets") - 1,
+    ).cast("long")
+    agg = agg.withColumn("lag_l", lag)
+    s2 = F.col("_g0") / nn
+    for j in range(1, max_lag + 1):
+        w = 1.0 - F.lit(float(j)) / (F.col("lag_l") + 1.0)
+        s2 = s2 + F.when(
+            F.col("lag_l") >= j,
+            2.0 * w * F.coalesce(F.col(f"_g{j}"), F.lit(0.0)) / nn,
+        ).otherwise(F.lit(0.0))
+    eta = F.when(s2 > 0, F.col("_num") / (nn * nn * s2))
+    return agg.select(
+        g,
+        "n_buckets",
+        "lag_l",
+        F.round(eta + F.lit(1e-9), 6).alias("kpss_stat"),
+        F.when(eta.isNotNull(), eta > 0.463).alias("kpss_reject"),
     )
