@@ -2502,6 +2502,73 @@ FROM totals JOIN sample USING (term)
 """
 
 
+def q_bm25_docs(spark, sf_dir):
+    """BM25 top-5 ranked retrieval for three fixed queries
+    (operators/ranking.py bm25_topk): the RETRIEVAL member of the
+    tfidf/postings family — Lucene-form idf, k1=1.2 / b=0.75
+    saturation + length normalization. Query terms broadcast and prune
+    the tf frame BEFORE scoring; N/df/avgdl all derive from ONE
+    persisted (doc, term, tf) frame — a single tokenizing scan."""
+    from htm_streamer_spark.operators.ranking import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        d,
+        [
+            ("q1", "customer table scan"),
+            ("q2", "spark window merge"),
+            ("q3", "big fast hash"),
+        ],
+        k=5,
+    )
+
+
+SQL_BM25_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qterms(query_id, term) AS (
+  VALUES ('q1', 'customer'), ('q1', 'scan'), ('q1', 'table'),
+         ('q2', 'merge'), ('q2', 'spark'), ('q2', 'window'),
+         ('q3', 'big'), ('q3', 'fast'), ('q3', 'hash')
+),
+cand AS (SELECT q.query_id, tf.* FROM tf JOIN qterms q USING (term)),
+dfreq AS (
+  SELECT query_id, term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM cand GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * c.tf * 2.2
+           / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) + 1e-9, 6) + 0.0 AS score
+  FROM cand c
+  JOIN dfreq f USING (query_id, term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, rank::INT AS rank, score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_scrub_docs(spark, sf_dir):
     """Blocklist scrub accounting (operators/scrub.py): per-doc match
     count and redacted length for a whole-word alternation — the PII /
@@ -8252,6 +8319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "tfidf_docs": q_tfidf_docs,
         "postings_docs": q_postings_docs,
+        "bm25_docs": q_bm25_docs,
         "scrub_docs": q_scrub_docs,
         "funnel_events": q_funnel_events,
         "stream_join_events": q_stream_join_events,
@@ -8442,6 +8510,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "tfidf_docs": SQL_TFIDF_DOCS,
         "postings_docs": SQL_POSTINGS_DOCS,
+        "bm25_docs": SQL_BM25_DOCS,
         "scrub_docs": SQL_SCRUB_DOCS,
         "funnel_events": SQL_FUNNEL_EVENTS,
         "stream_join_events": SQL_STREAM_JOIN_EVENTS,

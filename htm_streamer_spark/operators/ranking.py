@@ -146,3 +146,99 @@ def build_postings(
     return totals.join(sample, "term").select(
         "term", "n_docs", "total_tf", "sample_docs"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: the top-``k`` documents per query — the
+    RETRIEVAL member of this module (``tfidf_top_terms`` tags terms per
+    doc; ``build_postings`` builds the index; BM25 answers "which docs
+    match this query", the lookup a decontamination or curation
+    pipeline runs against the corpus). Robertson/Sparck Jones weights
+    in the Lucene positivity form::
+
+        idf_t      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(d,q) = sum_{t in q} idf_t * tf * (k1 + 1)
+                                  / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    over DISTINCT query terms (standard short-query BM25 ignores query
+    term frequency). The collection is the set of docs with at least
+    one token: N, df and avgdl are all derived from the SAME persisted
+    (doc, term, tf) frame — one tokenizing scan total.
+
+    Scale: ``queries`` is a benchmark-sized literal list; its distinct
+    terms broadcast, and the equi-join prunes the tf frame to query
+    terms BEFORE any scoring work — at corpus scale only the postings
+    of the query vocabulary survive the shuffle. Per-doc length joins
+    back on the pruned candidate set only. Ranking is by the 6-dp
+    ROUNDED score with a doc-id tie-break — reproducible across
+    engines. Returns (query_id, id_col, rank, score).
+    """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    if not queries:
+        raise ValueError("queries must be a non-empty list of (id, text)")
+    spark = df.sparkSession
+    q_rows = [
+        (qid, term)
+        for qid, text in queries
+        for term in sorted({t for t in text.lower().split() if t})
+    ]
+    qterms = spark.createDataFrame(q_rows, "query_id string, term string")
+
+    toks = tokenize(fan_out_narrow_scans(df.select(id_col, text_col)), text_col)
+    # tf feeds collection stats, doc lengths, df AND scoring: persist
+    # the narrow frame so the text is read and tokenized exactly once.
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    ).withColumn("j", F.lit(1))
+    cand = tf.join(F.broadcast(qterms), "term")
+    dfreq = (
+        cand.groupBy("query_id", "term")
+        .agg(F.countDistinct(id_col).cast("double").alias("df"))
+    )
+    scored = (
+        cand.join(F.broadcast(dfreq), ["query_id", "term"])
+        .join(dl, id_col)
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(stats), "j")
+        .withColumn(
+            "_contrib",
+            F.log(
+                1.0
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("_contrib") + F.lit(1e-9), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )
