@@ -6360,6 +6360,121 @@ FROM h
 """.replace("FROM h0", "FROM a")
 
 
+def q_anderson_darling_docs(spark, sf_dir):
+    """k-sample Anderson-Darling per lang across sources on n_chars
+    (operators/rankstats.py anderson_darling_k, Scholz-Stephens 1987
+    midrank form): the k-sample OMNIBUS member — KW sees only location
+    and Brown-Forsythe only scale; AD weights the ECDF discrepancy by
+    1/(F(1-F)) so tail drift between sources counts. Exact null
+    moments (harmonic sums from a chunked sequence — metadata-scale),
+    5% verdict on the interpolated critical surface. One fact shuffle;
+    the L x k grid is collapsed-frame-sized."""
+    from htm_streamer_spark.operators.rankstats import anderson_darling_k
+
+    d = _t(spark, sf_dir, "documents")
+    return anderson_darling_k(d, "lang", "n_chars", "source")
+
+
+SQL_ANDERSON_DARLING = """
+WITH base AS (
+  SELECT lang AS g, source AS cls, n_chars::DOUBLE AS v
+  FROM documents WHERE n_chars IS NOT NULL
+),
+collapsed AS (
+  SELECT g, cls, v, count(*)::DOUBLE AS f FROM base GROUP BY 1, 2, 3
+),
+pooled AS (SELECT g, v, sum(f) AS l FROM collapsed GROUP BY 1, 2),
+pooledb AS (
+  SELECT g, v, l,
+         sum(l) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) - l / 2.0 AS bb
+  FROM pooled
+),
+gstats AS (
+  SELECT g, sum(l) AS nn, count(*)::BIGINT AS nd FROM pooled GROUP BY 1
+),
+classes AS (SELECT g, cls, sum(f) AS nj FROM collapsed GROUP BY 1, 2),
+grid AS (
+  SELECT p.g, c.cls, p.v, p.l, p.bb, c.nj, coalesce(cc.f, 0.0) AS f
+  FROM pooledb p JOIN classes c USING (g)
+  LEFT JOIN collapsed cc ON cc.g = p.g AND cc.cls = c.cls AND cc.v = p.v
+),
+mgrid AS (
+  SELECT *, sum(f) OVER (PARTITION BY g, cls ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) - f / 2.0 AS m
+  FROM grid
+),
+innr AS (
+  SELECT mg.g, mg.cls, mg.nj, s.nn, s.nd,
+         CASE WHEN (mg.bb * (s.nn - mg.bb) - s.nn * mg.l / 4.0) > 0
+              THEN (mg.l / s.nn) * pow(s.nn * mg.m - mg.nj * mg.bb, 2)
+                   / (mg.bb * (s.nn - mg.bb) - s.nn * mg.l / 4.0) END AS t
+  FROM mgrid mg JOIN gstats s USING (g)
+),
+per_cls AS (
+  SELECT g, cls, min(nn) AS nn, min(nd) AS nd,
+         sum(t) / min(nj) AS acls, 1.0 / min(nj) AS hj
+  FROM innr GROUP BY 1, 2
+),
+stats AS (
+  SELECT g, min(nn)::BIGINT AS n, count(*)::BIGINT AS k, min(nd) AS nd,
+         sum(acls) AS a2raw, sum(hj) AS hsum
+  FROM per_cls GROUP BY 1
+),
+seq AS (
+  SELECT s.g, s.n, unnest(generate_series(1, s.n - 1)) AS i
+  FROM stats s WHERE s.n >= 4
+),
+cumh AS (
+  SELECT g, n, i,
+         sum(1.0 / i) OVER (PARTITION BY g ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS hi,
+         sum(1.0 / i) OVER (PARTITION BY g) AS htot
+  FROM seq
+),
+harm AS (
+  SELECT g, min(htot) AS h,
+         coalesce(sum(CASE WHEN i <= n - 2
+                           THEN (htot - hi) / (n - i) END), 0.0) AS gsum
+  FROM cumh GROUP BY 1
+),
+fin AS (
+  SELECT st.g, st.n, st.k, st.nd,
+         (st.n - 1.0) / st.n * st.a2raw AS a2,
+         (4.0 * ha.gsum - 6.0) * (st.k - 1.0)
+           + (10.0 - 6.0 * ha.gsum) * st.hsum AS ca,
+         (2.0 * ha.gsum - 4.0) * st.k * st.k + 8.0 * ha.h * st.k
+           + (2.0 * ha.gsum - 14.0 * ha.h - 4.0) * st.hsum
+           - 8.0 * ha.h + 4.0 * ha.gsum - 6.0 AS cb,
+         (6.0 * ha.h + 2.0 * ha.gsum - 2.0) * st.k * st.k
+           + (4.0 * ha.h - 4.0 * ha.gsum + 6.0) * st.k
+           + (2.0 * ha.h - 6.0) * st.hsum + 4.0 * ha.h AS cc,
+         (2.0 * ha.h + 6.0) * st.k * st.k - 4.0 * ha.h * st.k AS cd
+  FROM stats st LEFT JOIN harm ha USING (g)
+),
+fv AS (
+  SELECT *,
+         (ca * n * n * n + cb * n * n + cc * n + cd)
+           / ((n - 1.0) * (n - 2.0) * (n - 3.0)) AS var_s
+  FROM fin
+),
+ok AS (
+  SELECT *,
+         (k >= 2 AND nd >= 2 AND n >= 4 AND var_s > 0) AS is_ok,
+         CASE WHEN k >= 2 AND nd >= 2 AND n >= 4 AND var_s > 0
+              THEN (a2 - (k - 1.0)) / sqrt(var_s) END AS tstat
+  FROM fv
+)
+SELECT g AS lang, n, k,
+       round(CASE WHEN is_ok THEN a2 END + 1e-9, 6) + 0.0 AS a2_stat,
+       round(tstat + 1e-9, 6) + 0.0 AS t_stat,
+       CASE WHEN tstat IS NOT NULL
+            THEN tstat > 1.645 + 0.678 / sqrt(k - 1.0) - 0.362 / (k - 1.0)
+       END AS ad_reject
+FROM ok
+"""
+
+
 def q_brown_forsythe_docs(spark, sf_dir):
     """Brown-Forsythe (median Levene) variance-homogeneity per lang
     across sources on n_chars (operators/rankstats.py brown_forsythe):
@@ -8363,6 +8478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_gap_ks_events": q_exp_gap_ks_events,
         "kruskal_wallis_docs": q_kruskal_wallis_docs,
         "brown_forsythe_docs": q_brown_forsythe_docs,
+        "anderson_darling_docs": q_anderson_darling_docs,
         "welch_t_events": q_welch_t_events,
         "arrival_profile_events": q_arrival_profile_events,
         "logrank_events": q_logrank_events,
@@ -8553,6 +8669,7 @@ def oracle_sql() -> dict[str, str]:
         "exp_gap_ks_events": SQL_EXP_GAP_KS,
         "kruskal_wallis_docs": SQL_KRUSKAL_WALLIS,
         "brown_forsythe_docs": SQL_BROWN_FORSYTHE,
+        "anderson_darling_docs": SQL_ANDERSON_DARLING,
         "welch_t_events": SQL_WELCH_T,
         "arrival_profile_events": SQL_ARRIVAL_PROFILE,
         "logrank_events": SQL_LOGRANK,
