@@ -3408,6 +3408,52 @@ FROM ecdf GROUP BY 1
 """
 
 
+def q_conformal_events(spark, sf_dir):
+    """Split-conformal anomaly p-values per event_type on value
+    (operators/conformal.py): the DISTRIBUTION-FREE member of the
+    anomaly family — the likelihood scorer assumes its Gaussian tail;
+    conformal's p = (1 + #{calib >= v})/(n_calib + 1) holds
+    P(p <= alpha) <= alpha for ANY distribution, exactly, at finite n.
+    Calibration = even event_id half (same epoch convention as
+    ks_drift). One tie-collapse shuffle + one descending per-group
+    cumulative window over distinct values."""
+    from htm_streamer_spark.operators.conformal import conformal_pvalues
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 2).alias("half"),
+    )
+    return conformal_pvalues(e, "event_type", "value", "half", alpha=0.05)
+
+
+SQL_CONFORMAL = """
+WITH tagged AS (
+  SELECT event_type, value, (event_id % 2)::INT AS half FROM events
+),
+per_value AS (
+  SELECT event_type, value,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+  FROM tagged GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, value, c1,
+         sum(c0) OVER (PARTITION BY event_type ORDER BY value DESC
+                       ROWS UNBOUNDED PRECEDING) AS n_ge,
+         sum(c0) OVER (PARTITION BY event_type) AS n_cal
+  FROM per_value
+)
+SELECT event_type, value,
+       c1 AS n_scored_at,
+       n_cal::BIGINT AS n_calib,
+       n_ge::BIGINT AS n_calib_ge,
+       round((1.0 + n_ge) / (n_cal + 1.0) + 1e-9, 6) + 0.0 AS p_value,
+       ((1.0 + n_ge) / (n_cal + 1.0)) <= 0.05 AS is_anomalous
+FROM scored WHERE c1 > 0
+"""
+
+
 def q_chisq_docs(spark, sf_dir):
     """Chi-squared independence test between lang and source
     (operators/stattests.py chi_squared_independence): did the
@@ -8454,6 +8500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "dup_spans_docs": q_dup_spans_docs,
         "ks_drift_events": q_ks_drift_events,
+        "conformal_events": q_conformal_events,
         "chisq_docs": q_chisq_docs,
         "jaccard_join_docs": q_jaccard_join_docs,
         "wasserstein_events": q_wasserstein_events,
@@ -8646,6 +8693,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": SQL_CHUNK_DOCS,
         "dup_spans_docs": SQL_DUP_SPANS,
         "ks_drift_events": SQL_KS_DRIFT,
+        "conformal_events": SQL_CONFORMAL,
         "jaccard_join_docs": SQL_JACCARD_JOIN,
         "wasserstein_events": SQL_WASSERSTEIN,
         "fdr_drift_events": SQL_FDR_DRIFT,
