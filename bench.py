@@ -251,6 +251,12 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "holm_drift_events",
         "json_types_events",
         "isotonic_events",
+        "seasonal_mk_events",
+        "pettitt_events",
+        "kpss_events",
+        "bm25_docs",
+        "anderson_darling_docs",
+        "conformal_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
