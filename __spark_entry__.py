@@ -6972,6 +6972,62 @@ FROM z
 """
 
 
+def q_cochran_armitage_events(spark, sf_dir):
+    """Cochran-Armitage proportion-trend per event_type on the daily
+    SHARE of the stream (operators/stattests.py cochran_armitage): the
+    PROPORTION member of the trend family — MK tests the absolute
+    arrival count, Spearman a value column; CA answers "is this type's
+    share of traffic creeping while total volume also moves", the
+    compositional mix-drift question. ONE fact scan: per-bucket trials
+    derive from the same (class, bucket) frame."""
+    from htm_streamer_spark.operators.stattests import cochran_armitage
+
+    e = _t(spark, sf_dir, "events")
+    return cochran_armitage(e, "event_type", "ts", bucket="day")
+
+
+SQL_COCHRAN_ARMITAGE = """
+WITH per AS (
+  SELECT event_type AS cls, date_trunc('day', ts) AS b,
+         count(*)::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT b, sum(y) AS n FROM per GROUP BY 1),
+lo AS (SELECT min(b) AS lo FROM totals),
+st AS (
+  SELECT t.b, t.n, date_diff('day', l.lo, t.b)::DOUBLE AS s
+  FROM totals t CROSS JOIN lo l
+),
+grid AS (
+  SELECT c.cls, st.b, st.n, st.s, coalesce(p.y, 0.0) AS y
+  FROM st CROSS JOIN (SELECT DISTINCT cls FROM per) c
+  LEFT JOIN per p ON p.cls = c.cls AND p.b = st.b
+),
+agg AS (
+  SELECT cls, count(*)::BIGINT AS n_buckets,
+         sum(n) AS nn, sum(y) AS yy,
+         sum(s * y) AS sy, sum(s * n) AS sn, sum(s * s * n) AS ssn
+  FROM grid GROUP BY 1
+),
+zc AS (
+  SELECT cls, n_buckets, nn, yy,
+         CASE WHEN (yy / nn) * (1.0 - yy / nn) * (ssn - sn * sn / nn) > 0
+              THEN (sy - (yy / nn) * sn)
+                   / sqrt((yy / nn) * (1.0 - yy / nn)
+                          * (ssn - sn * sn / nn)) END AS zv
+  FROM agg
+)
+SELECT cls AS event_type, n_buckets,
+       nn::BIGINT AS n_total, yy::BIGINT AS n_class,
+       round(zv + 1e-9, 6) + 0.0 AS z,
+       CASE WHEN zv IS NULL THEN NULL
+            WHEN zv > 1.959964 THEN 'increasing'
+            WHEN zv < -1.959964 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM zc
+"""
+
+
 def q_seasonal_mk_events(spark, sf_dir):
     """Per-event_type SEASONAL Mann–Kendall trend test over the dense
     hourly series (operators/stattests.py seasonal_mann_kendall,
@@ -8580,6 +8636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_docs": q_heaps_docs,
         "mann_kendall_events": q_mann_kendall_events,
         "seasonal_mk_events": q_seasonal_mk_events,
+        "cochran_armitage_events": q_cochran_armitage_events,
         "pettitt_events": q_pettitt_events,
         "kpss_events": q_kpss_events,
         "truncation_docs": q_truncation_docs,
@@ -8773,6 +8830,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_docs": SQL_HEAPS,
         "mann_kendall_events": SQL_MANN_KENDALL,
         "seasonal_mk_events": SQL_SEASONAL_MK,
+        "cochran_armitage_events": SQL_COCHRAN_ARMITAGE,
         "pettitt_events": SQL_PETTITT,
         "kpss_events": SQL_KPSS,
         "truncation_docs": SQL_TRUNCATION,

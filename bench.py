@@ -257,6 +257,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "bm25_docs",
         "anderson_darling_docs",
         "conformal_events",
+        "cochran_armitage_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -67,6 +67,7 @@ __all__ = [
     "seasonal_mann_kendall",
     "pettitt_changepoint",
     "kpss_level",
+    "cochran_armitage",
     "histogram_spikes",
     "quantile_qq_drift",
 ]
@@ -2847,4 +2848,113 @@ def kpss_level(
         "lag_l",
         F.round(eta + F.lit(1e-9), 6).alias("kpss_stat"),
         F.when(eta.isNotNull(), eta > 0.463).alias("kpss_reject"),
+    )
+
+
+def _bucket_index(b_col: str, lo_col: str, bucket: str):
+    """Integer-valued score of bucket ``b_col`` counted from the
+    global first bucket ``lo_col`` — exact double arithmetic on both
+    engines (the synthetic clock is UTC; no DST step inside a span)."""
+    if bucket == "day":
+        return F.datediff(F.col(b_col), F.col(lo_col)).cast("double")
+    secs = {"hour": 3600, "minute": 60, "second": 1}[bucket]
+    return (
+        (F.unix_timestamp(F.col(b_col)) - F.unix_timestamp(F.col(lo_col)))
+        / F.lit(float(secs))
+    ).cast("double")
+
+
+def cochran_armitage(
+    df: DataFrame,
+    class_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "day",
+    alpha_z: float = 1.959964,
+) -> DataFrame:
+    """Cochran-Armitage trend test per class: is each class's SHARE of
+    the stream trending over time? The PROPORTION member of the trend
+    family — ``mann_kendall`` tests the absolute arrival count and
+    ``spearman_corr`` a value column; neither answers "is the error
+    share of traffic creeping up while total volume also moves", the
+    compositional question a mix monitor asks. With per-bucket trials
+    n_t (all rows) and successes y_t (rows of the class), scores
+    s_t = bucket index::
+
+        T      = sum_t s_t (y_t - n_t p),      p = sum y / sum n
+        Var(T) = p (1 - p) (sum_t n_t s_t^2 - (sum_t n_t s_t)^2 / N)
+        z      = T / sqrt(Var)
+
+    the locally-optimal linear-trend-in-proportions statistic with the
+    binomial variance computed under the pooled null — standard normal
+    under "share is flat", two-sided verdict at ``alpha_z``.
+
+    Plan: ONE fact scan — a single ``groupBy(class, bucket)`` shuffle;
+    the per-bucket trials n_t derive from that same frame (sum over
+    classes), never a second read. Every class sees every bucket in
+    the observed span through the totals frame (a class absent from a
+    bucket contributes y_t = 0, as the definition requires). All
+    reductions are map-side combinable; the per-class frame is
+    buckets-sized. Degenerate cases (p in {0, 1}, a single bucket, or
+    zero score spread) report NULL z. Returns
+    (class, n_buckets, n_total, n_class, z, trend), 6 dp.
+    """
+    c = class_col
+    b = F.date_trunc(bucket, F.col(ts_col))
+    per = df.groupBy(F.col(c), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("double").alias("_y")
+    )
+    per = per.persist()  # totals + class frames: one fact scan
+    totals = per.groupBy("_b").agg(F.sum("_y").alias("_n"))
+    # score = bucket index from the global first bucket (scale-free:
+    # any affine transform of the scores leaves z unchanged, but the
+    # small integer keeps the oracle arithmetic exact)
+    lo = totals.groupBy().agg(F.min("_b").alias("_lo")).withColumn(
+        "_j", F.lit(1)
+    )
+    scored_tot = (
+        totals.withColumn("_j", F.lit(1))
+        .join(F.broadcast(lo), "_j")
+        .select(
+            "_b",
+            "_n",
+            _bucket_index("_b", "_lo", bucket).alias("_s"),
+        )
+    )
+    grid = scored_tot.crossJoin(
+        per.select(c).distinct()
+    ).join(per, [c, "_b"], "left").select(
+        c,
+        "_b",
+        "_n",
+        "_s",
+        F.coalesce(F.col("_y"), F.lit(0.0)).alias("_y"),
+    )
+    agg = grid.groupBy(c).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_n").alias("_nn"),
+        F.sum("_y").alias("_yy"),
+        F.sum(F.col("_s") * F.col("_y")).alias("_sy"),
+        F.sum(F.col("_s") * F.col("_n")).alias("_sn"),
+        F.sum(F.col("_s") * F.col("_s") * F.col("_n")).alias("_ssn"),
+    )
+    p = F.col("_yy") / F.col("_nn")
+    t_stat = F.col("_sy") - p * F.col("_sn")
+    var = (
+        p
+        * (1.0 - p)
+        * (F.col("_ssn") - F.col("_sn") * F.col("_sn") / F.col("_nn"))
+    )
+    z = F.when(var > 0, t_stat / F.sqrt(var))
+    return agg.select(
+        F.col(c),
+        "n_buckets",
+        F.col("_nn").cast("long").alias("n_total"),
+        F.col("_yy").cast("long").alias("n_class"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+        F.when(z.isNull(), F.lit(None).cast("string"))
+        .when(z > alpha_z, F.lit("increasing"))
+        .when(z < -alpha_z, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
     )
