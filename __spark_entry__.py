@@ -7028,6 +7028,64 @@ FROM zc
 """
 
 
+def q_bootstrap_ci_events(spark, sf_dir):
+    """Poisson-bootstrap CI for the per-type mean value
+    (operators/resampling.py poisson_bootstrap_mean_ci, Chamandy et
+    al. 2012): the UNCERTAINTY member of the profile family — every
+    other profile stat is a point estimate; this one ships an error
+    bar that survives 100 TB because each row draws its own
+    deterministic md5-seeded Poisson(1) weight per replicate and all
+    2B+2 aggregates combine map-side in ONE fact scan. The DuckDB
+    oracle recomputes the exact integer weights bit-identically."""
+    from htm_streamer_spark.operators.resampling import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_mean_ci(
+        e, "event_type", "value", "event_id", n_replicas=48
+    )
+
+
+def _poisson1_cdf_sql() -> str:
+    from htm_streamer_spark.operators.resampling import POISSON1_CDF
+
+    return "[" + ", ".join(repr(c) for c in POISSON1_CDF) + "]"
+
+
+SQL_BOOTSTRAP_CI = f"""
+WITH reps AS (SELECT unnest(range(48)) AS b),
+u AS (
+  SELECT event_type, value, b,
+         ('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR),
+                         1, 8))::BIGINT / 4294967296.0 AS uv
+  FROM events CROSS JOIN reps
+),
+w AS (
+  SELECT event_type, value, b,
+         len(list_filter({_poisson1_cdf_sql()},
+                         c -> uv >= c))::DOUBLE AS wt
+  FROM u
+),
+m AS (
+  SELECT event_type, b, sum(wt * value) / sum(wt) AS mean_b
+  FROM w GROUP BY 1, 2 HAVING sum(wt) > 0
+),
+base AS (
+  SELECT event_type, count(*)::BIGINT AS n, avg(value) AS mv
+  FROM events GROUP BY 1
+)
+SELECT m.event_type, base.n,
+       round(base.mv + 1e-9, 6) + 0.0 AS mean,
+       count(*)::BIGINT AS n_boot,
+       round(stddev_samp(mean_b) + 1e-9, 6) + 0.0 AS boot_se,
+       round(quantile_cont(mean_b, 0.025) + 1e-9, 6) + 0.0 AS ci_lo,
+       round(quantile_cont(mean_b, 0.975) + 1e-9, 6) + 0.0 AS ci_hi
+FROM m JOIN base ON base.event_type = m.event_type
+GROUP BY 1, 2, 3
+"""
+
+
 def q_seasonal_mk_events(spark, sf_dir):
     """Per-event_type SEASONAL Mann–Kendall trend test over the dense
     hourly series (operators/stattests.py seasonal_mann_kendall,
@@ -8637,6 +8695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall_events": q_mann_kendall_events,
         "seasonal_mk_events": q_seasonal_mk_events,
         "cochran_armitage_events": q_cochran_armitage_events,
+        "bootstrap_ci_events": q_bootstrap_ci_events,
         "pettitt_events": q_pettitt_events,
         "kpss_events": q_kpss_events,
         "truncation_docs": q_truncation_docs,
@@ -8831,6 +8890,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall_events": SQL_MANN_KENDALL,
         "seasonal_mk_events": SQL_SEASONAL_MK,
         "cochran_armitage_events": SQL_COCHRAN_ARMITAGE,
+        "bootstrap_ci_events": SQL_BOOTSTRAP_CI,
         "pettitt_events": SQL_PETTITT,
         "kpss_events": SQL_KPSS,
         "truncation_docs": SQL_TRUNCATION,

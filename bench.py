@@ -258,6 +258,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "anderson_darling_docs",
         "conformal_events",
         "cochran_armitage_events",
+        "bootstrap_ci_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
