@@ -7086,6 +7086,90 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_roc_auc_events(spark, sf_dir):
+    """Score-vs-label evaluation battery per event_type
+    (operators/scoreeval.py score_label_eval): does `value` separate
+    the high-k events (props.k >= 50)? Exact midrank AUC +
+    Hanley-McNeil SE + the Youden-optimal threshold with TPR/FPR at
+    it — the MODEL-EVAL member the profile family was missing. Runs
+    on the tie-collapsed (group, score) frame: one fact shuffle, two
+    distinct-score windows."""
+    from htm_streamer_spark.operators.scoreeval import score_label_eval
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS INT) >= 50"
+        ).alias("lab"),
+    )
+    return score_label_eval(e, "event_type", "value", "lab")
+
+
+SQL_ROC_AUC = """
+WITH base AS (
+  SELECT event_type, value AS s,
+         CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                   IS NULL THEN NULL
+              WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                   >= 50 THEN 1 ELSE 0 END AS lab
+  FROM events
+),
+cells AS (
+  SELECT event_type, s, sum(lab)::DOUBLE AS pos_at,
+         (count(*) - sum(lab))::DOUBLE AS neg_at
+  FROM base WHERE s IS NOT NULL AND lab IS NOT NULL GROUP BY 1, 2
+),
+scanned AS (
+  SELECT event_type, s, pos_at, neg_at,
+    coalesce(sum(pos_at + neg_at) OVER (
+        PARTITION BY event_type ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (pos_at + neg_at + 1.0) / 2.0 AS midrank,
+    sum(pos_at) OVER (PARTITION BY event_type ORDER BY s DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos_ge,
+    sum(neg_at) OVER (PARTITION BY event_type ORDER BY s DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg_ge,
+    sum(pos_at) OVER (PARTITION BY event_type) AS n_pos,
+    sum(neg_at) OVER (PARTITION BY event_type) AS n_neg
+  FROM cells
+),
+aucf AS (
+  SELECT event_type, max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+         CASE WHEN max(n_pos) > 0 AND max(n_neg) > 0
+              THEN (sum(pos_at * midrank)
+                    - max(n_pos) * (max(n_pos) + 1.0) / 2.0)
+                   / (max(n_pos) * max(n_neg)) END AS auc_raw
+  FROM scanned GROUP BY 1
+),
+best AS (
+  SELECT event_type, s AS best_thr,
+         cum_pos_ge / n_pos AS tpr, cum_neg_ge / n_neg AS fpr,
+         cum_pos_ge / n_pos - cum_neg_ge / n_neg AS j,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY cum_pos_ge / n_pos - cum_neg_ge / n_neg DESC
+                    NULLS LAST,
+                    cum_neg_ge / n_neg ASC NULLS LAST, s DESC) AS rn
+  FROM scanned WHERE n_pos > 0 AND n_neg > 0
+)
+SELECT a.event_type, n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+  round(auc_raw + 1e-9, 6) + 0.0 AS auc,
+  round(sqrt((auc_raw * (1.0 - auc_raw)
+              + (n_pos - 1.0) * (auc_raw / (2.0 - auc_raw)
+                                 - auc_raw * auc_raw)
+              + (n_neg - 1.0) * (2.0 * auc_raw * auc_raw
+                                 / (1.0 + auc_raw)
+                                 - auc_raw * auc_raw))
+             / (n_pos * n_neg)) + 1e-9, 6) + 0.0 AS auc_se,
+  round(best_thr + 1e-9, 6) + 0.0 AS best_thr,
+  round(tpr + 1e-9, 6) + 0.0 AS tpr_best,
+  round(fpr + 1e-9, 6) + 0.0 AS fpr_best,
+  round(j + 1e-9, 6) + 0.0 AS youden_j
+FROM aucf a JOIN best b ON a.event_type = b.event_type AND b.rn = 1
+"""
+
+
 def q_seasonal_mk_events(spark, sf_dir):
     """Per-event_type SEASONAL Mann–Kendall trend test over the dense
     hourly series (operators/stattests.py seasonal_mann_kendall,
@@ -8696,6 +8780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mk_events": q_seasonal_mk_events,
         "cochran_armitage_events": q_cochran_armitage_events,
         "bootstrap_ci_events": q_bootstrap_ci_events,
+        "roc_auc_events": q_roc_auc_events,
         "pettitt_events": q_pettitt_events,
         "kpss_events": q_kpss_events,
         "truncation_docs": q_truncation_docs,
@@ -8891,6 +8976,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_mk_events": SQL_SEASONAL_MK,
         "cochran_armitage_events": SQL_COCHRAN_ARMITAGE,
         "bootstrap_ci_events": SQL_BOOTSTRAP_CI,
+        "roc_auc_events": SQL_ROC_AUC,
         "pettitt_events": SQL_PETTITT,
         "kpss_events": SQL_KPSS,
         "truncation_docs": SQL_TRUNCATION,

@@ -259,6 +259,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "conformal_events",
         "cochran_armitage_events",
         "bootstrap_ci_events",
+        "roc_auc_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
