@@ -7170,6 +7170,64 @@ FROM aucf a JOIN best b ON a.event_type = b.event_type AND b.rn = 1
 """
 
 
+def q_pareto_docs(spark, sf_dir):
+    """Pareto frontier of documents under maximize-(n_tokens, TTR)
+    (operators/skyline.py pareto_frontier): efficient-frontier data
+    selection — the docs where no other doc is both longer AND more
+    lexically diverse (the two axes anti-correlate, so the frontier
+    is the real tradeoff curve a fixed threshold on either axis
+    misses). One (x, y) shuffle + a value-domain-sized running max;
+    the verdict frame broadcasts back."""
+    from htm_streamer_spark.operators.ranking import TOKEN_SPLIT
+    from htm_streamer_spark.operators.skyline import pareto_frontier
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT).alias("_w"),
+    )
+    toks = words.select(
+        "doc_id", F.expr("filter(_w, t -> t != '')").alias("_t")
+    )
+    counts = toks.select(
+        "doc_id",
+        F.size("_t").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    m = counts.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+    )
+    return pareto_frontier(m, "doc_id", "n_tokens", "ttr").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("ttr", 6).alias("ttr"),
+    )
+
+
+SQL_PARETO_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+         len(list_distinct(ts))::DOUBLE / len(ts) AS ttr
+  FROM toks WHERE len(ts) > 0
+)
+SELECT p.doc_id, p.n_tokens, round(p.ttr + 1e-9, 6) + 0.0 AS ttr
+FROM m p
+WHERE NOT EXISTS (
+  SELECT 1 FROM m q
+  WHERE q.n_tokens >= p.n_tokens AND q.ttr >= p.ttr
+    AND (q.n_tokens > p.n_tokens OR q.ttr > p.ttr)
+)
+"""
+
+
 def q_seasonal_mk_events(spark, sf_dir):
     """Per-event_type SEASONAL Mann–Kendall trend test over the dense
     hourly series (operators/stattests.py seasonal_mann_kendall,
@@ -8781,6 +8839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage_events": q_cochran_armitage_events,
         "bootstrap_ci_events": q_bootstrap_ci_events,
         "roc_auc_events": q_roc_auc_events,
+        "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
         "kpss_events": q_kpss_events,
         "truncation_docs": q_truncation_docs,
@@ -8977,6 +9036,7 @@ def oracle_sql() -> dict[str, str]:
         "cochran_armitage_events": SQL_COCHRAN_ARMITAGE,
         "bootstrap_ci_events": SQL_BOOTSTRAP_CI,
         "roc_auc_events": SQL_ROC_AUC,
+        "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
         "kpss_events": SQL_KPSS,
         "truncation_docs": SQL_TRUNCATION,

@@ -260,6 +260,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "cochran_armitage_events",
         "bootstrap_ci_events",
         "roc_auc_events",
+        "pareto_docs",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
