@@ -8678,6 +8678,115 @@ FROM ph GROUP BY 1
 """
 
 
+def q_esd_outliers_events(spark, sf_dir):
+    """Iterative extreme-studentized-deviate outlier peeling, 3 rounds
+    (operators/extremes.py esd_peel, the Rosner 1983 mechanic): each
+    round names and removes the single most extreme row by
+    |x - mean|/sd with moments recomputed on the survivors — the
+    masking-proof row-level outlier verdict the population drift gates
+    can't give (reference role: per-row anomaly score,
+    htm_streamer/model.py). Plan: ONE persisted narrow frame; each
+    round is a combinable power-sum agg + a max_by argmax (no sort
+    window) + a broadcast anti-join of the <=n_groups removed ids."""
+    from htm_streamer_spark.operators.extremes import esd_peel
+
+    e = _t(spark, sf_dir, "events")
+    return esd_peel(e, "event_type", "event_id", "value", rounds=3, z_crit=3.0)
+
+
+SQL_ESD_OUTLIERS = """
+WITH base AS (
+  SELECT event_type, event_id AS id, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL
+),
+a1 AS (SELECT event_type, count(*)::BIGINT AS n, sum(x) AS s1, sum(x*x) AS s2
+       FROM base GROUP BY 1),
+p1 AS (
+  SELECT b.event_type, b.id, b.x, a.n,
+         abs(b.x - a.s1/a.n) AS dev,
+         sqrt(greatest((a.s2 - a.s1*a.s1/a.n)/(a.n-1), 0.0)) AS sd,
+         row_number() OVER (PARTITION BY b.event_type
+                            ORDER BY round(abs(b.x - a.s1/a.n), 9) DESC, b.id) AS rn
+  FROM base b JOIN a1 a USING (event_type) WHERE a.n >= 3
+),
+o1 AS (SELECT event_type, 1 AS round, n AS n_before, id AS out_id, x AS out_value,
+              CASE WHEN sd > 0 THEN round(dev/sd + 1e-9, 6) + 0.0 END AS r_stat
+       FROM p1 WHERE rn = 1),
+b2 AS (SELECT b.* FROM base b LEFT JOIN o1
+       ON o1.event_type = b.event_type AND o1.out_id = b.id
+       WHERE o1.out_id IS NULL),
+a2 AS (SELECT event_type, count(*)::BIGINT AS n, sum(x) AS s1, sum(x*x) AS s2
+       FROM b2 GROUP BY 1),
+p2 AS (
+  SELECT b.event_type, b.id, b.x, a.n,
+         abs(b.x - a.s1/a.n) AS dev,
+         sqrt(greatest((a.s2 - a.s1*a.s1/a.n)/(a.n-1), 0.0)) AS sd,
+         row_number() OVER (PARTITION BY b.event_type
+                            ORDER BY round(abs(b.x - a.s1/a.n), 9) DESC, b.id) AS rn
+  FROM b2 b JOIN a2 a USING (event_type) WHERE a.n >= 3
+),
+o2 AS (SELECT event_type, 2 AS round, n AS n_before, id AS out_id, x AS out_value,
+              CASE WHEN sd > 0 THEN round(dev/sd + 1e-9, 6) + 0.0 END AS r_stat
+       FROM p2 WHERE rn = 1),
+b3 AS (SELECT b.* FROM b2 b LEFT JOIN o2
+       ON o2.event_type = b.event_type AND o2.out_id = b.id
+       WHERE o2.out_id IS NULL),
+a3 AS (SELECT event_type, count(*)::BIGINT AS n, sum(x) AS s1, sum(x*x) AS s2
+       FROM b3 GROUP BY 1),
+p3 AS (
+  SELECT b.event_type, b.id, b.x, a.n,
+         abs(b.x - a.s1/a.n) AS dev,
+         sqrt(greatest((a.s2 - a.s1*a.s1/a.n)/(a.n-1), 0.0)) AS sd,
+         row_number() OVER (PARTITION BY b.event_type
+                            ORDER BY round(abs(b.x - a.s1/a.n), 9) DESC, b.id) AS rn
+  FROM b3 b JOIN a3 a USING (event_type) WHERE a.n >= 3
+),
+o3 AS (SELECT event_type, 3 AS round, n AS n_before, id AS out_id, x AS out_value,
+              CASE WHEN sd > 0 THEN round(dev/sd + 1e-9, 6) + 0.0 END AS r_stat
+       FROM p3 WHERE rn = 1),
+allr AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3)
+SELECT event_type, round::INT AS round, n_before, out_id, out_value, r_stat,
+       (CASE WHEN r_stat > 3.0 THEN 1 ELSE 0 END)::INT AS exceeds
+FROM allr
+"""
+
+
+def q_hill_tail_events(spark, sf_dir):
+    """Hill (1975) tail-index estimate per event_type over the
+    positive value column, k=100 (operators/extremes.py hill_tail):
+    alpha = 1/H from the top-k order statistics — the tail-EXPONENT
+    validator that flags a developing pathological long tail before
+    the mean moves, complementing the head-reading Zipf fit
+    (operators/lm.py). Plan: pushed-down positivity filter, ONE
+    per-group sort window carrying both row_number and the partition
+    count, persisted top-(k+1) slice feeds x_(k+1) + the log-ratio
+    mean (broadcast join, metadata-scale)."""
+    from htm_streamer_spark.operators.extremes import hill_tail
+
+    e = _t(spark, sf_dir, "events")
+    return hill_tail(e, "event_type", "value", k=100)
+
+
+SQL_HILL_TAIL = """
+WITH pos AS (SELECT event_type, value::DOUBLE AS x FROM events WHERE value > 0),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x DESC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM pos
+),
+xk1 AS (SELECT event_type, x AS xk1 FROM ranked WHERE rn = 101),
+h AS (SELECT r.event_type, avg(ln(r.x / k.xk1)) AS h
+      FROM ranked r JOIN xk1 k USING (event_type) WHERE r.rn <= 100 GROUP BY 1),
+np AS (SELECT event_type, max(np)::BIGINT AS n_pos FROM ranked GROUP BY 1)
+SELECT np.event_type, np.n_pos,
+       round(h.h + 1e-9, 6) + 0.0 AS hill_h,
+       CASE WHEN h.h > 0 THEN round(1.0/h.h + 1e-9, 6) + 0.0 END AS alpha,
+       CASE WHEN h.h > 0 THEN round(1.0/h.h/sqrt(100.0) + 1e-9, 6) + 0.0 END AS se
+FROM np LEFT JOIN h USING (event_type)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -8841,6 +8950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": q_roc_auc_events,
         "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
+        "esd_outliers_events": q_esd_outliers_events,
+        "hill_tail_events": q_hill_tail_events,
         "kpss_events": q_kpss_events,
         "truncation_docs": q_truncation_docs,
         "source_overlap_docs": q_source_overlap_docs,
@@ -9038,6 +9149,8 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_events": SQL_ROC_AUC,
         "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
+        "esd_outliers_events": SQL_ESD_OUTLIERS,
+        "hill_tail_events": SQL_HILL_TAIL,
         "kpss_events": SQL_KPSS,
         "truncation_docs": SQL_TRUNCATION,
         "source_overlap_docs": SQL_SOURCE_OVERLAP,
