@@ -8678,6 +8678,113 @@ FROM ph GROUP BY 1
 """
 
 
+def q_hellinger_sources_docs(spark, sf_dir):
+    """Pairwise Hellinger distance + Bhattacharyya coefficient between
+    per-source unigram distributions (operators/infotheory.py
+    hellinger_sources): the METRIC member of the divergence battery —
+    JSD is smooth but not a metric; Hellinger's triangle inequality is
+    what mixture curation needs when source distances feed clustering
+    or triangle-pruned search. Terms on one side contribute 0 to BC,
+    so the only pairwise work is an equi-self-join of the vocabulary-
+    sized distribution frame on term; one tokenizing scan."""
+    from htm_streamer_spark.operators.infotheory import hellinger_sources
+
+    d = _t(spark, sf_dir, "documents")
+    return hellinger_sources(d, "source")
+
+
+SQL_HELLINGER_SOURCES = r"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, sum(tf)::DOUBLE AS tot FROM tf GROUP BY 1),
+dist AS (
+  SELECT tf.source, tf.term, tf.tf / tot.tot AS p
+  FROM tf JOIN tot USING (source)
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared_terms,
+         sum(sqrt(a.p * b.p)) AS bc
+  FROM dist a JOIN dist b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM dist),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+)
+SELECT p.source_a, p.source_b,
+       coalesce(s.n_shared_terms, 0)::BIGINT AS n_shared_terms,
+       round(coalesce(s.bc, 0.0) + 1e-9, 6) + 0.0 AS bc,
+       round(sqrt(1.0 - least(coalesce(s.bc, 0.0), 1.0)) + 1e-9, 6) + 0.0
+         AS hellinger,
+       CASE WHEN coalesce(s.bc, 0.0) > 0
+            THEN round(-ln(s.bc) + 1e-9, 6) + 0.0 END AS bhattacharyya
+FROM pairs p LEFT JOIN shared s USING (source_a, source_b)
+"""
+
+
+def q_cramers_v_events(spark, sf_dir):
+    """Chi-square independence + Cramér's V effect size between
+    event_type and hour-of-day (operators/infotheory.py cramers_v):
+    the bounded 0..1 effect size mutual information lacks a ceiling
+    for, with the Bergsma bias-corrected variant. Zero-observed grid
+    cells collapse analytically (chi2 = sum o²/e − n), so only the
+    observed-cell frame is materialized — one groupBy(x,y) shuffle,
+    marginals derived from the persisted cell frame, one fact scan."""
+    from htm_streamer_spark.operators.infotheory import cramers_v
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    )
+    return cramers_v(e, "event_type", "hour_of_day")
+
+
+SQL_CRAMERS_V = """
+WITH cells AS (
+  SELECT event_type AS x, extract(hour FROM ts)::INT AS y,
+         count(*)::DOUBLE AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
+my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT sum(c) AS n,
+               count(DISTINCT x)::DOUBLE AS r,
+               count(DISTINCT y)::DOUBLE AS k
+        FROM cells),
+agg AS (
+  SELECT any_value(tot.n) AS n, any_value(tot.r) AS r, any_value(tot.k) AS k,
+         sum(c.c * c.c / (mx.cx * my.cy / tot.n)) AS s
+  FROM cells c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+),
+fin AS (
+  SELECT n, r, k, s - n AS chi2,
+         greatest(s - n, 0.0) / n AS phi2,
+         (r - 1) * (k - 1) / (n - 1) AS corr,
+         r - (r - 1) * (r - 1) / (n - 1) AS rc,
+         k - (k - 1) * (k - 1) / (n - 1) AS kc
+  FROM agg
+)
+SELECT n::BIGINT AS n_rows, r::BIGINT AS n_x, k::BIGINT AS n_y,
+       ((r - 1) * (k - 1))::BIGINT AS dof,
+       round(chi2 + 1e-9, 6) + 0.0 AS chi2,
+       CASE WHEN least(r, k) > 1
+            THEN round(sqrt(greatest(chi2, 0.0) / (n * (least(r, k) - 1)))
+                       + 1e-9, 6) + 0.0 END AS v,
+       CASE WHEN n > 1 AND least(rc, kc) - 1 > 0
+            THEN round(sqrt(greatest(phi2 - corr, 0.0) / (least(rc, kc) - 1))
+                       + 1e-9, 6) + 0.0 END AS v_corrected
+FROM fin
+"""
+
+
 def q_esd_outliers_events(spark, sf_dir):
     """Iterative extreme-studentized-deviate outlier peeling, 3 rounds
     (operators/extremes.py esd_peel, the Rosner 1983 mechanic): each
@@ -8950,6 +9057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": q_roc_auc_events,
         "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
+        "hellinger_sources_docs": q_hellinger_sources_docs,
+        "cramers_v_events": q_cramers_v_events,
         "esd_outliers_events": q_esd_outliers_events,
         "hill_tail_events": q_hill_tail_events,
         "kpss_events": q_kpss_events,
@@ -9149,6 +9258,8 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_events": SQL_ROC_AUC,
         "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
+        "hellinger_sources_docs": SQL_HELLINGER_SOURCES,
+        "cramers_v_events": SQL_CRAMERS_V,
         "esd_outliers_events": SQL_ESD_OUTLIERS,
         "hill_tail_events": SQL_HILL_TAIL,
         "kpss_events": SQL_KPSS,

@@ -441,3 +441,145 @@ def mutual_information(
         F.round(F.col("_smi") + F.lit(1e-9), 6).alias("mi"),
         F.round(nmi + F.lit(1e-9), 6).alias("nmi"),
     )
+
+
+def hellinger_sources(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Hellinger distance and Bhattacharyya coefficient
+    between the unigram term distributions of every pair of groups
+    (``a < b`` lexicographically) — the metric (triangle-inequality)
+    member of the divergence battery::
+
+        BC(P,Q)  = sum_t sqrt(p_t * q_t)          (0..1)
+        H(P,Q)   = sqrt(1 - BC)                   (0..1, a true metric)
+        D_B(P,Q) = -ln BC                         (NULL on disjoint support)
+
+    vs the battery's other members: JSD (``jsd_sources``) is smooth
+    but not a metric; PSI/KL (drift.py) are asymmetric baseline-vs-
+    observed gates. Hellinger's metric property is what mixture-
+    curation needs when distances feed clustering or triangle-pruned
+    search over sources.
+
+    Scale notes: terms on one side only contribute 0 to BC, so — like
+    the JSD decomposition — the only pairwise work is an EQUI-join of
+    the vocabulary-sized distribution frame with itself on ``term``;
+    no per-pair outer join, one tokenizing scan. Output-sensitive in
+    shared vocabulary; pairs of observed groups with zero shared terms
+    report BC = 0, hellinger = 1, bhattacharyya NULL.
+
+    Returns ``(source_a, source_b, n_shared_terms, bc, hellinger,
+    bhattacharyya)``, 6 dp.
+    """
+    dist = source_unigram_dist(df, group_col, text_col=text_col).persist()
+    a = dist.select(
+        F.col(group_col).alias("source_a"), "term", F.col("p").alias("_pa")
+    )
+    b = dist.select(
+        F.col(group_col).alias("source_b"), "term", F.col("p").alias("_pb")
+    )
+    shared = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(F.sqrt(F.col("_pa") * F.col("_pb"))).alias("_bc"),
+        )
+    )
+    groups = dist.select(group_col).distinct()
+    ga = groups.select(F.col(group_col).alias("source_a"))
+    gb = groups.select(F.col(group_col).alias("source_b"))
+    pairs = ga.crossJoin(gb).where(F.col("source_a") < F.col("source_b"))
+    bc = F.coalesce(F.col("_bc"), F.lit(0.0))
+    # float sums can drift a hair past 1.0; clamp so sqrt stays real
+    bc1 = F.least(bc, F.lit(1.0))
+    return pairs.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared_terms"), F.lit(0)).alias("n_shared_terms"),
+        F.round(bc + F.lit(1e-9), 6).alias("bc"),
+        F.round(F.sqrt(F.lit(1.0) - bc1) + F.lit(1e-9), 6).alias("hellinger"),
+        F.when(bc > 0, F.round(-F.log(bc) + F.lit(1e-9), 6)).alias(
+            "bhattacharyya"
+        ),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pearson chi-square independence test + Cramér's V effect size
+    between two categorical columns, with the Bergsma (2013)
+    bias-corrected variant.
+
+    ``chi2 = sum_cells (o - e)^2 / e`` with ``e = cx * cy / n`` over
+    the FULL r x c grid — but expanding the square collapses the
+    zero-observed cells: ``chi2 = sum_observed o^2/e - n`` (the
+    ``-2*sum o + sum e`` terms are both exactly ``n``), so only the
+    observed-cell frame is ever materialized.
+    ``V = sqrt(chi2 / (n * (min(r,c) - 1)))`` — the 0..1 effect size
+    MI lacks a ceiling for; ``v_corrected`` applies the Bergsma
+    phi2/row/col shrinkage (NULL when the corrected denominator
+    degenerates, e.g. 2x2 with tiny n). Rows where either column is
+    NULL are excluded, matching ``mutual_information``.
+
+    One ``groupBy(x, y)`` shuffle; marginals and totals derive from
+    the persisted observed-cell frame, so the fact table is scanned
+    once. Returns one row: ``(n_rows, n_x, n_y, dof, chi2, v,
+    v_corrected)``, 6 dp.
+    """
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .persist()
+    )
+    mx = cells.groupBy("_x").agg(F.sum("_c").alias("_cx"))
+    my = cells.groupBy("_y").agg(F.sum("_c").alias("_cy"))
+    tot = cells.agg(
+        F.sum("_c").alias("_n"),
+        F.count_distinct("_x").cast("double").alias("_r"),
+        F.count_distinct("_y").cast("double").alias("_k"),
+    ).withColumn("_j", F.lit(1))
+    joined = (
+        cells.join(mx, "_x")
+        .join(my, "_y")
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(tot), "_j")
+    )
+    agg = joined.groupBy().agg(
+        F.first("_n").alias("_n"),
+        F.first("_r").alias("_r"),
+        F.first("_k").alias("_k"),
+        F.sum(
+            F.col("_c") * F.col("_c") / (F.col("_cx") * F.col("_cy") / F.col("_n"))
+        ).alias("_s"),
+    )
+    chi2 = F.col("_s") - F.col("_n")
+    minrc = F.least(F.col("_r"), F.col("_k"))
+    v = F.when(
+        minrc > 1, F.sqrt(F.greatest(chi2, F.lit(0.0)) / (F.col("_n") * (minrc - 1)))
+    )
+    # Bergsma bias correction
+    phi2 = F.greatest(chi2, F.lit(0.0)) / F.col("_n")
+    corr = (F.col("_r") - 1) * (F.col("_k") - 1) / (F.col("_n") - 1)
+    phi2c = F.greatest(phi2 - corr, F.lit(0.0))
+    rc = F.col("_r") - (F.col("_r") - 1) * (F.col("_r") - 1) / (F.col("_n") - 1)
+    kc = F.col("_k") - (F.col("_k") - 1) * (F.col("_k") - 1) / (F.col("_n") - 1)
+    minc = F.least(rc, kc) - 1
+    vc = F.when((F.col("_n") > 1) & (minc > 0), F.sqrt(phi2c / minc))
+    return agg.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_r").cast("long").alias("n_x"),
+        F.col("_k").cast("long").alias("n_y"),
+        ((F.col("_r") - 1) * (F.col("_k") - 1)).cast("long").alias("dof"),
+        F.round(chi2 + F.lit(1e-9), 6).alias("chi2"),
+        F.round(v + F.lit(1e-9), 6).alias("v"),
+        F.round(vc + F.lit(1e-9), 6).alias("v_corrected"),
+    )
