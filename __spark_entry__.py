@@ -8678,6 +8678,141 @@ FROM ph GROUP BY 1
 """
 
 
+def q_spearman_events(spark, sf_dir):
+    """Per-event_type Spearman rank correlation between event time and
+    value (operators/corrmatrix.py spearman_groups): the monotone-
+    relationship member of the correlation family — Pearson on
+    tie-aware midranks, robust to outliers and monotone transforms.
+    Midranks from the tie-collapsed per-(group, value) frame (same
+    construction as score_label_eval's AUC), rank join-back on the
+    persisted complete-pairs frame, pinned power-sum Pearson."""
+    from htm_streamer_spark.operators.corrmatrix import spearman_groups
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("t_epoch"),
+        "value",
+    )
+    return spearman_groups(e, "event_type", "t_epoch", "value")
+
+
+SQL_SPEARMAN_EVENTS = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts)::DOUBLE AS x, value::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY x)
+           + (count(*) OVER (PARTITION BY event_type, x) - 1) / 2.0 AS rank_x,
+         rank() OVER (PARTITION BY event_type ORDER BY y)
+           + (count(*) OVER (PARTITION BY event_type, y) - 1) / 2.0 AS rank_y
+  FROM base
+),
+agg AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(rank_x) AS sx, sum(rank_y) AS sy,
+         sum(rank_x * rank_x) AS sxx, sum(rank_y * rank_y) AS syy,
+         sum(rank_x * rank_y) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_rows,
+       CASE WHEN (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+            THEN round((sxy - sx*sy/n)
+                       / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n))
+                       + 1e-9, 6) + 0.0 END AS rho
+FROM agg
+"""
+
+
+def q_diversity_docs(spark, sf_dir):
+    """Per-source Hill-number diversity profile D0/D1/D2 + Pielou
+    evenness (operators/lm.py diversity_profile): effective-vocabulary
+    numbers whose D0-vs-D1/D2 gap separates long-tail junk minting
+    from genuine breadth — TTR and Chao1 can't. D1 doubles as the
+    source's unigram perplexity (tokenizer-budget comparable). One
+    tokenizing scan → vocabulary-sized tf frame → one aggregate."""
+    from htm_streamer_spark.operators.lm import diversity_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return diversity_profile(d, "source")
+
+
+SQL_DIVERSITY_DOCS = r"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT source, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, sum(tf) AS tot FROM tf GROUP BY 1),
+agg AS (
+  SELECT tf.source,
+         sum(tf.tf)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS d0,
+         sum(-(tf.tf / tot.tot) * ln(tf.tf / tot.tot)) AS sh,
+         sum((tf.tf / tot.tot) * (tf.tf / tot.tot)) AS sp2
+  FROM tf JOIN tot USING (source) GROUP BY 1
+)
+SELECT source, n_tokens, d0,
+       round(exp(sh) + 1e-9, 6) + 0.0 AS d1,
+       round(1.0 / sp2 + 1e-9, 6) + 0.0 AS d2,
+       round(sh + 1e-9, 6) + 0.0 AS shannon,
+       CASE WHEN d0 > 1 THEN round(sh / ln(d0) + 1e-9, 6) + 0.0 END AS pielou_j
+FROM agg
+"""
+
+
+def q_tukey_fences_events(spark, sf_dir):
+    """Per-event_type Tukey box-plot fences and outlier counts over
+    value (operators/extremes.py tukey_fences): the quartile member of
+    the outlier family — distribution-agnostic bounds with a 25%
+    breakdown point, vs ESD's Gaussian-bulk row verdicts. Exact type-7
+    quartiles (Spark percentile == DuckDB quantile_cont); ONE
+    persisted narrow frame feeds quartiles + the broadcast-joined
+    fence-count pass."""
+    from htm_streamer_spark.operators.extremes import tukey_fences
+
+    e = _t(spark, sf_dir, "events")
+    return tukey_fences(e, "event_type", "value", k=1.5)
+
+
+SQL_TUKEY_FENCES = """
+WITH base AS (
+  SELECT event_type, value::DOUBLE AS x FROM events WHERE value IS NOT NULL
+),
+quart AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows,
+         quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3
+  FROM base GROUP BY 1
+),
+fences AS (
+  SELECT event_type, n_rows, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM quart
+),
+counted AS (
+  SELECT f.event_type, any_value(f.n_rows) AS n_rows,
+         any_value(f.q1) AS q1, any_value(f.q3) AS q3,
+         any_value(f.lo) AS lo, any_value(f.hi) AS hi,
+         sum(CASE WHEN b.x < f.lo THEN 1 ELSE 0 END)::BIGINT AS n_below,
+         sum(CASE WHEN b.x > f.hi THEN 1 ELSE 0 END)::BIGINT AS n_above
+  FROM base b JOIN fences f USING (event_type)
+  GROUP BY 1
+)
+SELECT event_type, n_rows,
+       round(q1 + 1e-9, 6) + 0.0 AS q1,
+       round(q3 + 1e-9, 6) + 0.0 AS q3,
+       round(q3 - q1 + 1e-9, 6) + 0.0 AS iqr,
+       round(lo + 1e-9, 6) + 0.0 AS lo_fence,
+       round(hi + 1e-9, 6) + 0.0 AS hi_fence,
+       n_below, n_above,
+       round((n_below + n_above) / n_rows::DOUBLE + 1e-9, 6) + 0.0 AS pct_out
+FROM counted
+"""
+
+
 def q_hellinger_sources_docs(spark, sf_dir):
     """Pairwise Hellinger distance + Bhattacharyya coefficient between
     per-source unigram distributions (operators/infotheory.py
@@ -9057,6 +9192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": q_roc_auc_events,
         "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
+        "spearman_events": q_spearman_events,
+        "diversity_docs": q_diversity_docs,
+        "tukey_fences_events": q_tukey_fences_events,
         "hellinger_sources_docs": q_hellinger_sources_docs,
         "cramers_v_events": q_cramers_v_events,
         "esd_outliers_events": q_esd_outliers_events,
@@ -9258,6 +9396,9 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_events": SQL_ROC_AUC,
         "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
+        "spearman_events": SQL_SPEARMAN_EVENTS,
+        "diversity_docs": SQL_DIVERSITY_DOCS,
+        "tukey_fences_events": SQL_TUKEY_FENCES,
         "hellinger_sources_docs": SQL_HELLINGER_SOURCES,
         "cramers_v_events": SQL_CRAMERS_V,
         "esd_outliers_events": SQL_ESD_OUTLIERS,

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["esd_peel", "hill_tail"]
+__all__ = ["esd_peel", "hill_tail", "tukey_fences"]
 
 
 def _r6(col):
@@ -183,4 +183,85 @@ def hill_tail(
         _r6(F.col("_h")).alias("hill_h"),
         _r6(alpha).alias("alpha"),
         _r6(alpha / F.sqrt(F.lit(float(k)))).alias("se"),
+    )
+
+
+def tukey_fences(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey box-plot fences and the rows outside them —
+    the QUARTILE member of the outlier family: ESD assumes roughly
+    Gaussian bulk and names individual rows; the fences are
+    distribution-agnostic bounds (breakdown point 25%) that a skewed
+    or heavy-tailed column doesn't fool, the standard "how much of
+    this feed is junk" gate::
+
+        lo = Q1 - k * IQR,   hi = Q3 + k * IQR    (k = 1.5 Tukey 1977)
+
+    Quartiles are exact type-7 (linear interpolation) — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree on the
+    definition, so the oracle reproduces the bounds bitwise. NULLs are
+    excluded; groups need n >= 4 for meaningful quartiles but any
+    n >= 1 is reported (fences of a tiny group are still defined).
+
+    Plan: ONE persisted narrow (group, x) frame feeds both the
+    quartile aggregate (combinable sketch-free exact percentile — one
+    shuffle) and the fence-count pass; fences join back via broadcast
+    (|groups| rows, metadata-scale). Returns ``(group, n_rows, q1,
+    q3, iqr, lo_fence, hi_fence, n_below, n_above, pct_out)``, 6 dp.
+    """
+    g = group_col
+    base = df.select(
+        F.col(g), F.col(value_col).cast("double").alias("_x")
+    ).where(F.col(value_col).isNotNull())
+    base = base.persist()  # quartiles + the count pass share one scan
+    quart = base.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.percentile("_x", 0.25).alias("_q1"),
+        F.percentile("_x", 0.75).alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    fences = quart.select(
+        g,
+        "n_rows",
+        "_q1",
+        "_q3",
+        (F.col("_q1") - F.lit(k) * iqr).alias("_lo"),
+        (F.col("_q3") + F.lit(k) * iqr).alias("_hi"),
+    )
+    counted = (
+        base.join(F.broadcast(fences), g)
+        .groupBy(g)
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("_q1").alias("_q1"),
+            F.first("_q3").alias("_q3"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.sum(F.when(F.col("_x") < F.col("_lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("_x") > F.col("_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+        )
+    )
+    r6 = lambda c: F.round(c + F.lit(1e-9), 6)  # noqa: E731
+    return counted.select(
+        g,
+        "n_rows",
+        r6(F.col("_q1")).alias("q1"),
+        r6(F.col("_q3")).alias("q3"),
+        r6(F.col("_q3") - F.col("_q1")).alias("iqr"),
+        r6(F.col("_lo")).alias("lo_fence"),
+        r6(F.col("_hi")).alias("hi_fence"),
+        "n_below",
+        "n_above",
+        r6(
+            (F.col("n_below") + F.col("n_above")) / F.col("n_rows")
+        ).alias("pct_out"),
     )

@@ -494,3 +494,72 @@ def heaps_fit(
             F.round(cov * cov / (varx * vary) + F.lit(1e-9), 6),
         ).alias("r2"),
     )
+
+
+def diversity_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Hill-number diversity profile of the unigram
+    distribution — the EFFECTIVE-vocabulary family (Hill 1973)::
+
+        D0 = V                    (richness: types observed)
+        D1 = exp(H),  H = -sum p ln p   (perplexity of the unigram dist)
+        D2 = 1 / sum p^2          (inverse Simpson: collision diversity)
+        pielou_j = H / ln V       (evenness, 0..1; NULL when V == 1)
+
+    D0 >= D1 >= D2 always; the GAP between them is the signal raw
+    type counts hide: a source whose D0 grows while D1/D2 stay flat is
+    minting long-tail junk tokens (OCR noise, hash fragments) around a
+    fixed effective core — ``lexical_diversity``'s TTR can't separate
+    that from genuine breadth, and ``chao_richness`` reads the unseen
+    tail rather than the seen distribution's shape. D1 is also the
+    per-source unigram perplexity: directly comparable to a tokenizer
+    vocabulary budget.
+
+    Plan: one tokenizing scan collapses to the per-(group, term) count
+    frame (vocabulary-sized, map-side partial); the whole profile is
+    one aggregate over it. Token-less groups are absent. Returns
+    ``(group, n_tokens, d0, d1, d2, shannon, pielou_j)``, 6 dp.
+    """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+    from htm_streamer_spark.operators.ranking import tokenize
+
+    toks = tokenize(
+        fan_out_narrow_scans(df.select(group_col, text_col)), text_col
+    )
+    per_term = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    tot = Window.partitionBy(group_col)
+    p = F.col("tf") / F.sum("tf").over(tot)
+    agg = (
+        per_term.select(
+            group_col,
+            F.col("tf"),
+            (-p * F.log(p)).alias("_h"),
+            (p * p).alias("_p2"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("d0"),
+            F.sum("_h").alias("_sh"),
+            F.sum("_p2").alias("_sp2"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "d0",
+        F.round(F.exp(F.col("_sh")) + F.lit(1e-9), 6).alias("d1"),
+        F.round(1.0 / F.col("_sp2") + F.lit(1e-9), 6).alias("d2"),
+        F.round(F.col("_sh") + F.lit(1e-9), 6).alias("shannon"),
+        F.round(
+            F.when(F.col("d0") > 1, F.col("_sh") / F.log(F.col("d0")))
+            + F.lit(1e-9),
+            6,
+        ).alias("pielou_j"),
+    )
