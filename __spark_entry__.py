@@ -8678,6 +8678,166 @@ FROM ph GROUP BY 1
 """
 
 
+def q_gumbel_maxima_events(spark, sf_dir):
+    """Per-event_type Gumbel (EV-I) fit over DAILY BLOCK MAXIMA of
+    value with 30- and 365-day return levels (operators/extremes.py
+    gumbel_maxima): Fisher–Tippett block-maxima EVT — the capacity-
+    planning complement to hill_tail's tail exponent. Method-of-
+    moments fit from power sums; one combinable groupBy(group, day)
+    max collapses the fact table, the fit is one aggregate over it."""
+    from htm_streamer_spark.operators.extremes import gumbel_maxima
+
+    e = _t(spark, sf_dir, "events")
+    return gumbel_maxima(e, "event_type", "ts", "value", bucket="day")
+
+
+SQL_GUMBEL_MAXIMA = """
+WITH blocks AS (
+  SELECT event_type, date_trunc('day', ts) AS b, max(value::DOUBLE) AS m
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_blocks,
+         sum(m) AS s1, sum(m * m) AS s2, max(m) AS mx
+  FROM blocks GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n_blocks, s1 / n_blocks AS mean, mx,
+         sqrt(greatest((s2 - s1 * s1 / n_blocks) / (n_blocks - 1), 0.0))
+           * sqrt(6.0) / pi() AS scale
+  FROM agg
+),
+fin AS (
+  SELECT event_type, n_blocks, mean, mx, scale,
+         mean - 0.57721566490153286554 * scale AS loc
+  FROM fit
+)
+SELECT event_type, n_blocks,
+       round(mean + 1e-9, 6) + 0.0 AS block_max_mean,
+       CASE WHEN n_blocks >= 3 THEN round(loc + 1e-9, 6) + 0.0 END AS loc,
+       CASE WHEN n_blocks >= 3 THEN round(scale + 1e-9, 6) + 0.0 END AS scale,
+       CASE WHEN n_blocks >= 3
+            THEN round(loc - scale * ln(-ln(1.0 - 1.0/30.0)) + 1e-9, 6) + 0.0
+       END AS rl_lo,
+       CASE WHEN n_blocks >= 3
+            THEN round(loc - scale * ln(-ln(1.0 - 1.0/365.0)) + 1e-9, 6) + 0.0
+       END AS rl_hi,
+       round(mx + 1e-9, 6) + 0.0 AS max_observed
+FROM fin
+"""
+
+
+def q_sprt_events(spark, sf_dir):
+    """Wald SPRT per event_type over the time-ordered elevated-value
+    flag stream (value > 90, ~16% base rate), H0 p=0.10 vs H1 p=0.20,
+    alpha = beta = 0.05 (operators/stattests.py sprt_bernoulli): the
+    sequential-DECISION member of the monitoring family — CUSUM/
+    Page-Hinkley locate a change, SPRT accepts a named hypothesis with
+    guaranteed error rates at the earliest possible stopping step.
+    One per-group ordered window builds the running llr; the first
+    boundary crossing is a combinable min_by aggregate."""
+    from htm_streamer_spark.operators.stattests import sprt_bernoulli
+
+    e = _t(spark, sf_dir, "events")
+    return sprt_bernoulli(
+        e,
+        "event_type",
+        "ts",
+        F.col("value") > 90.0,
+        p0=0.10,
+        p1=0.20,
+        alpha=0.05,
+        beta=0.05,
+        order_cols=("event_id",),
+    )
+
+
+SQL_SPRT_EVENTS = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN value > 90.0 THEN 1.0 ELSE 0.0 END AS x
+  FROM events
+),
+run AS (
+  SELECT event_type, x,
+         row_number() OVER w AS i,
+         sum(x * ln(0.20 / 0.10) + (1.0 - x) * ln(0.80 / 0.90))
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+marked AS (
+  SELECT event_type, x, i, llr,
+         CASE WHEN llr >= ln(0.95 / 0.05) THEN 'accept_h1'
+              WHEN llr <= ln(0.05 / 0.95) THEN 'accept_h0' END AS d
+  FROM run
+),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_rows,
+         sum(x)::BIGINT AS n_flagged,
+         max_by(llr, i) AS llr_final,
+         min(CASE WHEN d IS NOT NULL THEN i END) AS step_at,
+         min_by(d, CASE WHEN d IS NOT NULL THEN i END) AS dec,
+         min_by(llr, CASE WHEN d IS NOT NULL THEN i END) AS llr_at
+  FROM marked GROUP BY 1
+)
+SELECT event_type, n_rows, n_flagged,
+       round(llr_final + 1e-9, 6) + 0.0 AS llr_final,
+       coalesce(dec, 'continue') AS decision,
+       step_at::BIGINT AS step_at,
+       round(llr_at + 1e-9, 6) + 0.0 AS llr_at
+FROM agg
+"""
+
+
+def q_wilson_events(spark, sf_dir):
+    """Per-event_type elevated-value rate (value > 90) with the Wilson
+    score interval and a two-proportion z-test against the pooled rest
+    (operators/stattests.py wilson_proportions): the inferential twin
+    of a plain rate column — "is this feed's rate actually different
+    given its n". ONE groupBy collapses the fact table; rest-rates
+    derive from broadcast totals, no second scan."""
+    from htm_streamer_spark.operators.stattests import wilson_proportions
+
+    e = _t(spark, sf_dir, "events")
+    return wilson_proportions(e, "event_type", F.col("value") > 90.0)
+
+
+SQL_WILSON_EVENTS = """
+WITH cells AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(CASE WHEN value > 90.0 THEN 1.0 ELSE 0.0 END) AS k
+  FROM events WHERE (value > 90.0) IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT sum(n) AS tn, sum(k) AS tk FROM cells),
+calc AS (
+  SELECT c.event_type, c.n, c.k, c.k / c.n AS p,
+         1.959963984540054 AS z,
+         tot.tn - c.n AS nr,
+         (tot.tk - c.k) / nullif(tot.tn - c.n, 0) AS pr,
+         tot.tk / tot.tn AS pp
+  FROM cells c CROSS JOIN tot
+),
+fin AS (
+  SELECT event_type, n, k, p, nr, pr, pp,
+         (p + z*z/(2*n)) / (1 + z*z/n) AS center,
+         z * sqrt(p*(1-p)/n + z*z/(4*n*n)) / (1 + z*z/n) AS half,
+         CASE WHEN nr > 0 AND pp > 0 AND pp < 1
+              THEN (p - pr) / sqrt(pp*(1-pp)*(1/n + 1/nr)) END AS zvr
+  FROM calc
+)
+SELECT event_type, n::BIGINT AS n_rows, k::BIGINT AS n_flagged,
+       round(p + 1e-9, 6) + 0.0 AS rate,
+       round(greatest(center - half, 0.0) + 1e-9, 6) + 0.0 AS wilson_lo,
+       round(least(center + half, 1.0) + 1e-9, 6) + 0.0 AS wilson_hi,
+       round(zvr + 1e-9, 6) + 0.0 AS z_vs_rest
+FROM fin
+"""
+
+
 def q_spearman_events(spark, sf_dir):
     """Per-event_type Spearman rank correlation between event time and
     value (operators/corrmatrix.py spearman_groups): the monotone-
@@ -9192,6 +9352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": q_roc_auc_events,
         "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
+        "gumbel_maxima_events": q_gumbel_maxima_events,
+        "sprt_events": q_sprt_events,
+        "wilson_events": q_wilson_events,
         "spearman_events": q_spearman_events,
         "diversity_docs": q_diversity_docs,
         "tukey_fences_events": q_tukey_fences_events,
@@ -9396,6 +9559,9 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_events": SQL_ROC_AUC,
         "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
+        "gumbel_maxima_events": SQL_GUMBEL_MAXIMA,
+        "sprt_events": SQL_SPRT_EVENTS,
+        "wilson_events": SQL_WILSON_EVENTS,
         "spearman_events": SQL_SPEARMAN_EVENTS,
         "diversity_docs": SQL_DIVERSITY_DOCS,
         "tukey_fences_events": SQL_TUKEY_FENCES,

@@ -33,10 +33,12 @@ that survive a pushed-down positivity filter.
 
 from __future__ import annotations
 
+from math import log, pi, sqrt
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["esd_peel", "hill_tail", "tukey_fences"]
+__all__ = ["esd_peel", "gumbel_maxima", "hill_tail", "tukey_fences"]
 
 
 def _r6(col):
@@ -264,4 +266,71 @@ def tukey_fences(
         r6(
             (F.col("n_below") + F.col("n_above")) / F.col("n_rows")
         ).alias("pct_out"),
+    )
+
+
+def gumbel_maxima(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket: str = "day",
+    return_periods: tuple[int, int] = (30, 365),
+) -> DataFrame:
+    """Per-group Gumbel (EV-I) fit over BLOCK MAXIMA — classical
+    extreme-value theory's answer to "how bad can a daily peak get":
+    by Fisher–Tippett, maxima of light-tailed blocks converge to
+    Gumbel, so the per-``bucket`` maxima of a value column support
+    return-level extrapolation BEYOND the observed range::
+
+        scale = sd * sqrt(6) / pi            (method of moments)
+        loc   = mean - gamma * scale         (gamma = Euler-Mascheroni)
+        x_T   = loc - scale * ln(-ln(1 - 1/T))   (T-block return level)
+
+    The complement to ``hill_tail``: Hill reads the tail EXPONENT of
+    all rows (heavy-tail diagnosis); Gumbel reads block PEAKS and
+    answers capacity questions ("the value a 365-day horizon exceeds
+    once, in expectation"). Moments use power sums so the oracle
+    reproduces the arithmetic; groups with < 3 blocks report NULL fit
+    (sd undefined / meaningless).
+
+    Plan: one ``groupBy(group, bucket)`` max (combinable, map-side
+    partial) collapses the fact table to the blocks frame; the fit is
+    one aggregate over it. Returns ``(group, n_blocks, block_max_mean,
+    loc, scale, rl_lo, rl_hi, max_observed)``, 6 dp, where rl_lo/rl_hi
+    are the return levels at ``return_periods``.
+    """
+    g = group_col
+    euler_gamma = 0.57721566490153286554
+    blocks = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(g), F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+        .agg(F.max(F.col(value_col).cast("double")).alias("_m"))
+    )
+    agg = blocks.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("_m").alias("_s1"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_s2"),
+        F.max("_m").alias("_mx"),
+    )
+    n = F.col("n_blocks").cast("double")
+    mean = F.col("_s1") / n
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - 1)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    scale = sd * F.lit(sqrt(6.0) / pi)
+    loc = mean - F.lit(euler_gamma) * scale
+    def rl(T: int):
+        return loc - scale * F.lit(log(-log(1.0 - 1.0 / T)))
+    ok = F.col("n_blocks") >= 3
+    r6 = lambda c: F.round(c + F.lit(1e-9), 6)  # noqa: E731
+    return agg.select(
+        g,
+        "n_blocks",
+        r6(mean).alias("block_max_mean"),
+        r6(F.when(ok, loc)).alias("loc"),
+        r6(F.when(ok, scale)).alias("scale"),
+        r6(F.when(ok, rl(return_periods[0]))).alias("rl_lo"),
+        r6(F.when(ok, rl(return_periods[1]))).alias("rl_hi"),
+        r6(F.col("_mx")).alias("max_observed"),
     )

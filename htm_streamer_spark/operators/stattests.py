@@ -33,6 +33,9 @@ broadcast. No collect, no Python UDFs.
 
 from __future__ import annotations
 
+from math import log
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,6 +73,8 @@ __all__ = [
     "cochran_armitage",
     "histogram_spikes",
     "quantile_qq_drift",
+    "sprt_bernoulli",
+    "wilson_proportions",
 ]
 
 
@@ -2957,4 +2962,162 @@ def cochran_armitage(
         .when(z < -alpha_z, F.lit("decreasing"))
         .otherwise(F.lit("none"))
         .alias("trend"),
+    )
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    flag_col,
+    *,
+    p0: float = 0.10,
+    p1: float = 0.20,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Wald's sequential probability ratio test over an ordered 0/1
+    flag stream, per group — the sequential-TESTING member of the
+    monitoring family: CUSUM/Page-Hinkley DETECT a change point;
+    SPRT DECIDES between two named hypotheses (violation rate p0 vs
+    p1) with guaranteed error rates, stopping as early as the
+    evidence allows (Wald 1945)::
+
+        llr_n  = k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0))
+        accept H1 when llr >= ln((1-beta)/alpha)      (upper bound A)
+        accept H0 when llr <= ln(beta/(1-alpha))      (lower bound B)
+
+    ``decision`` reports the FIRST boundary crossed in stream order
+    (sequential semantics: the test stops there; later reversals
+    don't count), with the 1-based step index and llr at the
+    crossing; streams that never cross report ``continue`` with NULL
+    crossing fields. Deterministic order: (ts, *order_cols).
+
+    Plan: one per-group ordered window builds the running llr
+    (O(n) cumulative sum, the accepted hot-group serial bound);
+    crossing selection is a combinable min_by aggregate. Returns
+    ``(group, n_rows, n_flagged, llr_final, decision, step_at,
+    llr_at)``, 6 dp.
+    """
+    g = group_col
+    la = log((1.0 - beta) / alpha)
+    lb = log(beta / (1.0 - alpha))
+    w_pos = log(p1 / p0)
+    w_neg = log((1.0 - p1) / (1.0 - p0))
+    x = F.when(flag_col, 1.0).otherwise(0.0)
+    base = df.select(
+        F.col(g),
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c) for c in order_cols],
+        x.alias("_x"),
+    )
+    w = Window.partitionBy(g).orderBy("_ts", *order_cols)
+    run = base.select(
+        F.col(g),
+        F.row_number().over(w).alias("_i"),
+        F.sum(
+            F.col("_x") * F.lit(w_pos) + (1.0 - F.col("_x")) * F.lit(w_neg)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_llr"),
+        F.col("_x"),
+    )
+    crossed = F.when(F.col("_llr") >= la, F.lit("accept_h1")).when(
+        F.col("_llr") <= lb, F.lit("accept_h0")
+    )
+    agg = run.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_x").cast("long").alias("n_flagged"),
+        F.max_by("_llr", "_i").alias("_llr_final"),
+        F.min(F.when(crossed.isNotNull(), F.col("_i"))).alias("_step"),
+        F.min_by(
+            F.when(
+                crossed.isNotNull(),
+                F.struct(
+                    crossed.alias("_d"), F.col("_llr").alias("_l")
+                ),
+            ),
+            F.when(crossed.isNotNull(), F.col("_i")),
+        ).alias("_c"),
+    )
+    r6 = lambda c: F.round(c + F.lit(1e-9), 6)  # noqa: E731
+    return agg.select(
+        g,
+        "n_rows",
+        "n_flagged",
+        r6(F.col("_llr_final")).alias("llr_final"),
+        F.coalesce(F.col("_c._d"), F.lit("continue")).alias("decision"),
+        F.col("_step").cast("long").alias("step_at"),
+        r6(F.col("_c._l")).alias("llr_at"),
+    )
+
+
+def wilson_proportions(
+    df: DataFrame,
+    group_col: str,
+    flag_col,
+    *,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group flag rate with the Wilson (1927) score interval and a
+    two-proportion z-test of each group against the POOLED REST — the
+    inferential twin of the plain rate column: "is this source's
+    violation rate actually different, given its sample size", with an
+    interval that behaves at rates near 0/1 where the Wald interval
+    collapses::
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z * sqrt(p(1-p)/n + z²/4n²) / (1 + z²/n)
+        z_vs_rest = (p - p_rest) / sqrt(p_pool(1-p_pool)(1/n + 1/n_rest))
+
+    ``z_vs_rest`` is NULL for a degenerate complement (single group or
+    pooled variance 0). Rows with NULL flags are excluded.
+
+    Plan: ONE groupBy collapses the fact table to |groups| rows; the
+    rest-rates derive from broadcast totals — no second scan, no
+    self-join of the fact table. Returns ``(group, n_rows, n_flagged,
+    rate, wilson_lo, wilson_hi, z_vs_rest)``, 6 dp.
+    """
+    g = group_col
+    x = F.when(flag_col, 1.0).otherwise(0.0)
+    cells = (
+        df.where(flag_col.isNotNull())
+        .groupBy(g)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(x).alias("_k"),
+        )
+        .persist()
+    )
+    tot = cells.agg(
+        F.sum("_n").alias("_tn"), F.sum("_k").alias("_tk")
+    ).withColumn("_j", F.lit(1))
+    j = cells.withColumn("_j", F.lit(1)).join(F.broadcast(tot), "_j")
+    p = F.col("_k") / F.col("_n")
+    z2 = F.lit(z * z)
+    denom = 1.0 + z2 / F.col("_n")
+    center = (p + z2 / (2.0 * F.col("_n"))) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (1.0 - p) / F.col("_n")
+            + z2 / (4.0 * F.col("_n") * F.col("_n"))
+        )
+        / denom
+    )
+    nr = F.col("_tn") - F.col("_n")
+    pr = (F.col("_tk") - F.col("_k")) / nr
+    pp = F.col("_tk") / F.col("_tn")
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("_n") + 1.0 / nr))
+    zvr = F.when((nr > 0) & (pp > 0) & (pp < 1), (p - pr) / se)
+    r6 = lambda c: F.round(c + F.lit(1e-9), 6)  # noqa: E731
+    return j.select(
+        g,
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_k").cast("long").alias("n_flagged"),
+        r6(p).alias("rate"),
+        r6(F.greatest(center - half, F.lit(0.0))).alias("wilson_lo"),
+        r6(F.least(center + half, F.lit(1.0))).alias("wilson_hi"),
+        r6(zvr).alias("z_vs_rest"),
     )
