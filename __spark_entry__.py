@@ -8838,53 +8838,6 @@ FROM fin
 """
 
 
-def q_spearman_events(spark, sf_dir):
-    """Per-event_type Spearman rank correlation between event time and
-    value (operators/corrmatrix.py spearman_groups): the monotone-
-    relationship member of the correlation family — Pearson on
-    tie-aware midranks, robust to outliers and monotone transforms.
-    Midranks from the tie-collapsed per-(group, value) frame (same
-    construction as score_label_eval's AUC), rank join-back on the
-    persisted complete-pairs frame, pinned power-sum Pearson."""
-    from htm_streamer_spark.operators.corrmatrix import spearman_groups
-
-    e = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("t_epoch"),
-        "value",
-    )
-    return spearman_groups(e, "event_type", "t_epoch", "value")
-
-
-SQL_SPEARMAN_EVENTS = """
-WITH base AS (
-  SELECT event_type, epoch_us(ts)::DOUBLE AS x, value::DOUBLE AS y
-  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-),
-ranked AS (
-  SELECT event_type,
-         rank() OVER (PARTITION BY event_type ORDER BY x)
-           + (count(*) OVER (PARTITION BY event_type, x) - 1) / 2.0 AS rank_x,
-         rank() OVER (PARTITION BY event_type ORDER BY y)
-           + (count(*) OVER (PARTITION BY event_type, y) - 1) / 2.0 AS rank_y
-  FROM base
-),
-agg AS (
-  SELECT event_type, count(*)::DOUBLE AS n,
-         sum(rank_x) AS sx, sum(rank_y) AS sy,
-         sum(rank_x * rank_x) AS sxx, sum(rank_y * rank_y) AS syy,
-         sum(rank_x * rank_y) AS sxy
-  FROM ranked GROUP BY 1
-)
-SELECT event_type, n::BIGINT AS n_rows,
-       CASE WHEN (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
-            THEN round((sxy - sx*sy/n)
-                       / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n))
-                       + 1e-9, 6) + 0.0 END AS rho
-FROM agg
-"""
-
-
 def q_diversity_docs(spark, sf_dir):
     """Per-source Hill-number diversity profile D0/D1/D2 + Pielou
     evenness (operators/lm.py diversity_profile): effective-vocabulary
@@ -9355,7 +9308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gumbel_maxima_events": q_gumbel_maxima_events,
         "sprt_events": q_sprt_events,
         "wilson_events": q_wilson_events,
-        "spearman_events": q_spearman_events,
         "diversity_docs": q_diversity_docs,
         "tukey_fences_events": q_tukey_fences_events,
         "hellinger_sources_docs": q_hellinger_sources_docs,
@@ -9562,7 +9514,6 @@ def oracle_sql() -> dict[str, str]:
         "gumbel_maxima_events": SQL_GUMBEL_MAXIMA,
         "sprt_events": SQL_SPRT_EVENTS,
         "wilson_events": SQL_WILSON_EVENTS,
-        "spearman_events": SQL_SPEARMAN_EVENTS,
         "diversity_docs": SQL_DIVERSITY_DOCS,
         "tukey_fences_events": SQL_TUKEY_FENCES,
         "hellinger_sources_docs": SQL_HELLINGER_SOURCES,

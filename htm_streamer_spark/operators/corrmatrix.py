@@ -31,10 +31,10 @@ from __future__ import annotations
 from itertools import combinations
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["correlation_matrix", "spearman_groups"]
+__all__ = ["correlation_matrix"]
 
 
 def correlation_matrix(
@@ -87,81 +87,4 @@ def correlation_matrix(
         )
     return row.select(F.explode(F.array(*pairs)).alias("p")).select(
         "p.col_a", "p.col_b", "p.n", "p.r"
-    )
-
-
-def spearman_groups(
-    df: DataFrame,
-    group_col: str,
-    x_col: str,
-    y_col: str,
-) -> DataFrame:
-    """Per-group Spearman rank correlation between two numeric columns
-    — Pearson on tie-aware MIDRANKS, the monotone-relationship member
-    of the correlation family (``correlation_matrix`` reads linear
-    coupling and is leverage-sensitive; rho survives outliers and any
-    monotone transform — exactly what heavy-tailed pipeline metrics
-    like doc length vs quality need).
-
-    Midranks come from the tie-collapsed per-(group, value) count
-    frame: rows strictly below a tie bucket + (bucket + 1) / 2 — the
-    same ascending-cumulative construction as score_label_eval's AUC
-    (one groupBy shuffle per axis, per-group ordered windows over
-    DISTINCT values only, the accepted hot-group serial bound). Ranks
-    join back to the complete-rows frame on (group, value); rho is the
-    pinned power-sum Pearson over the rank pairs, so both engines
-    reproduce it bitwise up to summation rounding.
-
-    Rows where either column is NULL are excluded (complete pairs).
-    Degenerate groups (either column constant → zero rank variance)
-    return NULL rho. Returns ``(group, n_rows, rho)``, 6 dp.
-    """
-    g = group_col
-    base = (
-        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .select(
-            F.col(g),
-            F.col(x_col).cast("double").alias("_x"),
-            F.col(y_col).cast("double").alias("_y"),
-        )
-        .persist()  # feeds both rank frames and the join-back
-    )
-
-    def ranks(col: str, out: str) -> DataFrame:
-        cells = base.groupBy(g, col).agg(
-            F.count(F.lit(1)).cast("double").alias("_c")
-        )
-        before = (
-            Window.partitionBy(g)
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return cells.select(
-            g,
-            col,
-            (
-                F.coalesce(F.sum("_c").over(before), F.lit(0.0))
-                + (F.col("_c") + 1.0) / 2.0
-            ).alias(out),
-        )
-
-    ranked = base.join(ranks("_x", "_rx"), [g, "_x"]).join(
-        ranks("_y", "_ry"), [g, "_y"]
-    )
-    agg = ranked.groupBy(g).agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
-        F.sum("_rx").alias("_sx"),
-        F.sum("_ry").alias("_sy"),
-        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
-        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
-        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
-    )
-    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n")
-    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")
-    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / F.col("_n")
-    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
-    return agg.select(
-        g,
-        F.col("_n").cast("long").alias("n_rows"),
-        F.round(rho + F.lit(1e-9), 6).alias("rho"),
     )

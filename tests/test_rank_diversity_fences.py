@@ -1,6 +1,5 @@
-"""Spearman rank correlation (corrmatrix.spearman_groups), Hill-number
-diversity profile (lm.diversity_profile), and Tukey fences
-(extremes.tukey_fences) vs literal numpy/pandas references."""
+"""Hill-number diversity profile (lm.diversity_profile) and Tukey
+fences (extremes.tukey_fences) vs literal numpy/pandas references."""
 
 import math
 from collections import Counter
@@ -9,55 +8,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from htm_streamer_spark.operators.corrmatrix import spearman_groups
 from htm_streamer_spark.operators.extremes import tukey_fences
 from htm_streamer_spark.operators.lm import diversity_profile
-
-
-def _midrank(v):
-    s = pd.Series(v)
-    return s.rank(method="average").to_numpy()  # pandas average == midrank
-
-
-def _spearman_ref(x, y):
-    rx, ry = _midrank(x), _midrank(y)
-    n = len(rx)
-    cov = (rx * ry).sum() - rx.sum() * ry.sum() / n
-    vx = (rx * rx).sum() - rx.sum() ** 2 / n
-    vy = (ry * ry).sum() - ry.sum() ** 2 / n
-    return cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else None
-
-
-def test_spearman_matches_midrank_reference_with_ties(spark):
-    rng = np.random.default_rng(9)
-    x = rng.integers(0, 40, 500).astype(float)  # heavy ties
-    y = 2.0 * x + rng.normal(0, 15, 500)
-    pdf = pd.DataFrame({"g": "a", "x": x, "y": y})
-    got = spearman_groups(spark.createDataFrame(pdf), "g", "x", "y").toPandas()
-    assert int(got["n_rows"][0]) == 500
-    assert got["rho"][0] == pytest.approx(_spearman_ref(x, y), abs=1e-6)
-    assert got["rho"][0] > 0.5  # monotone signal present
-
-
-def test_spearman_invariances_and_degenerate(spark):
-    rng = np.random.default_rng(4)
-    x = rng.normal(0, 1, 300)
-    y = x**3  # strictly monotone transform → rho == 1 exactly
-    rows = pd.DataFrame(
-        {
-            "g": ["m"] * 300 + ["const"] * 10,
-            "x": list(x) + list(range(10)),
-            "y": list(y) + [5.0] * 10,  # constant y → NULL rho
-        }
-    )
-    got = (
-        spearman_groups(spark.createDataFrame(rows), "g", "x", "y")
-        .orderBy("g")
-        .toPandas()
-        .set_index("g")
-    )
-    assert pd.isna(got.loc["const", "rho"])
-    assert got.loc["m", "rho"] == pytest.approx(1.0, abs=1e-6)
 
 
 def _diversity_ref(texts):
