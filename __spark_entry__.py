@@ -8678,6 +8678,155 @@ FROM ph GROUP BY 1
 """
 
 
+def q_kappa_lang_docs(spark, sf_dir):
+    """Cohen's kappa between the n-gram lang-id prediction and the
+    corpus' ground-truth lang column (operators/agreement.py
+    cohens_kappa): chance-corrected labeler accuracy — raw agreement
+    flatters any predictor on this 70%-en mix; kappa subtracts what
+    the marginals alone would score. One groupBy(pred, truth) cell
+    shuffle; marginals/diagonal derive from the persisted cells."""
+    from htm_streamer_spark.operators.agreement import cohens_kappa
+    from htm_streamer_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    j = lang_id(d).join(d.select("doc_id", "lang"), "doc_id")
+    return cohens_kappa(j, "lang_pred", "lang")
+
+
+SQL_KAPPA_LANG = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_sql_marker_score('de')} AS s_de,
+         {_sql_marker_score('en')} AS s_en,
+         {_sql_marker_score('es')} AS s_es,
+         {_sql_marker_score('fr')} AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang AS b,
+         CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS a
+  FROM s
+),
+cells AS (SELECT a, b, count(*)::DOUBLE AS c FROM pred
+          WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
+ma AS (SELECT a, sum(c) AS ca FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+pe AS (SELECT sum(ma.ca * mb.cb) AS spp FROM ma JOIN mb ON ma.a = mb.b),
+ncat AS (
+  SELECT count(DISTINCT l)::BIGINT AS n_categories
+  FROM (SELECT a AS l FROM cells UNION ALL SELECT b FROM cells)
+),
+tot AS (SELECT sum(c) AS n,
+               sum(CASE WHEN a = b THEN c END) AS diag
+        FROM cells)
+SELECT tot.n::BIGINT AS n_rows, ncat.n_categories,
+       round(coalesce(tot.diag, 0.0) / tot.n + 1e-9, 6) + 0.0 AS po,
+       round(coalesce(pe.spp, 0.0) / (tot.n * tot.n) + 1e-9, 6) + 0.0 AS pe,
+       CASE WHEN coalesce(pe.spp, 0.0) / (tot.n * tot.n) < 1.0
+            THEN round((coalesce(tot.diag, 0.0) / tot.n
+                        - coalesce(pe.spp, 0.0) / (tot.n * tot.n))
+                       / (1.0 - coalesce(pe.spp, 0.0) / (tot.n * tot.n))
+                       + 1e-9, 6) + 0.0 END AS kappa
+FROM tot CROSS JOIN pe CROSS JOIN ncat
+"""
+
+
+def q_calibration_events(spark, sf_dir):
+    """Reliability-diagram cells per event_type: the within-group
+    percent_rank of value as a [0,1] score against the high-k label
+    (props.k >= 50) — the CALIBRATION readout the AUC battery
+    (roc_auc_events, same score/label pair) cannot give, since AUC is
+    invariant to monotone rescaling (operators/agreement.py
+    calibration_bins). One rank window + one groupBy(group, bin)."""
+    from htm_streamer_spark.operators.agreement import calibration_bins
+
+    e = _t(spark, sf_dir, "events")
+    lab = F.expr("try_cast(get_json_object(props, '$.k') AS INT) >= 50")
+    w = Window.partitionBy("event_type").orderBy("value")
+    scored = e.where(F.col("value").isNotNull()).select(
+        "event_type", F.percent_rank().over(w).alias("score"), lab.alias("y")
+    )
+    return calibration_bins(
+        scored, "event_type", F.col("score"), F.col("y"), n_bins=10
+    )
+
+
+SQL_CALIBRATION_EVENTS = """
+WITH scored AS (
+  SELECT event_type,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS s,
+         (try_cast(json_extract_string(props, '$.k') AS INT) >= 50) AS y
+  FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT event_type,
+         least(greatest(floor(s * 10)::INT, 0), 9) AS bin, s, y
+  FROM scored WHERE y IS NOT NULL
+)
+SELECT event_type, bin,
+       count(*)::BIGINT AS n_rows,
+       round(avg(s) + 1e-9, 6) + 0.0 AS mean_score,
+       round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END) + 1e-9, 6) + 0.0 AS frac_pos,
+       round(abs(avg(s) - avg(CASE WHEN y THEN 1.0 ELSE 0.0 END)) + 1e-9, 6)
+         + 0.0 AS abs_gap
+FROM binned GROUP BY 1, 2
+"""
+
+
+def q_stuck_runs_events(spark, sf_dir):
+    """Per-user gaps-and-islands over the event_type stream
+    (operators/agreement.py longest_runs): how many runs of
+    consecutive equal types, the longest streak and its value — the
+    stuck-producer validator the Wald–Wolfowitz runs TEST
+    (runs_test_events) summarizes into one z but never names. One
+    per-group ordered window (lag + running change count) + a
+    combinable per-run count + max_by argmax."""
+    from htm_streamer_spark.operators.agreement import longest_runs
+
+    e = _t(spark, sf_dir, "events")
+    return longest_runs(e, "user_id", "event_type", ["ts", "event_id"])
+
+
+SQL_STUCK_RUNS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type AS v,
+         CASE WHEN event_type IS DISTINCT FROM lag(event_type)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT user_id, v,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM flagged
+),
+per_run AS (
+  SELECT user_id, rid, any_value(v) AS v, count(*)::BIGINT AS l
+  FROM runs GROUP BY 1, 2
+),
+sel AS (
+  SELECT user_id, l, v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY l DESC, rid ASC) AS rn
+  FROM per_run
+),
+agg AS (
+  SELECT user_id, sum(l)::BIGINT AS n_rows, count(*)::BIGINT AS n_runs,
+         avg(l) AS mean_len
+  FROM per_run GROUP BY 1
+)
+SELECT a.user_id, a.n_rows, a.n_runs,
+       s.l::BIGINT AS longest_run,
+       s.v AS longest_run_value,
+       round(a.mean_len + 1e-9, 6) + 0.0 AS mean_run_len
+FROM agg a JOIN sel s ON s.user_id = a.user_id AND s.rn = 1
+"""
+
+
 def q_gumbel_maxima_events(spark, sf_dir):
     """Per-event_type Gumbel (EV-I) fit over DAILY BLOCK MAXIMA of
     value with 30- and 365-day return levels (operators/extremes.py
@@ -9305,6 +9454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": q_roc_auc_events,
         "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
+        "kappa_lang_docs": q_kappa_lang_docs,
+        "calibration_events": q_calibration_events,
+        "stuck_runs_events": q_stuck_runs_events,
         "gumbel_maxima_events": q_gumbel_maxima_events,
         "sprt_events": q_sprt_events,
         "wilson_events": q_wilson_events,
@@ -9511,6 +9663,9 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_events": SQL_ROC_AUC,
         "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
+        "kappa_lang_docs": SQL_KAPPA_LANG,
+        "calibration_events": SQL_CALIBRATION_EVENTS,
+        "stuck_runs_events": SQL_STUCK_RUNS,
         "gumbel_maxima_events": SQL_GUMBEL_MAXIMA,
         "sprt_events": SQL_SPRT_EVENTS,
         "wilson_events": SQL_WILSON_EVENTS,
