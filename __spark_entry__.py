@@ -8678,6 +8678,169 @@ FROM ph GROUP BY 1
 """
 
 
+def q_tail_dep_events(spark, sf_dir):
+    """Per-event_type tail-dependence coefficients between value and
+    the props.k payload at q = 0.9 (operators/dependence.py
+    tail_dependence): do the EXTREMES co-occur — the joint-tail risk
+    Pearson (body) and Spearman (any monotone body) both miss; two
+    feeds can be body-independent yet fail together at the 99th
+    percentile. Fractional ranks via cume_dist (max-tie — bitwise
+    cross-engine), two per-group sort windows, one aggregate."""
+    from htm_streamer_spark.operators.dependence import tail_dependence
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("k"),
+    )
+    return tail_dependence(e, "event_type", "value", "k", q=0.9)
+
+
+SQL_TAIL_DEP = """
+WITH base AS (
+  SELECT event_type, value::DOUBLE AS x,
+         try_cast(json_extract_string(props, '$.k') AS INT)::DOUBLE AS y
+  FROM events
+  WHERE value IS NOT NULL
+    AND try_cast(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+),
+ranked AS (
+  SELECT event_type,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY x) AS ux,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY y) AS uy
+  FROM base
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN ux > 0.9 THEN 1 ELSE 0 END)::BIGINT AS nu,
+         sum(CASE WHEN ux > 0.9 AND uy > 0.9 THEN 1 ELSE 0 END)::BIGINT AS nuu,
+         sum(CASE WHEN ux <= 0.1 THEN 1 ELSE 0 END)::BIGINT AS nl,
+         sum(CASE WHEN ux <= 0.1 AND uy <= 0.1 THEN 1 ELSE 0 END)::BIGINT AS nll
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_rows, nu AS n_upper,
+       CASE WHEN nu > 0
+            THEN round(nuu / nu::DOUBLE + 1e-9, 6) + 0.0 END AS lambda_u,
+       nl AS n_lower,
+       CASE WHEN nl > 0
+            THEN round(nll / nl::DOUBLE + 1e-9, 6) + 0.0 END AS lambda_l
+FROM agg
+"""
+
+
+def q_ratio_metric_events(spark, sf_dir):
+    """Per-event_type mean value reported as BOTH ratio estimands with
+    a user-clustered delta-method SE (operators/dependence.py
+    ratio_metric): ratio of sums (event-weighted) vs mean of per-user
+    means (user-weighted) — the estimands silently diverge whenever
+    heavy users differ from light ones, and the SE treats USERS as the
+    independent units (the correct clustering for per-user metrics).
+    One combinable groupBy(group, user) collapse + one aggregate."""
+    from htm_streamer_spark.operators.dependence import ratio_metric
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ratio_metric(e, "event_type", "user_id", "value", F.lit(1.0))
+
+
+SQL_RATIO_METRIC = """
+WITH ent AS (
+  SELECT event_type, user_id,
+         sum(value::DOUBLE) AS n, sum(1.0) AS d
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         count(*)::DOUBLE AS e,
+         sum(n) AS sn, sum(d) AS sd,
+         sum(n * n) AS snn, sum(d * d) AS sdd, sum(n * d) AS snd,
+         avg(CASE WHEN d != 0 THEN n / d END) AS rm
+  FROM ent GROUP BY 1
+),
+fin AS (
+  SELECT event_type, e, sn, sd, rm, sn / sd AS r,
+         (snn - sn * sn / e) / (e - 1) AS var_n,
+         (sdd - sd * sd / e) / (e - 1) AS var_d,
+         (snd - sn * sd / e) / (e - 1) AS cov
+  FROM agg
+)
+SELECT event_type, e::BIGINT AS n_entities,
+       CASE WHEN sd != 0 THEN round(r + 1e-9, 6) + 0.0 END AS r_sums,
+       round(rm + 1e-9, 6) + 0.0 AS r_means,
+       CASE WHEN e > 1 AND sd != 0
+            THEN round(sqrt(greatest(var_n - 2*r*cov + r*r*var_d, 0.0))
+                       / ((sd / e) * sqrt(e)) + 1e-9, 6) + 0.0
+       END AS se_delta
+FROM fin
+"""
+
+
+def q_feature_relevance_events(spark, sf_dir):
+    """Mutual-information relevance ranking of three derived
+    categorical features (hour-of-day, day-of-week, props.k quartile
+    band) against the event_type label, all in ONE scan
+    (operators/dependence.py feature_relevance): the many-feature
+    ranking form of mi_events — stack unpivots map-side, one
+    groupBy(feature, x, y) shuffle, marginals from the persisted
+    cells."""
+    from htm_streamer_spark.operators.dependence import feature_relevance
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("label"),
+        F.hour("ts").alias("hour_of_day"),
+        F.dayofweek("ts").alias("dow"),
+        (
+            F.floor(
+                F.expr("try_cast(get_json_object(props, '$.k') AS INT)") / 25
+            )
+        ).alias("k_band"),
+    )
+    return feature_relevance(e, "label", ["hour_of_day", "dow", "k_band"])
+
+
+SQL_FEATURE_RELEVANCE = """
+WITH long AS (
+  SELECT f, x, event_type AS y FROM (
+    SELECT event_type,
+           'hour_of_day' AS f, extract(hour FROM ts)::VARCHAR AS x
+    FROM events
+    UNION ALL
+    SELECT event_type, 'dow',
+           (extract(dow FROM ts) + 1)::VARCHAR  -- Spark dayofweek: Sun=1
+    FROM events
+    UNION ALL
+    SELECT event_type, 'k_band',
+           floor(try_cast(json_extract_string(props, '$.k') AS INT) / 25)::BIGINT::VARCHAR
+    FROM events
+  )
+  WHERE x IS NOT NULL AND event_type IS NOT NULL
+),
+cells AS (SELECT f, x, y, count(*)::DOUBLE AS c FROM long GROUP BY 1, 2, 3),
+tot AS (SELECT f, sum(c) AS n FROM cells GROUP BY 1),
+mx AS (SELECT f, x, sum(c) AS cx FROM cells GROUP BY 1, 2),
+my AS (SELECT f, y, sum(c) AS cy FROM cells GROUP BY 1, 2),
+per AS (
+  SELECT cells.f, tot.n,
+         (c / n) * ln((c / n) / ((cx / n) * (cy / n))) AS mi_c,
+         -(c / n) * ln(cx / n) AS hx_c,
+         -(c / n) * ln(cy / n) AS hy_c
+  FROM cells JOIN mx USING (f, x) JOIN my USING (f, y) JOIN tot USING (f)
+),
+agg AS (
+  SELECT f, any_value(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_cells,
+         sum(hx_c) AS shx, sum(hy_c) AS shy, sum(mi_c) AS smi
+  FROM per GROUP BY 1
+)
+SELECT f AS feature, n_rows, n_cells,
+       round(shx + 1e-9, 6) + 0.0 AS h_feature,
+       round(shy + 1e-9, 6) + 0.0 AS h_label,
+       round(smi + 1e-9, 6) + 0.0 AS mi,
+       CASE WHEN shx > 0 AND shy > 0
+            THEN round(smi / sqrt(shx * shy) + 1e-9, 6) + 0.0 END AS nmi
+FROM agg
+"""
+
+
 def q_kappa_lang_docs(spark, sf_dir):
     """Cohen's kappa between the n-gram lang-id prediction and the
     corpus' ground-truth lang column (operators/agreement.py
@@ -9454,6 +9617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": q_roc_auc_events,
         "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
+        "tail_dep_events": q_tail_dep_events,
+        "ratio_metric_events": q_ratio_metric_events,
+        "feature_relevance_events": q_feature_relevance_events,
         "kappa_lang_docs": q_kappa_lang_docs,
         "calibration_events": q_calibration_events,
         "stuck_runs_events": q_stuck_runs_events,
@@ -9663,6 +9829,9 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_events": SQL_ROC_AUC,
         "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
+        "tail_dep_events": SQL_TAIL_DEP,
+        "ratio_metric_events": SQL_RATIO_METRIC,
+        "feature_relevance_events": SQL_FEATURE_RELEVANCE,
         "kappa_lang_docs": SQL_KAPPA_LANG,
         "calibration_events": SQL_CALIBRATION_EVENTS,
         "stuck_runs_events": SQL_STUCK_RUNS,

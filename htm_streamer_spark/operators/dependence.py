@@ -1,0 +1,250 @@
+"""Dependence diagnostics beyond a single correlation number — joint
+EXTREMES, ratio-metric honesty, and many-feature relevance ranking:
+
+- ``tail_dependence``: empirical upper/lower tail-dependence
+  coefficients between two numeric columns — do their EXTREMES
+  co-occur? Pearson reads the middle of the joint distribution and
+  Spearman any monotone body; two feeds can be body-independent yet
+  fail together at the 99th percentile (load spikes, shared upstream
+  outages), which is exactly the risk a validator cares about::
+
+      lambda_U(q) = P(Y > y_q | X > x_q)
+      lambda_L(q) = P(Y <= y_{1-q} | X <= x_{1-q})
+
+  estimated at a caller-set quantile q from per-column ranks.
+- ``ratio_metric``: the two answers to "average X per Y" — ratio of
+  sums (event-weighted) vs mean of per-entity ratios (entity-
+  weighted) — with the delta-method standard error of the ratio of
+  sums (Fieller/Taylor expansion over per-entity totals). The two
+  estimands silently diverge whenever heavy entities differ from
+  light ones; reporting both plus an SE is the standard guard against
+  the ratio-metric trap in experimentation pipelines.
+- ``feature_relevance``: every categorical feature's mutual
+  information and normalized MI against one label column, in a
+  SINGLE scan — the ranking form of infotheory.mutual_information
+  (which reads one pair). Features unpivot via ``stack`` so the fact
+  table is read once regardless of feature count.
+
+Reference parity: the reference profiles fields independently
+(htm_streamer/validation.py); joint-extreme, ratio-estimand, and
+feature-relevance structure is what a distributed profile adds.
+
+Scale notes: tail_dependence needs per-column ranks — two per-group
+sort windows (the accepted hot-group bound shared with ks/scoreeval),
+then one aggregate; nothing pairwise materializes. ratio_metric is
+one groupBy(entity) collapse (combinable) + one aggregate over the
+entity frame. feature_relevance multiplies rows by |features| in the
+unpivot but shuffles once into (feature, x, y) cells — map-side
+combinable, cells frame is metadata-sized.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["tail_dependence", "ratio_metric", "feature_relevance"]
+
+
+def _r6(c):
+    return F.round(c + F.lit(1e-9), 6)
+
+
+def tail_dependence(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    q: float = 0.95,
+) -> DataFrame:
+    """Per-group empirical tail-dependence coefficients at quantile
+    ``q``: using within-group fractional ranks ``u = rank/n`` (max-tie
+    rank so ties share the HIGHER u — both engines agree bitwise),
+    ``lambda_u = P(u_y > q | u_x > q)`` and
+    ``lambda_l = P(u_y <= 1-q | u_x <= 1-q)``. Independence gives
+    ~``1-q`` (resp. ``1-q``); 1 means the extremes always co-occur.
+    NULL when the conditioning set is empty (tiny groups). Rows with
+    either column NULL are excluded. Returns ``(group, n_rows,
+    n_upper, lambda_u, n_lower, lambda_l)``, 6 dp.
+    """
+    g = group_col
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(g),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    n_w = Window.partitionBy(g)
+    # cume_dist = rank-with-max-ties / n: tie-stable fractional rank
+    ux = F.cume_dist().over(Window.partitionBy(g).orderBy("_x"))
+    uy = F.cume_dist().over(Window.partitionBy(g).orderBy("_y"))
+    ranked = base.select(
+        F.col(g),
+        ux.alias("_ux"),
+        uy.alias("_uy"),
+        F.count(F.lit(1)).over(n_w).alias("_n"),
+    )
+    up_x = F.col("_ux") > q
+    up_y = F.col("_uy") > q
+    lo_x = F.col("_ux") <= 1.0 - q
+    lo_y = F.col("_uy") <= 1.0 - q
+    agg = ranked.groupBy(g).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.sum(F.when(up_x, 1).otherwise(0)).cast("long").alias("_nu"),
+        F.sum(F.when(up_x & up_y, 1).otherwise(0)).cast("long").alias("_nuu"),
+        F.sum(F.when(lo_x, 1).otherwise(0)).cast("long").alias("_nl"),
+        F.sum(F.when(lo_x & lo_y, 1).otherwise(0)).cast("long").alias("_nll"),
+    )
+    return agg.select(
+        g,
+        "n_rows",
+        F.col("_nu").alias("n_upper"),
+        _r6(
+            F.when(F.col("_nu") > 0, F.col("_nuu") / F.col("_nu"))
+        ).alias("lambda_u"),
+        F.col("_nl").alias("n_lower"),
+        _r6(
+            F.when(F.col("_nl") > 0, F.col("_nll") / F.col("_nl"))
+        ).alias("lambda_l"),
+    )
+
+
+def ratio_metric(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    num_col: str,
+    den_col,
+) -> DataFrame:
+    """Per-group ratio metric "sum(num) / sum(den)" over entities,
+    reported BOTH ways plus the delta-method SE of the ratio of sums::
+
+        r_sums     = sum(num) / sum(den)          (event-weighted)
+        r_means    = mean over entities of (num_e / den_e)
+                                                   (entity-weighted)
+        se(r_sums) = sqrt( var(n_e) - 2 r cov(n_e, d_e) + r^2 var(d_e) )
+                     / (mean(d_e) * sqrt(E))       (Taylor / delta)
+
+    where n_e, d_e are per-entity totals and E the entity count. The
+    gap between the two estimands is the heavy-entity signal; the SE
+    treats entities (not rows) as the independent units — the correct
+    clustering for per-user ratios. Entities with den == 0 are
+    excluded from r_means (undefined ratio) but kept in the sums.
+    Groups with < 2 entities or degenerate denominators report NULL
+    SE. Returns ``(group, n_entities, r_sums, r_means, se_delta)``,
+    6 dp.
+
+    Plan: one combinable ``groupBy(group, entity)`` collapse, then one
+    aggregate over the entity frame — two shuffles total, the second
+    over entity-count rows.
+    """
+    g = group_col
+    ent = (
+        df.groupBy(g, F.col(entity_col).alias("_e"))
+        .agg(
+            F.sum(F.col(num_col).cast("double")).alias("_n"),
+            F.sum(den_col.cast("double")).alias("_d"),
+        )
+        .na.fill({"_n": 0.0, "_d": 0.0})
+    )
+    agg = ent.groupBy(g).agg(
+        F.count(F.lit(1)).cast("double").alias("_cnt"),
+        F.sum("_n").alias("_sn"),
+        F.sum("_d").alias("_sd"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_snn"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+        F.sum(F.col("_n") * F.col("_d")).alias("_snd"),
+        F.avg(
+            F.when(F.col("_d") != 0, F.col("_n") / F.col("_d"))
+        ).alias("_rm"),
+    )
+    e = F.col("_cnt")
+    r = F.col("_sn") / F.col("_sd")
+    var_n = (F.col("_snn") - F.col("_sn") * F.col("_sn") / e) / (e - 1)
+    var_d = (F.col("_sdd") - F.col("_sd") * F.col("_sd") / e) / (e - 1)
+    cov = (F.col("_snd") - F.col("_sn") * F.col("_sd") / e) / (e - 1)
+    mean_d = F.col("_sd") / e
+    se = F.sqrt(
+        F.greatest(var_n - 2.0 * r * cov + r * r * var_d, F.lit(0.0))
+    ) / (mean_d * F.sqrt(e))
+    ok = (e > 1) & (F.col("_sd") != 0)
+    return agg.select(
+        g,
+        e.cast("long").alias("n_entities"),
+        _r6(F.when(F.col("_sd") != 0, r)).alias("r_sums"),
+        _r6(F.col("_rm")).alias("r_means"),
+        _r6(F.when(ok, se)).alias("se_delta"),
+    )
+
+
+def feature_relevance(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+) -> DataFrame:
+    """Mutual information (nats) and sqrt-normalized MI of EVERY
+    categorical feature against one label, in a single scan — the
+    many-feature ranking form of ``infotheory.mutual_information``.
+    Rows where the label or that feature is NULL are excluded for
+    that feature (pairwise deletion, same contract as the one-pair
+    operator). Returns one row per feature: ``(feature, n_rows,
+    n_cells, h_feature, h_label, mi, nmi)``, 6 dp — NULL nmi when
+    either entropy is 0.
+
+    Plan: ``stack`` unpivots the feature columns (rows x |features|,
+    map-side, no shuffle), then ONE ``groupBy(feature, x, y)`` —
+    every downstream marginal derives from the persisted cell frame.
+    """
+    k = len(feature_cols)
+    pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in feature_cols)
+    long = df.select(
+        F.col(label_col).alias("_y"),
+        F.expr(f"stack({k}, {pairs}) as (_f, _x)"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    cells = (
+        long.groupBy("_f", "_x", "_y")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .persist()
+    )
+    tot = cells.groupBy("_f").agg(F.sum("_c").alias("_n"))
+    mx = cells.groupBy("_f", "_x").agg(F.sum("_c").alias("_cx"))
+    my = cells.groupBy("_f", "_y").agg(F.sum("_c").alias("_cy"))
+    joined = (
+        cells.join(mx, ["_f", "_x"])
+        .join(my, ["_f", "_y"])
+        .join(F.broadcast(tot), "_f")
+    )
+    p_xy = F.col("_c") / F.col("_n")
+    p_x = F.col("_cx") / F.col("_n")
+    p_y = F.col("_cy") / F.col("_n")
+    per = joined.select(
+        "_f",
+        "_n",
+        (p_xy * F.log(p_xy / (p_x * p_y))).alias("_mi"),
+        (-(p_xy) * F.log(p_x)).alias("_hx"),
+        (-(p_xy) * F.log(p_y)).alias("_hy"),
+    )
+    agg = per.groupBy("_f").agg(
+        F.first("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("_hx").alias("_shx"),
+        F.sum("_hy").alias("_shy"),
+        F.sum("_mi").alias("_smi"),
+    )
+    nmi = F.when(
+        (F.col("_shx") > 0) & (F.col("_shy") > 0),
+        F.col("_smi") / F.sqrt(F.col("_shx") * F.col("_shy")),
+    )
+    return agg.select(
+        F.col("_f").alias("feature"),
+        "n_rows",
+        "n_cells",
+        _r6(F.col("_shx")).alias("h_feature"),
+        _r6(F.col("_shy")).alias("h_label"),
+        _r6(F.col("_smi")).alias("mi"),
+        _r6(nmi).alias("nmi"),
+    )
