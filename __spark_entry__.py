@@ -8852,7 +8852,7 @@ def q_kappa_lang_docs(spark, sf_dir):
     from htm_streamer_spark.operators.textstats import lang_id
 
     d = _t(spark, sf_dir, "documents")
-    j = lang_id(d).join(d.select("doc_id", "lang"), "doc_id")
+    j = lang_id(d, keep_cols=("lang",))  # truth rides the same scan
     return cohens_kappa(j, "lang_pred", "lang")
 
 

@@ -31,9 +31,14 @@ def _count_marker(text, marker: str):
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
     """Predict language by marker-word frequency; (doc_id, lang_pred,
-    lang_score). Ties break by language name order (deterministic)."""
+    lang_score, *keep_cols). Ties break by language name order
+    (deterministic). ``keep_cols`` ride along so downstream joins
+    against the source (e.g. kappa vs a truth column) don't need a
+    second scan."""
     scores = [
         F.struct(
             sum(_count_marker(F.col(text_col), m) for m in markers).alias("score"),
@@ -46,6 +51,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         best["lang"].alias("lang_pred"),
         best["score"].cast("double").alias("lang_score"),
+        *keep_cols,
     )
 
 
