@@ -8678,6 +8678,107 @@ FROM ph GROUP BY 1
 """
 
 
+def q_weibull_gaps_events(spark, sf_dir):
+    """Per-event_type Weibull fit of per-user inter-arrival gaps via
+    the log-moment estimator (operators/parametric.py weibull_gaps):
+    the PARAMETRIC member of the arrival battery — exp_gap_ks TESTS
+    exponentiality, Fano scores dispersion; the Weibull shape says HOW
+    non-exponential (<1 bursty, ≈1 Poisson, >1 machine-paced). One
+    per-entity lag window collapsing to combinable log power sums."""
+    from htm_streamer_spark.operators.parametric import weibull_gaps
+
+    e = _t(spark, sf_dir, "events")
+    return weibull_gaps(e, "event_type", "user_id", "ts", order_cols=("event_id",))
+
+
+SQL_WEIBULL_GAPS = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY event_type, user_id ORDER BY ts, event_id
+          )) / 1e6 AS gap
+  FROM events
+),
+pos AS (SELECT event_type, gap, ln(gap) AS lg FROM gaps WHERE gap > 0),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_gaps,
+         sum(lg) AS s1, sum(lg * lg) AS s2, avg(gap) AS mg
+  FROM pos GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n_gaps, mg, s1 / n_gaps AS mean_ln,
+         sqrt(greatest((s2 - s1 * s1 / n_gaps) / (n_gaps - 1), 0.0)) AS sd_ln
+  FROM agg
+),
+fin AS (
+  SELECT event_type, n_gaps, mg, mean_ln, sd_ln,
+         pi() / sqrt(6.0) / sd_ln AS shape
+  FROM fit
+)
+SELECT event_type, n_gaps,
+       CASE WHEN n_gaps >= 3 AND sd_ln > 0
+            THEN round(shape + 1e-9, 6) + 0.0 END AS shape,
+       CASE WHEN n_gaps >= 3 AND sd_ln > 0
+            THEN round(exp(mean_ln + 0.57721566490153286554 / shape)
+                       + 1e-9, 6) + 0.0 END AS scale,
+       round(mg + 1e-9, 6) + 0.0 AS mean_gap
+FROM fin
+"""
+
+
+def q_l_moments_events(spark, sf_dir):
+    """Per-event_type sample L-moments l1/l2 + L-CV/L-skew/L-kurt of
+    value (operators/parametric.py l_moments): the outlier-robust
+    shape profile — classical skew/kurtosis fourth-power the data so
+    one wild row owns them at scale; L-ratios are linear in the order
+    statistics and bounded in (−1, 1). One per-group sort window for
+    ranks, then one combinable aggregate (binomial weights are per-row
+    expressions of rank and n — no pairwise join)."""
+    from htm_streamer_spark.operators.parametric import l_moments
+
+    e = _t(spark, sf_dir, "events")
+    return l_moments(e, "event_type", "value")
+
+
+SQL_L_MOMENTS = """
+WITH base AS (
+  SELECT event_type, value::DOUBLE AS x FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x)::DOUBLE AS i,
+         count(*) OVER (PARTITION BY event_type)::DOUBLE AS n
+  FROM base
+),
+agg AS (
+  SELECT event_type, max(n)::BIGINT AS n_rows,
+         avg(x) AS b0,
+         avg(x * (i - 1) / (n - 1)) AS b1,
+         avg(x * (i - 1) / (n - 1) * (i - 2) / (n - 2)) AS b2,
+         avg(x * (i - 1) / (n - 1) * (i - 2) / (n - 2) * (i - 3) / (n - 3))
+           AS b3
+  FROM ranked GROUP BY 1
+),
+fin AS (
+  SELECT event_type, n_rows, b0 AS l1,
+         2 * b1 - b0 AS l2,
+         6 * b2 - 6 * b1 + b0 AS l3,
+         20 * b3 - 30 * b2 + 12 * b1 - b0 AS l4
+  FROM agg
+)
+SELECT event_type, n_rows,
+       round(l1 + 1e-9, 6) + 0.0 AS l1,
+       CASE WHEN n_rows >= 4 THEN round(l2 + 1e-9, 6) + 0.0 END AS l2,
+       CASE WHEN n_rows >= 4 AND l1 != 0
+            THEN round(l2 / l1 + 1e-9, 6) + 0.0 END AS l_cv,
+       CASE WHEN n_rows >= 4 AND l2 != 0
+            THEN round(l3 / l2 + 1e-9, 6) + 0.0 END AS l_skew,
+       CASE WHEN n_rows >= 4 AND l2 != 0
+            THEN round(l4 / l2 + 1e-9, 6) + 0.0 END AS l_kurt
+FROM fin
+"""
+
+
 def q_tail_dep_events(spark, sf_dir):
     """Per-event_type tail-dependence coefficients between value and
     the props.k payload at q = 0.9 (operators/dependence.py
@@ -9617,6 +9718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": q_roc_auc_events,
         "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
+        "weibull_gaps_events": q_weibull_gaps_events,
+        "l_moments_events": q_l_moments_events,
         "tail_dep_events": q_tail_dep_events,
         "ratio_metric_events": q_ratio_metric_events,
         "feature_relevance_events": q_feature_relevance_events,
@@ -9829,6 +9932,8 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_events": SQL_ROC_AUC,
         "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
+        "weibull_gaps_events": SQL_WEIBULL_GAPS,
+        "l_moments_events": SQL_L_MOMENTS,
         "tail_dep_events": SQL_TAIL_DEP,
         "ratio_metric_events": SQL_RATIO_METRIC,
         "feature_relevance_events": SQL_FEATURE_RELEVANCE,
