@@ -261,6 +261,23 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "bootstrap_ci_events",
         "roc_auc_events",
         "pareto_docs",
+        "esd_outliers_events",
+        "hill_tail_events",
+        "tukey_fences_events",
+        "gumbel_maxima_events",
+        "hellinger_sources_docs",
+        "cramers_v_events",
+        "diversity_docs",
+        "sprt_events",
+        "wilson_events",
+        "kappa_lang_docs",
+        "calibration_events",
+        "stuck_runs_events",
+        "tail_dep_events",
+        "ratio_metric_events",
+        "feature_relevance_events",
+        "weibull_gaps_events",
+        "l_moments_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
