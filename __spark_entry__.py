@@ -8678,6 +8678,139 @@ FROM ph GROUP BY 1
 """
 
 
+def q_nb_overdispersion_events(spark, sf_dir):
+    """Per-event_type negative-binomial fit of per-user event counts
+    by method of moments (operators/parametric.py nb_overdispersion):
+    the parametric twin of dispersion_events — Fano says overdispersed,
+    NB(r, p) says by how much (small r = a few heavy users own the
+    feed) and implies the silent-entity rate (pred_zero). One
+    combinable groupBy(group, user) count collapse + power sums."""
+    from htm_streamer_spark.operators.parametric import nb_overdispersion
+
+    e = _t(spark, sf_dir, "events")
+    return nb_overdispersion(e, "event_type", "user_id")
+
+
+SQL_NB_OVERDISPERSION = """
+WITH ent AS (
+  SELECT event_type, user_id, count(*)::DOUBLE AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(c) AS s1, sum(c * c) AS s2
+  FROM ent GROUP BY 1
+),
+fin AS (
+  SELECT event_type, n, s1 / n AS m,
+         CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1) END AS v
+  FROM agg
+)
+SELECT event_type, n::BIGINT AS n_entities,
+       round(m + 1e-9, 6) + 0.0 AS mean_cnt,
+       round(v + 1e-9, 6) + 0.0 AS var_cnt,
+       CASE WHEN m != 0 THEN round(v / m + 1e-9, 6) + 0.0 END AS fano,
+       CASE WHEN v > m THEN round(m * m / (v - m) + 1e-9, 6) + 0.0 END AS r,
+       CASE WHEN v > m THEN round(m / v + 1e-9, 6) + 0.0 END AS p,
+       CASE WHEN v > m
+            THEN round(pow((m * m / (v - m)) / ((m * m / (v - m)) + m),
+                           m * m / (v - m)) + 1e-9, 6) + 0.0
+       END AS pred_zero
+FROM fin
+"""
+
+
+def q_ess_docs(spark, sf_dir):
+    """Per-source Kish effective sample size under length weighting
+    (operators/mixing.py ess_weights, w = whitespace token count): the
+    honesty check on any length-weighted sample — a source with a few
+    giant docs contributes far fewer EFFECTIVE examples than its row
+    count claims. One combinable aggregate, token counting stays a
+    codegen'd expression inside the scan stage."""
+    from htm_streamer_spark.operators.mixing import ess_weights
+    from htm_streamer_spark.operators.textstats import token_count_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", token_count_col("text").cast("double").alias("w")
+    )
+    return ess_weights(d, "source", F.col("w"))
+
+
+SQL_ESS_DOCS = r"""
+WITH w AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE len(string_split_regex(trim(text), '\s+'))::DOUBLE
+         END AS w
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_rows,
+         sum(w) AS sw, sum(w * w) AS sww
+  FROM w WHERE w IS NOT NULL AND w >= 0
+  GROUP BY 1
+)
+SELECT source, n_rows,
+       round(sw + 1e-9, 6) + 0.0 AS sum_w,
+       CASE WHEN sww != 0
+            THEN round(sw * sw / sww + 1e-9, 6) + 0.0 END AS ess,
+       CASE WHEN sww != 0
+            THEN round(sw * sw / sww / n_rows + 1e-9, 6) + 0.0
+       END AS ess_ratio
+FROM agg
+"""
+
+
+def q_topk_overlap_docs(spark, sf_dir):
+    """Pairwise Jaccard overlap of the top-50 term sets of every
+    source pair (operators/lm.py topk_overlap_sources): the fast
+    head-vocabulary triage for redundant feeds and language
+    mismatches — JSD/Hellinger read the full distributions; this reads
+    the 50 most common words. One tokenizing scan, per-group top-k
+    window, k-sized pairwise equi-join on term."""
+    from htm_streamer_spark.operators.lm import topk_overlap_sources
+
+    d = _t(spark, sf_dir, "documents")
+    return topk_overlap_sources(d, "source", k=50)
+
+
+SQL_TOPK_OVERLAP = r"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+top AS (
+  SELECT source, term
+  FROM (SELECT source, term,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY tf DESC, term ASC) AS rn
+        FROM tf)
+  WHERE rn <= 50
+),
+sizes AS (SELECT source, count(*)::BIGINT AS k FROM top GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_common
+  FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+         sa.k AS k_a, sb.k AS k_b
+  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+)
+SELECT p.source_a, p.source_b, p.k_a, p.k_b,
+       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       round(coalesce(c.n_common, 0)
+             / (p.k_a + p.k_b - coalesce(c.n_common, 0))::DOUBLE
+             + 1e-9, 6) + 0.0 AS jaccard
+FROM pairs p LEFT JOIN common c USING (source_a, source_b)
+"""
+
+
 def q_weibull_gaps_events(spark, sf_dir):
     """Per-event_type Weibull fit of per-user inter-arrival gaps via
     the log-moment estimator (operators/parametric.py weibull_gaps):
@@ -9718,6 +9851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": q_roc_auc_events,
         "pareto_docs": q_pareto_docs,
         "pettitt_events": q_pettitt_events,
+        "nb_overdispersion_events": q_nb_overdispersion_events,
+        "ess_docs": q_ess_docs,
+        "topk_overlap_docs": q_topk_overlap_docs,
         "weibull_gaps_events": q_weibull_gaps_events,
         "l_moments_events": q_l_moments_events,
         "tail_dep_events": q_tail_dep_events,
@@ -9932,6 +10068,9 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_events": SQL_ROC_AUC,
         "pareto_docs": SQL_PARETO_DOCS,
         "pettitt_events": SQL_PETTITT,
+        "nb_overdispersion_events": SQL_NB_OVERDISPERSION,
+        "ess_docs": SQL_ESS_DOCS,
+        "topk_overlap_docs": SQL_TOPK_OVERLAP,
         "weibull_gaps_events": SQL_WEIBULL_GAPS,
         "l_moments_events": SQL_L_MOMENTS,
         "tail_dep_events": SQL_TAIL_DEP,

@@ -563,3 +563,71 @@ def diversity_profile(
             6,
         ).alias("pielou_j"),
     )
+
+
+def topk_overlap_sources(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Pairwise Jaccard overlap of the TOP-``k`` term sets of every
+    pair of groups — the head-vocabulary redundancy readout: JSD /
+    Hellinger compare the full distributions (tail-sensitive, hard to
+    eyeball); "do these two sources share their 100 most common
+    words" is the fast triage question for near-duplicate feeds and
+    language mismatches. Top-k per group by term frequency, ties
+    broken by term (deterministic cross-engine).
+
+    Jaccard uses the ACTUAL set sizes (a group with fewer than k
+    distinct terms contributes its whole vocabulary), so
+    ``jaccard = n_common / (k_a + k_b - n_common)``. Pairs of observed
+    groups with no common head terms report 0.
+
+    Plan: one tokenizing scan → the vocabulary-sized tf frame → one
+    per-group top-k sort window (head-sized output, the accepted
+    hot-group bound) → pairwise equi-join ON TERM of two k-sized
+    frames (output-sensitive; never a corpus cross join). Returns
+    ``(source_a, source_b, k_a, k_b, n_common, jaccard)``, 6 dp.
+    """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+    from htm_streamer_spark.operators.ranking import tokenize
+
+    g = group_col
+    toks = tokenize(
+        fan_out_narrow_scans(df.select(g, text_col)), text_col
+    )
+    tf = toks.groupBy(g, "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy(g).orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    top = (
+        tf.select(g, "term", F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") <= k)
+        .persist()  # sizes + the pair join share it
+    )
+    sizes = top.groupBy(g).agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    a = top.select(F.col(g).alias("source_a"), "term")
+    b = top.select(F.col(g).alias("source_b"), "term")
+    common = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ga = sizes.select(F.col(g).alias("source_a"), F.col("_k").alias("k_a"))
+    gb = sizes.select(F.col(g).alias("source_b"), F.col("_k").alias("k_b"))
+    pairs = ga.crossJoin(gb).where(F.col("source_a") < F.col("source_b"))
+    out = pairs.join(common, ["source_a", "source_b"], "left")
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return out.select(
+        "source_a",
+        "source_b",
+        "k_a",
+        "k_b",
+        nc.alias("n_common"),
+        F.round(
+            nc / (F.col("k_a") + F.col("k_b") - nc) + F.lit(1e-9), 6
+        ).alias("jaccard"),
+    )

@@ -136,3 +136,47 @@ def mixture_weights(
         ).alias("rate"),
         F.round(target / F.col("n_tokens") + F.lit(1e-9), 6).alias("epochs"),
     )
+
+
+def ess_weights(
+    df: DataFrame,
+    group_col: str,
+    weight_col,
+) -> DataFrame:
+    """Per-group effective sample size of a weighting scheme (Kish)::
+
+        ess = (sum w)^2 / sum(w^2),   ess_ratio = ess / n
+
+    The honesty check on any weighted sample or mixture: a source
+    whose importance/length weights are wildly uneven contributes far
+    fewer EFFECTIVE examples than its row count claims — ess_ratio
+    near 1 means the weights are benign, near 1/n means one row is
+    the whole sample. Rows with NULL or negative weights are excluded
+    (a negative weight is a bug upstream, not a sample). Zero-weight
+    rows count toward n_rows but not toward the ESS mass.
+
+    One combinable aggregate — a single shuffle of |groups| rows.
+    Returns ``(group, n_rows, sum_w, ess, ess_ratio)``, 6 dp.
+    """
+    g = group_col
+    w = weight_col.cast("double")
+    agg = (
+        df.where(w.isNotNull() & (w >= 0))
+        .groupBy(g)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(w).alias("_sw"),
+            F.sum(w * w).alias("_sww"),
+        )
+    )
+    ess = F.try_divide(F.col("_sw") * F.col("_sw"), F.col("_sww"))
+    r6 = lambda c: F.round(c + F.lit(1e-9), 6)  # noqa: E731
+    return agg.select(
+        g,
+        "n_rows",
+        r6(F.col("_sw")).alias("sum_w"),
+        r6(ess).alias("ess"),
+        r6(F.try_divide(ess, F.col("n_rows").cast("double"))).alias(
+            "ess_ratio"
+        ),
+    )

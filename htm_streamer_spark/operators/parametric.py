@@ -46,7 +46,7 @@ from math import pi, sqrt
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["weibull_gaps", "l_moments"]
+__all__ = ["weibull_gaps", "l_moments", "nb_overdispersion"]
 
 _EULER = 0.57721566490153286554
 
@@ -167,4 +167,58 @@ def l_moments(
         _r6(F.when(ok & (l1 != 0), F.try_divide(l2, l1))).alias("l_cv"),
         _r6(F.when(ok & (l2 != 0), F.try_divide(l3, l2))).alias("l_skew"),
         _r6(F.when(ok & (l2 != 0), F.try_divide(l4, l2))).alias("l_kurt"),
+    )
+
+
+def nb_overdispersion(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Per-group negative-binomial fit of the per-entity event counts
+    by method of moments — the PARAMETRIC twin of
+    ``stattests.dispersion_index``: Fano says the counts are
+    overdispersed; NB(r, p) says by how much and in what shape::
+
+        m = mean(count),  v = var(count)        (observed entities)
+        p = m / v,        r = m^2 / (v - m)     (MOM; v > m required)
+        pred_zero = (r / (r + m)) ^ r           (NB-implied P(count=0))
+
+    Small r = a few heavy entities dominate (bursty, bot-like); large
+    r → Poisson. ``pred_zero`` is the zero-truncation diagnostic: the
+    fit sees only entities with >= 1 event, so a pred_zero far above 0
+    means the visible counts imply many silent entities — population
+    undercount. Underdispersed groups (v <= m) report NULL r/p
+    (Poisson or better — NB undefined), counts intact.
+
+    Plan: one combinable ``groupBy(group, entity)`` count collapse,
+    then power sums over the entity frame — two shuffles, the second
+    over entity-count rows. Returns ``(group, n_entities, mean_cnt,
+    var_cnt, fano, r, p, pred_zero)``, 6 dp.
+    """
+    g = group_col
+    ent = df.groupBy(g, F.col(entity_col).alias("_e")).agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    agg = ent.groupBy(g).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_c").alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    n = F.col("_n")
+    m = F.col("_s1") / n
+    v = F.try_divide(F.col("_s2") - F.col("_s1") * F.col("_s1") / n, n - 1)
+    over = v > m
+    r = F.when(over, m * m / (v - m))
+    p = F.when(over, m / v)
+    pred_zero = F.when(over, F.pow(r / (r + m), r))
+    return agg.select(
+        g,
+        n.cast("long").alias("n_entities"),
+        _r6(m).alias("mean_cnt"),
+        _r6(v).alias("var_cnt"),
+        _r6(F.try_divide(v, m)).alias("fano"),
+        _r6(r).alias("r"),
+        _r6(p).alias("p"),
+        _r6(pred_zero).alias("pred_zero"),
     )
