@@ -98,17 +98,17 @@ def poisson_bootstrap_mean_ci(
         value_col,
         *[_u_expr(id_col, b).alias(f"u_{b}") for b in range(n_replicas)],
     )
-    cdf = F.array(*[F.lit(c) for c in POISSON1_CDF])
-
     def _weight(b: int):
-        # one-arg closure: F.filter treats a two-arg callable as
-        # (element, index) and would clobber a b=b default
+        # flat sum of 9 comparisons, NOT size(filter(array, ...)):
+        # higher-order array functions are interpreted (no whole-stage
+        # codegen), and B of them per row dominated the runtime — the
+        # explicit sum stays inside codegen (measured ~5x on sf0.1)
         u = F.col(f"u_{b}")
-        return (
-            F.size(F.filter(cdf, lambda c: u >= c))
-            .cast("double")
-            .alias(f"w_{b}")
-        )
+        w = None
+        for c in POISSON1_CDF:
+            term = (u >= F.lit(c)).cast("int")
+            w = term if w is None else w + term
+        return w.cast("double").alias(f"w_{b}")
 
     with_w = with_u.select(
         group_col, value_col, *[_weight(b) for b in range(n_replicas)]
