@@ -9688,6 +9688,69 @@ FROM np LEFT JOIN h USING (event_type)
 """
 
 
+def q_compress_ratio_docs(spark, sf_dir):
+    """Per-doc deflate compression ratio
+    (operators/compressibility.py compression_stats): the Gopher /
+    RefinedWeb redundancy signal — template-stitched text compresses
+    far below prose, binary-ish payloads sit near 1.0 — catching
+    long-range repetition the fixed-n dup_ngram operators can't see.
+    Plan: ONE mapInArrow stage (the loop inside is pure dispatch into
+    zlib's C deflate), blob column never shuffles, only the integer
+    size columns leave the stage. Oracle = golden parquet (deflate is
+    not SQL-recomputable; the SIZE is deterministic for a fixed zlib
+    build — tools/make_goldens.py)."""
+    from htm_streamer_spark.operators.compressibility import compression_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    per = compression_stats(docs, keep_cols=("source",))
+    return per.select("doc_id", "source", "n_bytes", "n_deflate", "ratio")
+
+
+SQL_COMPRESS_RATIO_GOLDEN = (
+    f"SELECT * FROM read_parquet('{GOLDEN_DIR}/compress_ratio_docs.sf0.01.parquet')"
+)
+
+
+def q_compress_profile_docs(spark, sf_dir):
+    """Per-source compression-band profile over the same Arrow deflate
+    pass: pooled ratio = sum(deflate)/sum(raw) from INTEGER sums (no
+    float accumulation-order nondeterminism — the golden stays bit-
+    stable across partitionings), plus counts below/above the curation
+    band [0.30, 0.80]. The monitoring readout: a source whose pooled
+    ratio drifts down is minting templated text; one drifting up is
+    leaking compressed/binary payloads. One Arrow pass + one combinable
+    aggregate."""
+    from htm_streamer_spark.operators.compressibility import compression_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    per = compression_stats(docs, keep_cols=("source",))
+    r = F.col("ratio")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum("n_deflate").alias("sum_deflate"),
+            F.count(F.when(r < 0.30, 1)).alias("n_below"),
+            F.count(F.when(r > 0.80, 1)).alias("n_above"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_bytes",
+            "sum_deflate",
+            (F.col("sum_deflate") / F.col("sum_bytes")).alias("pooled_ratio"),
+            "n_below",
+            "n_above",
+        )
+    )
+
+
+SQL_COMPRESS_PROFILE_GOLDEN = (
+    f"SELECT * FROM read_parquet('{GOLDEN_DIR}/compress_profile_docs.sf0.01.parquet')"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -9899,6 +9962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_events": q_isotonic_events,
         "page_hinkley_events": q_page_hinkley_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
+        "compress_ratio_docs": q_compress_ratio_docs,
+        "compress_profile_docs": q_compress_profile_docs,
         "multimodal_features": q_multimodal_features,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
@@ -10122,4 +10187,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": SQL_IVF_GOLDEN,
         "pq_topk_embeddings": SQL_PQ_GOLDEN,
         "multimodal_features": SQL_MULTIMODAL_GOLDEN,
+        "compress_ratio_docs": SQL_COMPRESS_RATIO_GOLDEN,
+        "compress_profile_docs": SQL_COMPRESS_PROFILE_GOLDEN,
     }

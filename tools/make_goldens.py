@@ -38,6 +38,8 @@ GOLDEN_QUERIES = (
     "pq_topk_embeddings",
     "kmeans_embeddings",
     "semdedup_embeddings",
+    "compress_ratio_docs",
+    "compress_profile_docs",
 )
 
 
