@@ -9688,6 +9688,106 @@ FROM np LEFT JOIN h USING (event_type)
 """
 
 
+def q_fisher_drift_events(spark, sf_dir):
+    """Fisher's method drift verdict (operators/stattests.py
+    fisher_combine): per (event_type, weekday) two-sided z-test of the
+    weekday's mean value against the type's own overall mean (variance
+    from the type, same A&S erfc p as the BH/Holm battery), then the
+    seven weekday p-values combine into ONE per-type evidence score
+    X² = −2Σln p ~ χ²(2k). The meta-analysis complement of BH/Holm:
+    those correct ACROSS tests, Fisher POOLS evidence within a group —
+    seven weekdays each drifting mildly (p≈0.15, no per-test gate
+    fires) jointly reject. Even-df closed-form survival
+    exp(−x/2)·Σ(x/2)^j/j! keeps the oracle in ANSI SQL. Plan: one scan,
+    one groupBy(event_type, weekday) power-sum aggregate; type totals
+    derive from the cell frame by window (no second scan); Fisher is a
+    groups-sized aggregate."""
+    from htm_streamer_spark.operators.likelihood import erfc_expr
+    from htm_streamer_spark.operators.stattests import fisher_combine
+
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        "event_type", F.date_format("ts", "EEEE").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    w_t = W.partitionBy("event_type")
+    mu = F.col("sg") / F.col("nn")
+    var = F.col("ssg") / F.col("nn") - mu * mu
+    z = (F.col("s") / F.col("n") - mu) / F.sqrt(var / F.col("n"))
+    scored = (
+        cell.withColumn("nn", F.sum("n").over(w_t))
+        .withColumn("sg", F.sum("s").over(w_t))
+        .withColumn("ssg", F.sum("ss").over(w_t))
+        .withColumn(
+            "p_value",
+            F.least(
+                erfc_expr(F.abs(z) / F.lit(1.4142135623730951)), F.lit(1.0)
+            ),
+        )
+        .select("event_type", "weekday", "p_value")
+    )
+    out = fisher_combine(scored, "event_type")
+    return out.select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("fisher_x2") + F.lit(1e-9), 6).alias("fisher_x2"),
+        F.round(F.col("p_combined") + F.lit(1e-9), 6).alias("p_combined"),
+    )
+
+
+SQL_FISHER_DRIFT = """
+WITH cell AS (
+  SELECT event_type, dayname(ts) AS weekday, count(*)::DOUBLE AS n,
+         sum(value)::DOUBLE AS s, sum(value * value)::DOUBLE AS ss
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(n) AS nn, sum(s) AS sg, sum(ss) AS ssg
+  FROM cell GROUP BY 1
+),
+zc AS (
+  SELECT c.event_type,
+         (c.s / c.n - t.sg / t.nn)
+           / sqrt((t.ssg / t.nn - (t.sg / t.nn) * (t.sg / t.nn)) / c.n) AS z
+  FROM cell c JOIN tot t USING (event_type)
+),
+pv AS (
+  SELECT event_type, x, 1.0 / (1.0 + 0.3275911 * x) AS t
+  FROM (SELECT event_type, abs(z) / 1.4142135623730951 AS x FROM zc)
+),
+p AS (
+  SELECT event_type,
+         least(greatest(
+           (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+              + t * (-1.453152027 + t * 1.061405429))))) * exp(-x * x),
+           1e-300), 1.0) AS pval
+  FROM pv
+),
+f AS (
+  SELECT event_type, count(*)::BIGINT AS k, -2.0 * sum(ln(pval)) AS x2
+  FROM p GROUP BY 1
+),
+srv AS (
+  SELECT event_type, k, x2,
+         CASE WHEN x2 <= 0 THEN 1.0
+              ELSE least(exp(-x2 / 2) * list_sum(list_transform(
+                     range(0, k::INT),
+                     j -> exp(j * ln(x2 / 2.0) - lgamma(j + 1.0)))), 1.0)
+         END AS pc
+  FROM f
+)
+SELECT event_type, k,
+       round(x2 + 1e-9, 6) + 0.0 AS fisher_x2,
+       round(pc + 1e-9, 6) + 0.0 AS p_combined
+FROM srv
+"""
+
+
 def q_compress_ratio_docs(spark, sf_dir):
     """Per-doc deflate compression ratio
     (operators/compressibility.py compression_stats): the Gopher /
@@ -9961,6 +10061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_types_events": q_json_types_events,
         "isotonic_events": q_isotonic_events,
         "page_hinkley_events": q_page_hinkley_events,
+        "fisher_drift_events": q_fisher_drift_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "compress_ratio_docs": q_compress_ratio_docs,
         "compress_profile_docs": q_compress_profile_docs,
@@ -10180,6 +10281,7 @@ def oracle_sql() -> dict[str, str]:
         "json_types_events": SQL_JSON_TYPES,
         "isotonic_events": SQL_ISOTONIC,
         "page_hinkley_events": SQL_PAGE_HINKLEY,
+        "fisher_drift_events": SQL_FISHER_DRIFT,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

@@ -488,6 +488,64 @@ def holm_stepdown(
     )
 
 
+def fisher_combine(
+    pvals: DataFrame,
+    group_col: str,
+    p_col: str = "p_value",
+    p_floor: float = 1e-300,
+) -> DataFrame:
+    """Fisher's method: combine the k independent p-values WITHIN each
+    group into one evidence score — (group, k, fisher_x2, p_combined).
+
+    BH/Holm answer "which of m simultaneous tests reject, correcting
+    for multiplicity"; Fisher answers the complementary meta-analysis
+    question: "do this group's k sub-tests JOINTLY reject, pooling
+    evidence too weak to reject individually" (seven weekday tests at
+    p≈0.15 each never pass any per-test gate, yet their combination is
+    overwhelming). X² = −2 Σ ln p ~ χ²(2k) under H0 (Fisher 1925).
+
+    Because the df is always EVEN, the χ² survival function has the
+    closed form ``P(X > x) = exp(−x/2) · Σ_{j<k} (x/2)^j / j!`` — no
+    incomplete-gamma special function needed, so the same number is
+    recomputable in ANSI SQL. The series is evaluated with the running
+    term recurrence ``term_{j+1} = term_j · (x/2)/(j+1)`` (one
+    ``F.aggregate`` over ``sequence(1, k−1)``): no factorial overflow,
+    stable for any k, deterministic evaluation order.
+
+    p-values are clamped to [p_floor, 1] before the log (an erfc-
+    polynomial p underflows to exactly 0.0 around \\|z\\| ≳ 27, and
+    ln 0 would poison the whole group). Input is one row per TEST
+    (metadata-sized); one group-count-sized shuffle, nothing touches
+    the fact table.
+    """
+    p = F.least(F.greatest(F.col(p_col), F.lit(float(p_floor))), F.lit(1.0))
+    agg = pvals.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.lit(-2.0) * F.sum(F.log(p))).alias("fisher_x2"),
+    )
+    half = F.col("fisher_x2") / F.lit(2.0)
+    # Σ_{j=0}^{k-1} half^j / j! via the running-term recurrence, seeded
+    # at j=0 (sum=1, term=1); the sequence is empty for k=1 (correct:
+    # df=2 survival = exp(-half), and indeed p_combined == p exactly)
+    series = F.aggregate(
+        F.when(F.col("k") > 1, F.sequence(F.lit(1), F.col("k") - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        F.struct(F.lit(1.0).alias("sum"), F.lit(1.0).alias("term")),
+        lambda acc, j: F.struct(
+            (acc["sum"] + acc["term"] * half / j.cast("double")).alias("sum"),
+            (acc["term"] * half / j.cast("double")).alias("term"),
+        ),
+        lambda acc: acc["sum"],
+    )
+    p_comb = F.when(F.col("fisher_x2") <= 0, F.lit(1.0)).otherwise(
+        F.least(F.exp(-half) * series, F.lit(1.0))
+    )
+    return agg.select(
+        group_col, "k", "fisher_x2", p_comb.alias("p_combined")
+    )
+
+
 def cusum_changepoint(
     df: DataFrame,
     group_col: str,
