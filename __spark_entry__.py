@@ -9688,6 +9688,184 @@ FROM np LEFT JOIN h USING (event_type)
 """
 
 
+def q_mahalanobis_events(spark, sf_dir):
+    """Per-row 2-D Mahalanobis outlier score of (value, props.k) vs the
+    row's own event_type (operators/multivariate.py mahalanobis_2d):
+    the MULTIVARIATE member of the outlier family — ESD/Tukey/MAD score
+    one column at a time and miss the row that is in-band marginally
+    but impossible JOINTLY (off the value↔payload correlation axis).
+    d² ~ χ²(2) under normality; flag at the 99% cut (9.210). Plan: one
+    scan, one combinable power-sum groupBy, closed-form 2×2 inverse as
+    column math, broadcast stats join back, codegen'd score."""
+    from htm_streamer_spark.operators.multivariate import mahalanobis_2d
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+    )
+    out = mahalanobis_2d(e, "event_type", "value", "k", id_col="event_id")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("d2") + F.lit(1e-9), 6).alias("d2"),
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+    )
+
+
+SQL_MAHALANOBIS = """
+WITH rows_ AS (
+  SELECT event_id, event_type, value::DOUBLE AS x,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+  FROM events
+  WHERE value IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+st AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM rows_ GROUP BY 1
+),
+m AS (
+  SELECT event_type,
+         sx / n AS mx, sy / n AS my,
+         sxx / n - (sx / n) * (sx / n) AS vx,
+         syy / n - (sy / n) * (sy / n) AS vy,
+         sxy / n - (sx / n) * (sy / n) AS cxy
+  FROM st
+),
+d AS (
+  SELECT event_type, mx, my, vx, vy, cxy,
+         vx * vy - cxy * cxy AS det
+  FROM m
+)
+SELECT r.event_id, r.event_type,
+       CASE WHEN d.det > 1e-12 THEN
+         round((d.vy * (r.x - d.mx) * (r.x - d.mx)
+                - 2 * d.cxy * (r.x - d.mx) * (r.y - d.my)
+                + d.vx * (r.y - d.my) * (r.y - d.my)) / (d.det + 1e-12)
+               + 1e-9, 6) + 0.0
+       END AS d2,
+       CASE WHEN d.det > 1e-12 THEN
+         CASE WHEN (d.vy * (r.x - d.mx) * (r.x - d.mx)
+                - 2 * d.cxy * (r.x - d.mx) * (r.y - d.my)
+                + d.vx * (r.y - d.my) * (r.y - d.my)) / (d.det + 1e-12)
+                > 9.21034037197618 THEN 1 ELSE 0 END
+       END::INT AS is_outlier
+FROM rows_ r JOIN d USING (event_type)
+"""
+
+
+def q_weighted_quantiles_docs(spark, sf_dir):
+    """Token-WEIGHTED doc-length quantiles per source
+    (operators/mixing.py weighted_quantiles): the plain median says
+    where half the DOCUMENTS are; the token-weighted median says where
+    half the TRAINING TOKENS are — on a heavy-tailed corpus they
+    differ wildly and budget decisions follow token mass. Lower
+    weighted quantile (smallest value whose cumulative weight reaches
+    q of the group total). Plan: one scan, one per-group sort window
+    with the running mass, ONE conditional-min groupBy (no per-q
+    fact-table fan-out), unpivot on the groups-sized frame."""
+    from htm_streamer_spark.operators.mixing import weighted_quantiles
+    from htm_streamer_spark.operators.textstats import token_count_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        token_count_col("text").cast("double").alias("w_tokens"),
+    )
+    out = weighted_quantiles(d, "source", "n_chars", "w_tokens")
+    return out.select(
+        "source",
+        "q",
+        "wq",
+        F.col("total_w").cast("long").alias("total_w"),
+    )
+
+
+SQL_WEIGHTED_QUANTILES = r"""
+WITH rows_ AS (
+  SELECT source, n_chars::DOUBLE AS v,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL
+),
+pos AS (SELECT * FROM rows_ WHERE w > 0),
+cum AS (
+  SELECT source, v,
+         sum(w) OVER (PARTITION BY source ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY source) AS tw
+  FROM pos
+),
+per AS (
+  SELECT source, max(tw) AS tw,
+         min(CASE WHEN cw >= 0.25 * tw THEN v END) AS wq25,
+         min(CASE WHEN cw >= 0.50 * tw THEN v END) AS wq50,
+         min(CASE WHEN cw >= 0.75 * tw THEN v END) AS wq75
+  FROM cum GROUP BY 1
+)
+SELECT source, 0.25 + 0.0 AS q, wq25 AS wq, round(tw + 1e-9, 6)::BIGINT AS total_w FROM per
+UNION ALL
+SELECT source, 0.50 + 0.0, wq50, round(tw + 1e-9, 6)::BIGINT FROM per
+UNION ALL
+SELECT source, 0.75 + 0.0, wq75, round(tw + 1e-9, 6)::BIGINT FROM per
+"""
+
+
+def q_freshness_events(spark, sf_dir):
+    """Per-type freshness/staleness vs the corpus' own watermark
+    (operators/profiling.py freshness): time_gaps finds holes INSIDE a
+    feed's span — this finds the feed that silently STOPPED (its rows
+    all validate; only its last_ts drifts from the watermark) and the
+    feed whose last_ts stays fresh on a trickle while volume collapsed
+    (recent_share). Watermark-relative, not now()-relative, so re-runs
+    over the same snapshot reproduce the verdict. Plan: one scan
+    aggregated to the (type, hour) grain; everything else derives from
+    that metadata-sized frame."""
+    from htm_streamer_spark.operators.profiling import freshness
+
+    e = _t(spark, sf_dir, "events")
+    out = freshness(e, "event_type", "ts", recent_hours=24)
+    return out.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "first_ts",
+        "last_ts",
+        "staleness_sec",
+        F.col("n_recent").cast("long").alias("n_recent"),
+        "recent_share",
+    )
+
+
+SQL_FRESHNESS = """
+WITH cell AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+         min(ts) AS min_ts, max(ts) AS max_ts
+  FROM events GROUP BY 1, 2
+),
+wm AS (SELECT max(max_ts) AS wm FROM cell),
+agg AS (
+  SELECT c.event_type,
+         sum(c.n)::BIGINT AS n_rows,
+         min(c.min_ts) AS first_ts,
+         max(c.max_ts) AS last_ts,
+         max(w.wm) AS wm,
+         sum(CASE WHEN c.h > w.wm - INTERVAL 24 HOUR THEN c.n ELSE 0 END)::BIGINT
+           AS n_recent
+  FROM cell c, wm w GROUP BY 1
+)
+SELECT event_type, n_rows, first_ts, last_ts,
+       round((epoch_us(wm) - epoch_us(last_ts)) / 1e6, 6) + 0.0 AS staleness_sec,
+       n_recent,
+       round(n_recent / n_rows::DOUBLE + 1e-9, 6) + 0.0 AS recent_share
+FROM agg
+"""
+
+
 def q_fisher_drift_events(spark, sf_dir):
     """Fisher's method drift verdict (operators/stattests.py
     fisher_combine): per (event_type, weekday) two-sided z-test of the
@@ -10062,6 +10240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_events": q_isotonic_events,
         "page_hinkley_events": q_page_hinkley_events,
         "fisher_drift_events": q_fisher_drift_events,
+        "mahalanobis_events": q_mahalanobis_events,
+        "weighted_quantiles_docs": q_weighted_quantiles_docs,
+        "freshness_events": q_freshness_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "compress_ratio_docs": q_compress_ratio_docs,
         "compress_profile_docs": q_compress_profile_docs,
@@ -10282,6 +10463,9 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_events": SQL_ISOTONIC,
         "page_hinkley_events": SQL_PAGE_HINKLEY,
         "fisher_drift_events": SQL_FISHER_DRIFT,
+        "mahalanobis_events": SQL_MAHALANOBIS,
+        "weighted_quantiles_docs": SQL_WEIGHTED_QUANTILES,
+        "freshness_events": SQL_FRESHNESS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,
         "validation_verdicts_drift": SQL_VALIDATION_VERDICTS_DRIFT,
         # golden-parquet oracles — valid at the driver's correctness

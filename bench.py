@@ -278,6 +278,12 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "feature_relevance_events",
         "weibull_gaps_events",
         "l_moments_events",
+        "fisher_drift_events",
+        "compress_ratio_docs",
+        "compress_profile_docs",
+        "mahalanobis_events",
+        "weighted_quantiles_docs",
+        "freshness_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -180,3 +180,94 @@ def ess_weights(
             "ess_ratio"
         ),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group WEIGHTED quantiles of ``value_col`` under
+    ``weight_col`` mass: the smallest value whose cumulative weight
+    reaches q of the group total (lower weighted quantile, the
+    inverse-CDF convention).
+
+    Token-weighted quantiles are the curation readout that row-counted
+    quantiles misreport: the plain median doc LENGTH says where half
+    the DOCUMENTS are, the token-weighted median says where half the
+    TRAINING TOKENS are — on a heavy-tailed corpus the two differ by
+    orders of magnitude, and budget decisions follow the token mass,
+    not the row count. (The mass-weighted member of the A1 quantile
+    family; ``ess_weights`` above is the same weights column's honesty
+    check.)
+
+    Rows with NULL value or NULL/non-positive weight are excluded
+    (zero-weight rows carry no mass — they cannot move a mass
+    quantile). Returns one row per (group, q): ``(group, q, wq,
+    total_w)``.
+
+    Plan: one per-group sort window carrying the running weight sum
+    (value-ordered, id-free — ties in value share a cumulative mass
+    prefix, and the SELECTED value is tie-order independent by
+    construction), then ONE combinable groupBy with a conditional
+    ``min(value where cum >= q·total)`` column per q — no per-q explode
+    of the fact table; the (group, q) unpivot runs on the groups-sized
+    result. The window is per-GROUP (sorts partition by group), the
+    same accepted bound as every other per-series window in the engine.
+    """
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    g = group_col
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    rows = df.select(F.col(g).alias("_g"), v.alias("_v"), w.alias("_w")).where(
+        F.col("_v").isNotNull() & F.col("_w").isNotNull() & (F.col("_w") > 0)
+    )
+    win = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("_g")
+    cum = rows.select(
+        "_g",
+        "_v",
+        F.sum("_w").over(win).alias("_cw"),
+        F.sum("_w").over(tot).alias("_tw"),
+    )
+    per = cum.groupBy("_g").agg(
+        F.max("_tw").alias("_twx"),
+        *[
+            F.min(
+                F.when(
+                    F.col("_cw") >= F.lit(float(q)) * F.col("_tw"), F.col("_v")
+                )
+            ).alias(f"_wq{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    stacked = per.select(
+        "_g",
+        "_twx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"_wq{i}").alias("wq")
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("_s"),
+    )
+    return stacked.select(
+        F.col("_g").alias(g),
+        F.col("_s.q").alias("q"),
+        F.col("_s.wq").alias("wq"),
+        F.round(F.col("_twx") + F.lit(1e-9), 6).alias("total_w"),
+    )

@@ -350,3 +350,71 @@ def time_gaps(
         [group_col, "gap_start"],
         "left_anti",
     )
+
+
+def freshness(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    recent_hours: int = 24,
+) -> DataFrame:
+    """Per-group freshness/staleness readout: (group, n_rows, first_ts,
+    last_ts, staleness_sec, n_recent, recent_share).
+
+    ``time_gaps`` above finds holes INSIDE a feed's span; freshness
+    finds the feed whose span has silently STOPPED — the upstream
+    producer that died is invisible to every row-level and
+    distributional check (all its existing rows are perfectly valid),
+    but its ``last_ts`` drifts away from the corpus watermark.
+    ``staleness_sec`` = corpus max(ts) − group max(ts), measured
+    against the data's own watermark rather than wall-clock ``now()``
+    so the readout is deterministic and replayable (a validator re-run
+    tomorrow over the same snapshot must produce the same verdict).
+    ``recent_share`` = fraction of the group's rows in the trailing
+    ``recent_hours`` HOUR BUCKETS of the watermark (boundaries at the
+    hour grain, exactly reproducible cross-engine) — a feed can keep a
+    fresh last_ts from a trickle while its volume has collapsed; the
+    share catches that.
+
+    Plan: ONE fact scan aggregated to the (group, hour) grain
+    (map-side combinable); the watermark and all readouts derive from
+    that metadata-sized frame (groups × active hours) via over-()
+    windows — the fact table is never touched again.
+    """
+    from pyspark.sql import Window
+
+    ts = F.col(ts_col)
+    hour = F.date_trunc("hour", ts)
+    cell = df.groupBy(F.col(group_col).alias("_g"), hour.alias("_h")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(ts).alias("_min_ts"),
+        F.max(ts).alias("_max_ts"),
+    )
+    w_all = Window.partitionBy()
+    cell = cell.withColumn("_wm", F.max("_max_ts").over(w_all)).withColumn(
+        "_cut", F.col("_wm") - F.expr(f"INTERVAL {int(recent_hours)} HOURS")
+    )
+    agg = cell.groupBy("_g").agg(
+        F.sum("_n").alias("n_rows"),
+        F.min("_min_ts").alias("first_ts"),
+        F.max("_max_ts").alias("last_ts"),
+        F.max("_wm").alias("_wm"),
+        F.sum(F.when(F.col("_h") > F.col("_cut"), F.col("_n")).otherwise(F.lit(0))).alias(
+            "n_recent"
+        ),
+    )
+    # microsecond-exact (unix_micros ≡ DuckDB epoch_us): a double cast
+    # of TIMESTAMP_NTZ is not defined in Spark 4
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    stale = (um("_wm") - um("last_ts")).cast("double") / F.lit(1e6)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_rows",
+        "first_ts",
+        "last_ts",
+        F.round(stale, 6).alias("staleness_sec"),
+        "n_recent",
+        F.round(
+            F.col("n_recent") / F.col("n_rows") + F.lit(1e-9), 6
+        ).alias("recent_share"),
+    )
