@@ -9688,6 +9688,181 @@ FROM np LEFT JOIN h USING (event_type)
 """
 
 
+def _kmv_gram_items(spark, sf_dir):
+    """(source, item): exploded 3-gram shingles of normalized text —
+    the same shingle space as the dedup/contamination family, so the
+    KMV estimates are commensurable with the exact overlap matrix."""
+    from htm_streamer_spark.operators.dedup import _gram_array, normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), r"\s+")
+    return d.select(
+        "source", F.explode(_gram_array(words, 3)).alias("item")
+    )
+
+
+def q_kmv_distinct_docs(spark, sf_dir):
+    """Per-source KMV bottom-k distinct-shingle estimate
+    (operators/kmv.py kmv_sketch, k=256): the SKETCH tier of the
+    distinct-count family — HLL (approx_distinct_docs) is opaque
+    engine state, KMV is a deterministic, mergeable, ORACLE-RECOMPUTABLE
+    synopsis ((k−1)/u_(k), rel. error ~1/√(k−2)) whose signature also
+    feeds pairwise overlap (kmv_overlap_docs). One scan to the
+    (source, hash) distinct collapse; the sort window runs on that
+    collapse, never the fact table."""
+    from htm_streamer_spark.operators.kmv import kmv_sketch
+
+    return kmv_sketch(_kmv_gram_items(spark, sf_dir), "source", "item", k=256)
+
+
+SQL_KMV_DISTINCT = r"""
+WITH norm AS (
+  SELECT source,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS item
+  FROM norm
+),
+hashed AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(item), 1, 15))::BIGINT AS h
+  FROM grams
+),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashed
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_kept, max(h) AS hk
+  FROM ranked WHERE rn <= 256 GROUP BY 1
+)
+SELECT source, n_kept,
+       round((hk + 1.0) / 1152921504606846976.0 + 1e-9, 9) + 0.0 AS kth_u,
+       round(CASE WHEN n_kept < 256 THEN n_kept::DOUBLE
+                  ELSE 255.0 / ((hk + 1.0) / 1152921504606846976.0) END
+             + 1e-9, 6) + 0.0 AS est_distinct
+FROM agg
+"""
+
+
+def q_kmv_overlap_docs(spark, sf_dir):
+    """Pairwise source Jaccard from KMV signatures (operators/kmv.py
+    kmv_pairwise_jaccard): the members of the merged bottom-k are a
+    uniform sample of A∪B, so the both-sides fraction estimates J —
+    cross-source overlap WITHOUT the corpus-sized exact join
+    (source_overlap_docs is the exact twin; this is what survives
+    10^12 rows). Deterministic md5-60bit hashing makes the estimate
+    itself oracle-recomputable, exactly. All pairwise frames are
+    groups×k."""
+    from htm_streamer_spark.operators.kmv import kmv_members, kmv_pairwise_jaccard
+
+    m = kmv_members(_kmv_gram_items(spark, sf_dir), "source", "item", k=256)
+    return kmv_pairwise_jaccard(m, "source", k=256)
+
+
+SQL_KMV_OVERLAP = r"""
+WITH norm AS (
+  SELECT source,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS item
+  FROM norm
+),
+hashed AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(item), 1, 15))::BIGINT AS h
+  FROM grams
+),
+sig AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= 256
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM sig) a, (SELECT DISTINCT source FROM sig) b
+  WHERE a.source < b.source
+),
+m AS (
+  SELECT p.sa, p.sb, s.h,
+         max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sig s ON s.source IN (p.sa, p.sb)
+  GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM m
+),
+o AS (
+  SELECT sa, sb, count(*)::BIGINT AS n_union_k,
+         sum(in_a * in_b)::BIGINT AS n_both
+  FROM topk WHERE rn <= 256 GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b, n_union_k, n_both,
+       round(n_both / n_union_k::DOUBLE + 1e-9, 6) + 0.0 AS est_jaccard
+FROM o
+"""
+
+
+def q_neyman_alloc_events(spark, sf_dir):
+    """Neyman-optimal audit-budget allocation across event types
+    (operators/sampling.py neyman_allocation, budget 1000): the
+    variance-minimizing split n_h ∝ N_h·σ_h — big AND noisy strata get
+    the deep-check budget, a huge-but-constant stratum gets ~none. The
+    planning half of the sampling family (stratified_sample consumes
+    the resulting fractions); largest-remainder integerization sums to
+    the budget exactly and deterministically. One power-sum groupBy;
+    allocation math on the |strata| frame."""
+    from htm_streamer_spark.operators.sampling import neyman_allocation
+
+    e = _t(spark, sf_dir, "events")
+    return neyman_allocation(e, "event_type", "value", total_n=1000)
+
+
+SQL_NEYMAN = """
+WITH agg AS (
+  SELECT event_type, count(value)::DOUBLE AS n,
+         sum(value)::DOUBLE AS s, sum(value * value)::DOUBLE AS ss
+  FROM events GROUP BY 1
+),
+sdt AS (
+  SELECT event_type, n,
+         CASE WHEN n > 1
+              THEN sqrt(greatest((ss - s * s / n) / (n - 1), 0.0))
+              ELSE 0.0 END AS sd
+  FROM agg
+),
+sc AS (SELECT *, n * sd AS w, sum(n * sd) OVER () AS tw FROM sdt),
+ex AS (SELECT *, CASE WHEN tw > 0 THEN w / tw END AS share FROM sc),
+fl AS (
+  SELECT *, floor(share * 1000) AS fl,
+         share * 1000 - floor(share * 1000) AS rem
+  FROM ex
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, event_type) AS rnk,
+         1000 - sum(fl) OVER () AS leftn
+  FROM fl
+)
+SELECT event_type, n::BIGINT AS n_rows,
+       round(sd + 1e-9, 6) + 0.0 AS sd,
+       round(share + 1e-9, 6) + 0.0 AS alloc_share,
+       CASE WHEN share IS NULL THEN NULL
+            ELSE (fl + CASE WHEN rnk <= leftn THEN 1 ELSE 0 END) END::BIGINT
+         AS n_alloc
+FROM rk
+"""
+
+
 def q_mahalanobis_events(spark, sf_dir):
     """Per-row 2-D Mahalanobis outlier score of (value, props.k) vs the
     row's own event_type (operators/multivariate.py mahalanobis_2d):
@@ -10241,6 +10416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley_events": q_page_hinkley_events,
         "fisher_drift_events": q_fisher_drift_events,
         "mahalanobis_events": q_mahalanobis_events,
+        "kmv_distinct_docs": q_kmv_distinct_docs,
+        "kmv_overlap_docs": q_kmv_overlap_docs,
+        "neyman_alloc_events": q_neyman_alloc_events,
         "weighted_quantiles_docs": q_weighted_quantiles_docs,
         "freshness_events": q_freshness_events,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
@@ -10464,6 +10642,9 @@ def oracle_sql() -> dict[str, str]:
         "page_hinkley_events": SQL_PAGE_HINKLEY,
         "fisher_drift_events": SQL_FISHER_DRIFT,
         "mahalanobis_events": SQL_MAHALANOBIS,
+        "kmv_distinct_docs": SQL_KMV_DISTINCT,
+        "kmv_overlap_docs": SQL_KMV_OVERLAP,
+        "neyman_alloc_events": SQL_NEYMAN,
         "weighted_quantiles_docs": SQL_WEIGHTED_QUANTILES,
         "freshness_events": SQL_FRESHNESS,
         "validation_verdicts": SQL_VALIDATION_VERDICTS,

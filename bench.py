@@ -284,6 +284,9 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "mahalanobis_events",
         "weighted_quantiles_docs",
         "freshness_events",
+        "kmv_distinct_docs",
+        "kmv_overlap_docs",
+        "neyman_alloc_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,

@@ -260,3 +260,72 @@ def leakage_safe_split(
         cc.select(F.col("doc_id").alias(id_col), "cluster_id"), id_col
     )
     return hash_split(mapped, weights, id_col="cluster_id", salt=salt, method=method)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Optimal (Neyman 1934) sample-size allocation across strata for a
+    fixed audit budget: (stratum, n_rows, sd, alloc_share, n_alloc).
+
+    A validator that can afford to deep-check ``total_n`` rows should
+    NOT spread them uniformly or proportionally: the variance-minimizing
+    allocation for estimating the population mean is
+    ``n_h ∝ N_h·σ_h`` — big AND noisy strata get the budget, a huge but
+    constant stratum gets almost none. This turns the per-stratum stats
+    the engine already computes into the audit SAMPLING PLAN the budget
+    should follow (feed the resulting fractions to
+    ``stratified_sample``).
+
+    Integerization uses the largest-remainder method so ``Σ n_alloc ==
+    total_n`` exactly and deterministically (remainder ties break by
+    stratum name); zero-variance or single-row strata get weight 0 — if
+    EVERY stratum is zero-variance the allocation is NULL (no variance
+    to minimize; any sample is equally informative).
+
+    One combinable power-sum groupBy over the fact table; the
+    allocation arithmetic and the remainder ranking run on the
+    |strata|-sized frame.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    agg = df.groupBy(stratum_col).agg(
+        F.count(v).cast("double").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    # sample sd (n-1 denominator): the survey-sampling convention
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    sd = F.when(F.col("n") > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(
+        F.lit(0.0)
+    )
+    w_all = Window.partitionBy()
+    scored = agg.withColumn("_w", F.col("n") * sd).withColumn(
+        "_tw", F.sum("_w").over(w_all)
+    )
+    share = F.when(F.col("_tw") > 0, F.col("_w") / F.col("_tw"))
+    exact = share * F.lit(float(total_n))
+    scored = scored.withColumn("_share", share).withColumn(
+        "_floor", F.floor(exact)
+    ).withColumn("_rem", exact - F.floor(exact))
+    # largest remainder: hand the leftover units to the biggest
+    # fractional parts (deterministic tie-break by stratum name)
+    w_rem = Window.orderBy(F.desc("_rem"), F.col(stratum_col))
+    scored = scored.withColumn("_rank", F.row_number().over(w_rem)).withColumn(
+        "_left", F.lit(int(total_n)) - F.sum("_floor").over(w_all)
+    )
+    n_alloc = F.when(
+        F.col("_share").isNotNull(),
+        F.col("_floor") + (F.col("_rank") <= F.col("_left")).cast("long"),
+    )
+    return scored.select(
+        stratum_col,
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(sd + F.lit(1e-9), 6).alias("sd"),
+        F.round(F.col("_share") + F.lit(1e-9), 6).alias("alloc_share"),
+        n_alloc.cast("long").alias("n_alloc"),
+    )

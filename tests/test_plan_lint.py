@@ -29,6 +29,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # queries whose plan legitimately contains vectorized (Arrow/Pandas)
 # stages — each has a declared mapInArrow/applyInPandas kernel
 ARROW_OK = {
+    "compress_ratio_docs",
+    "compress_profile_docs",
     "heavy_words_docs",
     "ivf_topk_embeddings",
     "kmeans_embeddings",
