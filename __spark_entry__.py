@@ -3332,6 +3332,54 @@ GROUP BY 1
 """
 
 
+def q_dup_span_extents_docs(spark, sf_dir):
+    """Maximal cross-doc duplicated spans
+    (operators/repetition.py dup_span_extents): the actual cut-list of
+    substring-level dedup (Lee et al. 2021 removes spans, not docs) —
+    consecutive duplicated 5-gram positions merged into (doc_id,
+    span_start, n_positions, span_len_words) runs via the
+    gaps-and-islands window over the same 60-bit gram-hash space as
+    dup_spans_docs."""
+    from htm_streamer_spark.operators.repetition import dup_span_extents
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_span_extents(d, n=5, min_docs=2)
+
+
+SQL_DUP_SPAN_EXTENTS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS p,
+         ('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]),
+                  1, 15))::BIGINT AS gh
+  FROM norm, unnest(generate_series(1, greatest(len(ws)-4, 0))) AS t(i)
+),
+docfreq AS (
+  SELECT gh FROM (
+    SELECT gh, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY 1
+  ) WHERE ndocs >= 2
+),
+dup AS (
+  SELECT g.doc_id, g.p FROM grams g JOIN docfreq USING (gh)
+),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM dup
+)
+SELECT doc_id,
+       min(p)::BIGINT AS span_start,
+       count(*)::BIGINT AS n_positions,
+       (count(*) + 4)::BIGINT AS span_len_words
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Overlapping token-window chunking (operators/chunking.py
     chunk_tokens): each doc exploded into 64-token chunks with
@@ -10204,6 +10252,75 @@ SQL_COMPRESS_PROFILE_GOLDEN = (
 )
 
 
+def q_pagerank_embeddings(spark, sf_dir):
+    """kNN-graph PageRank over the embedding space
+    (operators/graph.py): each vector links to its 5 nearest neighbors
+    by cosine (self excluded, ties by id); 10 damped power iterations
+    rank every vector by how much of the corpus 'votes' for it through
+    the neighbor graph — the representativeness prior data-curation
+    pipelines use to pick prototypical examples and surface stray
+    clusters (low-rank = nobody's neighbor). Deterministic: fixed
+    iteration count, dangling mass redistributed uniformly, so the
+    DuckDB oracle's recursive CTE reproduces the iterate exactly.
+
+    Plan: one broadcast cross-score + per-query top-k window builds the
+    edge frame ONCE (persisted); each iteration is a vertex-sized hash
+    join + map-side-combinable sum — the rank frame never grows past
+    |V| rows, lineage cut by localCheckpoint."""
+    from htm_streamer_spark.operators.graph import knn_edges, pagerank
+    from htm_streamer_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    topk = brute_force_topk(emb, queries_df, k=6)
+    edges = knn_edges(topk, k=5)
+    ranks = pagerank(edges, damping=0.85, n_iter=10)
+    return ranks.select(
+        F.col("id").alias("vec_id"),
+        F.round(F.col("rank") + F.lit(1e-9), 6).alias("pagerank"),
+    )
+
+
+SQL_PAGERANK = """
+WITH RECURSIVE
+q AS (SELECT vec_id, embedding::DOUBLE[] AS qvec FROM embeddings),
+knn AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qvec) DESC,
+             c.vec_id
+  ) <= 5
+),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM knn UNION SELECT dst FROM knn)),
+nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+deg AS (SELECT src, count(*)::DOUBLE AS d FROM knn GROUP BY src),
+pr(iter, id, rank) AS (
+  SELECT 0, id, 1.0 / (SELECT n FROM nv) FROM verts
+  UNION ALL
+  SELECT p.iter + 1, v.id,
+         0.15 / (SELECT n FROM nv)
+         + 0.85 * ( coalesce(c.contrib, 0.0)
+                    + (SELECT coalesce(sum(pr.rank), 0.0) FROM pr
+                       LEFT JOIN deg ON deg.src = pr.id
+                       WHERE deg.src IS NULL AND pr.iter = p.iter)
+                      / (SELECT n FROM nv) )
+  FROM verts v
+  CROSS JOIN (SELECT DISTINCT iter FROM pr) p
+  LEFT JOIN (
+    SELECT knn.dst, pr.iter, sum(pr.rank / deg.d) AS contrib
+    FROM pr JOIN knn ON knn.src = pr.id JOIN deg ON deg.src = pr.id
+    GROUP BY knn.dst, pr.iter
+  ) c ON c.dst = v.id AND c.iter = p.iter
+  WHERE p.iter < 10
+)
+SELECT id AS vec_id, round(rank + 1e-9, 6)::DOUBLE + 0.0 AS pagerank
+FROM pr WHERE iter = 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_profile_docs": q_stats_profile_docs,
@@ -10281,6 +10398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts_events": q_retention_cohorts_events,
         "chunk_docs": q_chunk_docs,
         "dup_spans_docs": q_dup_spans_docs,
+        "dup_span_extents_docs": q_dup_span_extents_docs,
         "ks_drift_events": q_ks_drift_events,
         "conformal_events": q_conformal_events,
         "chisq_docs": q_chisq_docs,
@@ -10421,6 +10539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_alloc_events": q_neyman_alloc_events,
         "weighted_quantiles_docs": q_weighted_quantiles_docs,
         "freshness_events": q_freshness_events,
+        "pagerank_embeddings": q_pagerank_embeddings,
         # golden-parquet oracles (deterministic, not SQL-recomputable)
         "compress_ratio_docs": q_compress_ratio_docs,
         "compress_profile_docs": q_compress_profile_docs,
@@ -10507,6 +10626,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts_events": SQL_RETENTION_COHORTS,
         "chunk_docs": SQL_CHUNK_DOCS,
         "dup_spans_docs": SQL_DUP_SPANS,
+        "dup_span_extents_docs": SQL_DUP_SPAN_EXTENTS,
         "ks_drift_events": SQL_KS_DRIFT,
         "conformal_events": SQL_CONFORMAL,
         "jaccard_join_docs": SQL_JACCARD_JOIN,
@@ -10653,6 +10773,7 @@ def oracle_sql() -> dict[str, str]:
         # scale (sf0.01); regenerate with tools/make_goldens.py
         "ivf_topk_embeddings": SQL_IVF_GOLDEN,
         "pq_topk_embeddings": SQL_PQ_GOLDEN,
+        "pagerank_embeddings": SQL_PAGERANK,
         "multimodal_features": SQL_MULTIMODAL_GOLDEN,
         "compress_ratio_docs": SQL_COMPRESS_RATIO_GOLDEN,
         "compress_profile_docs": SQL_COMPRESS_PROFILE_GOLDEN,

@@ -1,0 +1,158 @@
+"""Iterative graph centrality (PageRank) over DataFrame edge lists.
+
+Training-data curation uses link-graph centrality as a quality prior
+(host-level PageRank gates crawl corpora in CCNet/RefinedWeb-style
+pipelines) and kNN-graph centrality as a representativeness score over
+an embedding space (a point many neighbors vote for is prototypical; a
+point nobody links to is an outlier or a stray cluster). The engine's
+graph tier so far is connected components (``clustering.py`` — min
+label propagation for dedup transitive closure); PageRank is the
+weighted-importance member: not "which docs touch", but "which docs
+matter".
+
+Semantics (the classic damped random surfer, deterministic for a fixed
+iteration count):
+
+    rank_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} rank_t(u)/outdeg(u)
+                                    + dangling_t / N )
+
+where ``dangling_t`` is the total rank mass sitting on vertices with no
+out-edges (redistributed uniformly — the standard teleport fix, without
+which the mass leaks and ranks no longer sum to 1). Fixed ``n_iter``
+rather than an epsilon stop so the result is EXACTLY reproducible by
+the DuckDB oracle's recursive CTE — same iterate, same count.
+
+Scale shape: the rank frame is VERTEX-sized, never edge-sized. Each
+iteration is one edges⋈ranks hash join on src (edges persisted once;
+at cluster scale pre-partition both sides by the join key so the
+per-iteration shuffle moves only the vertex-sized rank frame), one
+map-side-combinable groupBy(dst) sum, and one vertex-sized left join.
+The dangling mass is a scalar tree-reduce. Lineage is cut with
+``localCheckpoint`` every few rounds — an iterative plan that is never
+truncated grows self-referentially and eventually dominates planning
+time (same discipline as ``clustering.connected_components``).
+
+Reference analog: the reference has no graph operators; this is part
+of the beyond-reference training-pipeline family (SURVEY §2 "beyond"
+list), alongside dedup/similarity/contamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(id, rank) after exactly ``n_iter`` damped power iterations.
+
+    Vertices = every id appearing as src or dst. Parallel edges are
+    honored (two u→v edges carry twice the mass — callers wanting
+    simple-graph semantics distinct() first). Ranks sum to 1 at every
+    iteration (dangling mass redistributed uniformly).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        schema = f"id {edges.schema[src].dataType.simpleString()}, rank double"
+        return edges.sparkSession.createDataFrame([], schema)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg")).persist()
+    base = (1.0 - damping) / n
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    prev = None
+    for i in range(n_iter):
+        # rank mass on vertices with no out-edges, redistributed to all
+        dangling = (
+            ranks.join(deg, ranks.id == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("m"))
+            .groupBy("dst")
+            .agg(F.sum("m").alias("contrib"))
+            .withColumnRenamed("dst", "id")
+        )
+        new_ranks = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(damping_mass(dangling, n)))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before unpersisting the input
+        if prev is not None:
+            prev.unpersist()
+        prev = new_ranks
+        ranks = new_ranks
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    e.unpersist()
+    verts.unpersist()
+    deg.unpersist()
+    return ranks
+
+
+def damping_mass(dangling: float, n: int) -> float:
+    """Uniform share of the dangling rank mass (split out so tests can
+    pin the redistribution rule by name)."""
+    return dangling / n
+
+
+def knn_edges(
+    topk: DataFrame,
+    k: int | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Directed kNN edges (src=query, dst=neighbor) from a top-k frame
+    (brute_force_topk / ivf_topk / pq_topk output), self-loops dropped.
+    With ``k`` set, re-ranks the surviving neighbors under the same
+    total order (score DESC, id ASC) and keeps the top k — ask the
+    similarity tier for k+1 so a query whose self-row made the cut
+    still yields k true neighbors. The adapter that turns the
+    similarity tier's output into graph-tier input."""
+    from pyspark.sql import Window
+
+    nn = topk.filter(F.col(query_id_col) != F.col(id_col))
+    if k is not None:
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        nn = nn.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+    return nn.select(
+        F.col(query_id_col).alias("src"), F.col(id_col).alias("dst")
+    )

@@ -25,7 +25,7 @@ to text features rather than numeric ones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from htm_streamer_spark.operators.dedup import (
@@ -144,6 +144,72 @@ def cross_doc_dup_spans(
             "n_grams",
             "n_dup_grams",
             (F.col("n_dup_grams") / F.col("n_grams")).cast("double").alias("dup_span_frac"),
+        )
+    )
+
+
+def dup_span_extents(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, span_start, n_positions, span_len_words): the MAXIMAL
+    cross-document duplicated runs per doc — the actual "cut this
+    range" output of substring-level dedup (Lee et al. 2021 §4 removes
+    the duplicated spans, not the documents), where
+    ``cross_doc_dup_spans`` only scores the per-doc fraction.
+
+    A word position p (1-based) is duplicated when the n-gram starting
+    at p occurs in ≥ ``min_docs`` distinct docs; consecutive duplicated
+    positions merge into one span (overlapping grams chain), covering
+    words [span_start, span_start + span_len_words - 1] with
+    ``span_len_words = n_positions + n − 1``. Docs with no duplicated
+    position emit nothing.
+
+    Plan: the same ONE tokenizing scan → narrow (doc_id, p, gh) frame
+    as the fraction operator (gram identity = 60-bit md5 prefix, so no
+    gram text ever shuffles); doc frequency is two map-side-combinable
+    stages; the span merge is the gaps-and-islands window (p − row
+    number is constant within a run) partitioned by doc_id — one
+    shuffle of integer triples, bounded per doc by doc length. Same
+    shape at 100 TB.
+    """
+    words = _words(text_col)
+    gram = F.array_join(F.slice(F.col("_t"), F.col("_p"), n), " ")
+    gh = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    grams = (
+        fan_out_narrow_scans(df.select("doc_id", text_col))
+        .select("doc_id", words.alias("_t"))
+        .where(F.size("_t") >= n)
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(F.sequence(F.lit(1), F.size("_t") - (n - 1))).alias("_p"),
+        )
+        .select("doc_id", F.col("_p").cast("long").alias("_p"), gh.alias("gh"))
+        .persist()
+    )
+    docfreq = (
+        grams.dropDuplicates(["doc_id", "gh"])
+        .groupBy("gh")
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+    )
+    dup_pos = grams.join(docfreq, "gh").select("doc_id", "_p")
+    w = Window.partitionBy("doc_id").orderBy("_p")
+    isl = dup_pos.withColumn("_isl", F.col("_p") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("_p").alias("span_start"),
+            F.count("*").cast("long").alias("n_positions"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "n_positions",
+            (F.col("n_positions") + F.lit(n - 1)).cast("long").alias("span_len_words"),
         )
     )
 
