@@ -1367,6 +1367,23 @@ def q_contaminated_ngram_docs(spark, sf_dir):
     return contaminated_pairs_ngram(docs, probes, n=3)
 
 
+def q_contaminated_bloom_docs(spark, sf_dir):
+    """Bloom-gated decontamination (operators/bloom.py
+    contaminated_pairs_bloom): the probe set compacts to a fixed-size
+    bit array (distributed bit_or build, 128 KiB broadcast), the doc
+    side drops non-member grams in a map-side Arrow bit-lookup BEFORE
+    any shuffle (>99% of gram traffic eliminated — pinned in
+    tests/test_bloom.py), survivors exact-join on the gram string. Same
+    answer as contaminated_ngram_docs — the filter prunes traffic,
+    never decides answers — so the same DuckDB oracle checks it."""
+    from htm_streamer_spark.operators.bloom import contaminated_pairs_bloom
+    from htm_streamer_spark.operators.contamination import derive_ngram_probes
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = derive_ngram_probes(docs, every=13, start=4, n=3)
+    return contaminated_pairs_bloom(docs, probes, n=3)
+
+
 SQL_CONTAMINATED_NGRAM = r"""
 WITH norm AS (
   SELECT doc_id,
@@ -10449,6 +10466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "heavy_words_docs": q_heavy_words_docs,
         "contaminated_ngram_docs": q_contaminated_ngram_docs,
+        "contaminated_bloom_docs": q_contaminated_bloom_docs,
         "late_ship_priority": q_late_ship_priority,
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -10677,6 +10695,7 @@ def oracle_sql() -> dict[str, str]:
         "big_orders": SQL_BIG_ORDERS,
         "heavy_words_docs": SQL_HEAVY_WORDS,
         "contaminated_ngram_docs": SQL_CONTAMINATED_NGRAM,
+        "contaminated_bloom_docs": SQL_CONTAMINATED_NGRAM,
         "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
         "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
         "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
