@@ -9766,6 +9766,63 @@ def _kmv_gram_items(spark, sf_dir):
     )
 
 
+def q_cms_est_events(spark, sf_dir):
+    """Count-Min frequency sketch (operators/cms.py): d=4 x w=512
+    counters over events.user_id, read back for the exact top-20 users
+    (rank by exact count, ties by user_id) — (user_id, exact_cnt, est)
+    with est = min over the 4 seeded-md5 cells, never below exact_cnt.
+    The FREQUENCY member of the sketch tier (KMV = distinct, Bloom =
+    membership): additive counters merge across partitions and
+    micro-batches (streaming/cms.py is the same cells, pinned in
+    tests/test_cms.py). Build is one scan -> explode 4 positions ->
+    map-side-combinable sum into <=2048 cells; the estimate join
+    broadcasts the metadata-sized sketch. Deterministic md5-60bit
+    positions make the DuckDB oracle a literal recompute."""
+    from htm_streamer_spark.operators.cms import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", d=4, w=512)
+    # total order (cnt desc, user_id) + limit -> TakeOrderedAndProject:
+    # per-partition top-20 then a 20-row merge, never a global window
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    return cms_estimate(sk, top, "user_id", d=4, w=512)
+
+
+SQL_CMS_EST = r"""
+WITH pos AS (
+  SELECT user_id, t.i AS row_idx,
+         (('0x'||substr(md5('cms'||t.i::VARCHAR||':'||user_id::VARCHAR),1,15))::BIGINT
+          % 512) AS col_idx
+  FROM events, unnest(generate_series(0,3)) AS t(i)
+),
+cells AS (
+  SELECT row_idx, col_idx, count(*)::BIGINT AS cnt FROM pos GROUP BY 1, 2
+),
+top_users AS (
+  SELECT user_id, count(*)::BIGINT AS exact_cnt
+  FROM events GROUP BY 1
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, user_id) <= 20
+),
+probe AS (
+  SELECT u.user_id, t.i AS row_idx,
+         (('0x'||substr(md5('cms'||t.i::VARCHAR||':'||u.user_id::VARCHAR),1,15))::BIGINT
+          % 512) AS col_idx
+  FROM top_users u, unnest(generate_series(0,3)) AS t(i)
+)
+SELECT u.user_id, u.exact_cnt,
+       min(coalesce(c.cnt, 0))::BIGINT AS est
+FROM top_users u
+JOIN probe p ON p.user_id = u.user_id
+LEFT JOIN cells c ON c.row_idx = p.row_idx AND c.col_idx = p.col_idx
+GROUP BY 1, 2
+"""
+
+
 def q_kmv_distinct_docs(spark, sf_dir):
     """Per-source KMV bottom-k distinct-shingle estimate
     (operators/kmv.py kmv_sketch, k=256): the SKETCH tier of the
@@ -10552,6 +10609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley_events": q_page_hinkley_events,
         "fisher_drift_events": q_fisher_drift_events,
         "mahalanobis_events": q_mahalanobis_events,
+        "cms_est_events": q_cms_est_events,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "kmv_overlap_docs": q_kmv_overlap_docs,
         "neyman_alloc_events": q_neyman_alloc_events,
@@ -10781,6 +10839,7 @@ def oracle_sql() -> dict[str, str]:
         "page_hinkley_events": SQL_PAGE_HINKLEY,
         "fisher_drift_events": SQL_FISHER_DRIFT,
         "mahalanobis_events": SQL_MAHALANOBIS,
+        "cms_est_events": SQL_CMS_EST,
         "kmv_distinct_docs": SQL_KMV_DISTINCT,
         "kmv_overlap_docs": SQL_KMV_OVERLAP,
         "neyman_alloc_events": SQL_NEYMAN,
