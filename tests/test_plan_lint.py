@@ -31,6 +31,7 @@ SF_DIR = "/root/testdata/sf0.001"
 ARROW_OK = {
     "compress_ratio_docs",
     "compress_profile_docs",
+    "contaminated_bloom_docs",  # map-side Bloom bit-lookup gate (mapInArrow)
     "heavy_words_docs",
     "ivf_topk_embeddings",
     "kmeans_embeddings",

@@ -253,6 +253,47 @@ def run(name):
             (F.col("n_chars") + F.col("rep") * 7).alias("v"),
         )
         df = kruskal_wallis(wide, "shard", "v", "source")
+    elif name == "bloom_decontam":
+        # bloom-gate family: tokenize 500k docs -> gram explode ->
+        # map-side Arrow bit-lookup gate (the shuffle carries only
+        # survivors) -> exact string join; probes the scan+explode+
+        # Arrow-filter plane where the operator claims its win
+        from htm_streamer_spark.operators.bloom import contaminated_pairs_bloom
+        from htm_streamer_spark.operators.contamination import derive_ngram_probes
+        probes = derive_ngram_probes(big, every=97, start=4, n=5)
+        df = contaminated_pairs_bloom(big, probes, n=5)
+    elif name == "cms":
+        # counter-sketch family: 32M rows -> explode 4 md5 positions
+        # (128M cells) -> map-side-combinable sum into <=4096 cells;
+        # probes the pure hash+aggregate plane with a metadata output
+        from htm_streamer_spark.operators.cms import cms_sketch
+        wide = big.crossJoin(
+            big.sparkSession.range(64).select(F.col("id").alias("rep"))
+        ).select(((F.col("doc_id") + F.col("rep") * 911) % 100000).alias("item"))
+        df = cms_sketch(wide, "item", d=4, w=1024)
+    elif name == "pagerank":
+        # iterative-graph family: 2M vertices x 5 synthetic out-edges
+        # (hash-derived dst, so layout-independent), 5 damped power
+        # iterations — each is one edges⋈ranks join + combinable sum +
+        # vertex-sized left join with localCheckpoint lineage cuts;
+        # probes the repeated-join plane none of the other families hit
+        from htm_streamer_spark.operators.graph import pagerank
+        n_v = 2_000_000
+        verts = big.sparkSession.range(n_v).select(F.col("id").alias("src"))
+        edges = verts.select(
+            "src",
+            F.explode(F.array(*[
+                F.pmod(F.xxhash64("src", F.lit(i)), F.lit(n_v)).alias(f"d{i}")
+                for i in range(5)
+            ])).alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        df = pagerank(edges, n_iter=5)
+    elif name == "dup_span_extents":
+        # gaps-and-islands family: 5-gram doc-frequency join back to
+        # positions -> per-doc islands window; the span-merge twin of
+        # the dup_spans fraction family
+        from htm_streamer_spark.operators.repetition import dup_span_extents
+        df = dup_span_extents(d, n=5, min_docs=2)
     elif name == "isotropy":
         # population-geometry family: 194 codegen agg expressions
         # (3 per dim + norm fold) over 1M dim-64 vectors, one
@@ -269,7 +310,7 @@ def run(name):
     return time.time() - t0, n
 
 import os as _os
-_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile", "heaps", "source_overlap", "energy", "isotonic", "transition_jsd", "arrival_profile", "logrank", "kruskal", "isotropy")
+_names = ("minhash_pairs", "tfidf", "global_shuffle", "unigram_nll", "chunk", "dup_spans", "spearman", "table_digest", "corr_matrix", "semdedup", "embed_integrity", "embed_dim_profile", "heaps", "source_overlap", "energy", "isotonic", "transition_jsd", "arrival_profile", "logrank", "kruskal", "isotropy", "bloom_decontam", "cms", "pagerank", "dup_span_extents")
 _only = _os.environ.get("SPARK_GRAFT_FAMILIES")
 if _only:
     _names = tuple(n for n in _names if n in _only.split(","))
