@@ -123,6 +123,10 @@ _KNOWN_CHECKS = {
     "token_range",
     "empty_tokens",
     "dup_doc_id",
+    # opt-in (not in the default tuple, so default verdicts and bench
+    # numbers are unchanged): identical token array under >=2 distinct
+    # doc_ids — operators/uniqueness.py duplicate_content_violations
+    "dup_content",
     "bad_source",
     "drift",
 }

@@ -40,6 +40,67 @@ def duplicate_ids(df: DataFrame, cfg: EngineConfig, key_col: str = "doc_id") -> 
     )
 
 
+def duplicate_content_violations(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Violation rows for DUPLICATE CONTENT: rows whose token array is
+    carried by ≥2 DISTINCT doc_ids — the training-data trap
+    ``dup_doc_id`` cannot see (same sequence re-ingested under fresh
+    ids inflates that content's sampling weight silently; an epoch over
+    such data trains on the duplicate k times).
+
+    Scale shape: content key = ``xxhash64(tokens, n_tok)`` (JVM-hashed,
+    64-bit — the array never shuffles, only its hash). Phase 1 groups
+    by (hash, doc_id) — map-side combinable, and a hot content value
+    replicated under 10^9 different ids spreads across reducers by
+    doc_id. Phase 2 counts distinct ids per hash map-side-combinably
+    (the phase-1 output IS the distinct (hash, doc_id) set), so no
+    per-hash row list ever materializes. Join-back is left to AQE for
+    the same reasons as ``duplicate_violations``. A 64-bit hash
+    collision would flag a false pair at ~N^2/2^64 probability — at
+    validation stakes (a violation row, not a deletion) that is the
+    right trade; a paranoid caller can re-verify flagged groups
+    exactly, which touches only flagged rows.
+
+    Output: (doc_id, part_id, check_id, payload) with the content hash
+    in the payload so downstream can group the copies.
+    """
+    h = F.xxhash64(F.col("tokens"), F.col("n_tok")).alias("_ch")
+    per_doc = (
+        df.where(F.col("tokens").isNotNull())
+        .select("doc_id", h)
+        .groupBy("_ch", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    dup_hashes = (
+        per_doc.groupBy("_ch")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > 1)
+        .select("_ch")
+    )
+    return (
+        df.select("doc_id", "part_id", F.xxhash64(F.col("tokens"), F.col("n_tok")).alias("_ch"))
+        .join(dup_hashes, "_ch", "left_semi")
+        .select(
+            "doc_id",
+            "part_id",
+            F.lit("dup_content").alias("check_id"),
+            F.col("_ch").alias("_content_hash"),
+        )
+        .withColumn(
+            "payload",
+            F.to_json(
+                F.struct(
+                    F.lit("dup_content").alias("check_id"),
+                    F.col("doc_id"),
+                    F.col("part_id"),
+                    F.col("_content_hash").alias("content_hash"),
+                )
+            ),
+        )
+        .drop("_content_hash")
+    )
+
+
 def duplicate_violations(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Violation rows: every row whose doc_id is duplicated.
 

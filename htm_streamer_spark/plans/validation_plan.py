@@ -93,6 +93,14 @@ def all_violations(
     parts = [row_violations(df, cfg, featurized)]
     if "dup_doc_id" in cfg.checks:
         parts.append(duplicate_violations(df, cfg))
+    if "dup_content" in cfg.checks:
+        # opt-in (not in the default tuple): same token array under >=2
+        # distinct doc_ids — see operators/uniqueness.py
+        from htm_streamer_spark.operators.uniqueness import (
+            duplicate_content_violations,
+        )
+
+        parts.append(duplicate_content_violations(df, cfg))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
