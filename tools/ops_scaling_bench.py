@@ -283,11 +283,19 @@ def run(name):
         edges = verts.select(
             "src",
             F.explode(F.array(*[
-                F.pmod(F.xxhash64("src", F.lit(i)), F.lit(n_v)).alias(f"d{i}")
+                F.pmod(F.xxhash64("src", F.lit(i)), F.lit(n_v))
                 for i in range(5)
             ])).alias("dst"),
         ).where(F.col("src") != F.col("dst"))
+        # pagerank materializes its iterations EAGERLY during
+        # construction (per-round dangling reduce + persist/count +
+        # localCheckpoint lineage cuts), so the timed region must wrap
+        # the construction — timing only the final count would measure
+        # a metadata read of the checkpointed frame
+        t0 = time.time()
         df = pagerank(edges, n_iter=5)
+        n = df.count()
+        return time.time() - t0, n
     elif name == "dup_span_extents":
         # gaps-and-islands family: 5-gram doc-frequency join back to
         # positions -> per-doc islands window; the span-merge twin of
