@@ -10342,11 +10342,14 @@ def q_pagerank_embeddings(spark, sf_dir):
     join + map-side-combinable sum — the rank frame never grows past
     |V| rows, lineage cut by localCheckpoint."""
     from htm_streamer_spark.operators.graph import knn_edges, pagerank
-    from htm_streamer_spark.operators.similarity import brute_force_topk
+    from htm_streamer_spark.operators.similarity import brute_force_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    topk = brute_force_topk(emb, queries_df, k=6)
+    # matmul form: exact same top-k as the expression baseline
+    # (asserted in tests/test_graph.py) at BLAS speed — the 2000-query
+    # edge build is the query's dominant cost, not the iterations
+    topk = brute_force_topk_arrow(emb, queries_df, k=6)
     edges = knn_edges(topk, k=5)
     ranks = pagerank(edges, damping=0.85, n_iter=10)
     return ranks.select(

