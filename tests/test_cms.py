@@ -206,3 +206,17 @@ def test_live_streaming_query_matches_batch(spark, tmp_path):
         assert len(final_items) > 0
         for _, r in final_items.iterrows():
             assert int(r["est"]) == int(want[r["item"]])
+
+
+def test_threshold_turns_monitor_into_alarm(spark):
+    d, w = 4, 256
+    pdf = pd.DataFrame({"item": ["hot"] * 50 + ["warm"] * 10 + ["cold"]})
+    fn = cms_state_fn(d=d, w=w, threshold=20)
+    state = FakeState()
+    out = list(fn(("g",), iter([_spark_side(spark, pdf, d, w)]), state))
+    got = out[-1]
+    assert list(got["item"]) == ["hot"]  # only the crosser is emitted
+    assert int(got["est"].iloc[0]) >= 50
+    # below-threshold batch emits nothing at all
+    out2 = list(fn(("g",), iter([_spark_side(spark, pd.DataFrame({"item": ["cold"]}), d, w)]), state))
+    assert out2 == []
