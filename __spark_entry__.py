@@ -1040,6 +1040,42 @@ FROM documents GROUP BY source
 """
 
 
+def q_quantile_synopsis_events(spark, sf_dir):
+    """Deterministic sample-quantile synopsis with a DKW bound
+    (operators/binning.py quantile_synopsis): uniform-by-hash 1/8 row
+    sample on event_id (pmod(md5-60bit, 8) < 1 — same rows on any
+    engine, any layout), exact quartiles + p90 of the sample per
+    event_type, and the distribution-free DKW epsilon
+    sqrt(ln(2/0.05)/(2m)) published per group. The quantile member of
+    the sketch tier: unlike percentile_approx, the synopsis is
+    oracle-recomputable bit-for-bit AND carries a guarantee needing no
+    distributional assumption. Map-side filter -> one grouped exact
+    percentile on the sample; output is groups-sized."""
+    from htm_streamer_spark.operators.binning import quantile_synopsis
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_synopsis(
+        ev, "value", "event_id", group_col="event_type", rate_num=1, rate_den=8
+    )
+
+
+SQL_QUANTILE_SYNOPSIS = """
+WITH sample AS (
+  SELECT event_type, value
+  FROM events
+  WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 8 < 1
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_sample,
+       round(quantile_cont(value, 0.25), 6)::DOUBLE + 0.0 AS q0_25,
+       round(quantile_cont(value, 0.5), 6)::DOUBLE + 0.0 AS q0_5,
+       round(quantile_cont(value, 0.75), 6)::DOUBLE + 0.0 AS q0_75,
+       round(quantile_cont(value, 0.9), 6)::DOUBLE + 0.0 AS q0_9,
+       round(sqrt(ln(2.0 / 0.05) / (2.0 * count(*))) + 1e-9, 6)::DOUBLE + 0.0 AS dkw_eps
+FROM sample GROUP BY event_type
+"""
+
+
 def q_dup_ngram_docs(spark, sf_dir):
     """Gopher-style duplicate-3-gram fraction per doc: pure array
     expressions, zero shuffle."""
@@ -10438,6 +10474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "embed_near_dups": q_embed_near_dups,
         "quantiles_docs": q_quantiles_docs,
+        "quantile_synopsis_events": q_quantile_synopsis_events,
         "winnow_docs": q_winnow_docs,
         "dup_ngram_docs": q_dup_ngram_docs,
         "top_bigram_docs": q_top_bigram_docs,
@@ -10668,6 +10705,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_wide_embeddings": SQL_LSH_TOPK_WIDE,
         "embed_near_dups": SQL_EMBED_NEAR_DUPS,
         "quantiles_docs": SQL_QUANTILES,
+        "quantile_synopsis_events": SQL_QUANTILE_SYNOPSIS,
         "winnow_docs": SQL_WINNOW,
         "dup_ngram_docs": SQL_DUP_NGRAM,
         "top_bigram_docs": SQL_TOP_BIGRAM,

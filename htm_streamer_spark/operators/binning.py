@@ -68,3 +68,60 @@ def quantile_bins_approx(
         lambda acc, t: acc + F.when(F.col(col) >= t, 1).otherwise(0),
     )
     return joined.withColumn("bin", bin_col.cast("int")).drop("_cuts")
+
+
+def quantile_synopsis(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    group_col: str = "source",
+    rate_num: int = 1,
+    rate_den: int = 16,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    delta: float = 0.05,
+) -> DataFrame:
+    """Deterministic sample-quantile synopsis with a DISTRIBUTION-FREE
+    error bound — the quantile member of the sketch tier (KMV =
+    distinct, Bloom = membership, CMS = frequency).
+
+    ``quantile_bins_approx``'s percentile_approx sketch is the built-in
+    scale path, but its state is engine-opaque (not recomputable by an
+    external oracle) and its error bound is a relative-rank accuracy
+    knob. This operator instead takes a uniform-BY-HASH row sample —
+    keep the row iff ``pmod(md5_60bit(id), rate_den) < rate_num`` — and
+    reads EXACT quantiles of the sample. Everything is deterministic
+    (same rows sampled on any engine, any partitioning), so a DuckDB
+    oracle recomputes the synopsis bit-for-bit; and by
+    Dvoretzky-Kiefer-Wolfowitz the sample CDF is uniformly within
+    ``eps = sqrt(ln(2/delta) / (2 m))`` of the true CDF with
+    probability 1-delta — a bound that needs NO distributional
+    assumption and is published per group as ``dkw_eps``.
+
+    Scale shape: the hash filter is map-side (a scan at rate
+    rate_num/rate_den of the input feeds the aggregate); pick the rate
+    so each group's sample fits an executor's sort buffer (at 10^12
+    rows and rate 1e-6, samples are ~10^6 rows/group). One grouped
+    exact-percentile aggregation on the sample; output is groups-sized.
+
+    Reference analog: min/max/percentile sampling of the reference's
+    per-feature stats (/root/reference/htm_streamer/validation.py),
+    upgraded with an error guarantee.
+    """
+    import math
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    sample = df.where(F.pmod(h, F.lit(rate_den)) < rate_num)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_sample")] + [
+        F.round(F.percentile(col, p), 6).alias(f"q{str(p).replace('.', '_')}")
+        for p in probs
+    ]
+    out = sample.groupBy(group_col).agg(*aggs)
+    ln_term = float(math.log(2.0 / delta))
+    return out.withColumn(
+        "dkw_eps",
+        F.round(
+            F.sqrt(F.lit(ln_term) / (F.lit(2.0) * F.col("n_sample"))) + F.lit(1e-9), 6
+        ),
+    )
