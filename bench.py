@@ -291,6 +291,7 @@ def run_bench(spark, sf_dir: str, sf: str) -> dict:
         "dup_span_extents_docs",
         "contaminated_bloom_docs",
         "cms_est_events",
+        "quantile_synopsis_events",
     ):
         # best-of-2: the host throttle varies 2-5x between moments (see
         # BENCH/BASELINE.md); seq_validate is protected by best-of-4,
