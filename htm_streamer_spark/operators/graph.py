@@ -90,6 +90,11 @@ def pagerank(
     # materialized each round or the unpersisted subtree recomputes
     # 3^k-fold). checkpoint_every is kept for API stability; the cut
     # now happens every round, which is strictly more aggressive.
+    # Storage note: each round's checkpointed blocks are freed when the
+    # previous frame is garbage-collected (nothing references it after
+    # the next round), so steady-state storage is ~2 vertex frames; at
+    # 10^9 vertices that is GBs per executor — fits the same budget as
+    # the persist+count strategy it replaces.
     del checkpoint_every
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(n_iter):
