@@ -1834,6 +1834,41 @@ def q_dedup_clusters_docs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_incr_docs(spark, sf_dir):
+    """Near-dup clustering via the INCREMENTAL path
+    (operators/clustering.py incremental_components): the confirmed
+    pair list is split 3:1 by a pair-key hash into a \"yesterday\"
+    batch (full CC) and a \"tonight\" delta; the delta merges into the
+    existing labels touching only the clusters it lands in (existing
+    clusters enter as depth-1 stars, so the round count is bounded by
+    the delta's chain length, not the corpus) — the daily-ingest shape
+    at 10^12 docs. Same answer as the full recompute BY CONSTRUCTION,
+    so the same transitive-closure oracle checks it; the total mapping
+    + canonical flag mirror dedup_clusters_docs exactly."""
+    from htm_streamer_spark.operators.clustering import (
+        connected_components,
+        incremental_components,
+    )
+    from htm_streamer_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, jaccard_threshold=0.5, method="md5").select(
+        "doc_a", "doc_b"
+    ).persist()
+    old = pairs.where((F.col("doc_a") + F.col("doc_b")) % 4 != 0)
+    delta = pairs.where((F.col("doc_a") + F.col("doc_b")) % 4 == 0)
+    labels = connected_components(old)
+    cc = incremental_components(labels, delta)
+    mapped = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    return mapped.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE edges AS (
   SELECT doc_a AS a, doc_b AS b FROM ({SQL_MINHASH_PAIRS}) q
@@ -10481,6 +10516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contaminated_docs": q_contaminated_docs,
         "json_props_events": q_json_props_events,
         "dedup_clusters_docs": q_dedup_clusters_docs,
+        "dedup_clusters_incr_docs": q_dedup_clusters_incr_docs,
         "windowed_counts_events": q_windowed_counts_events,
         "session_window_events": q_session_window_events,
         "pack_docs": q_pack_docs,
@@ -10712,6 +10748,7 @@ def oracle_sql() -> dict[str, str]:
         "contaminated_docs": SQL_CONTAMINATED,
         "json_props_events": SQL_JSON_PROPS,
         "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
+        "dedup_clusters_incr_docs": SQL_DEDUP_CLUSTERS,
         "windowed_counts_events": SQL_WINDOWED_COUNTS,
         "session_window_events": SQL_SESSION_WINDOW,
         "pack_docs": SQL_PACK_DOCS,

@@ -50,7 +50,13 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    sym = sym.persist()
+    # localCheckpoint, not persist: a cache truncates COMPUTE but every
+    # round's action still re-analyzes the full upstream logical tree
+    # (measured 80s for a 6-edge graph whose lineage was the whole
+    # minhash pipeline — Catalyst re-optimization per round, not data).
+    # The checkpoint cuts the lineage so each round plans against a
+    # leaf. Same storage footprint as the persist it replaces.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
@@ -97,7 +103,6 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     if prev is not None:
         prev.unpersist()
-    sym.unpersist()
     if not converged:
         # min-label propagation moves the min one hop per round, so a
         # component whose min-vertex eccentricity exceeds max_iter would
@@ -178,3 +183,60 @@ def dedup_clusters_by(
             (F.col("doc_id") == F.col("_winner")).alias("is_canonical"),
         )
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Merge a DELTA batch of near-dup pairs into an existing
+    (doc_id, cluster_id) labeling — the daily-ingest shape: at 10^12
+    docs a nightly crawl drop adds ~10^8 pairs, and re-running
+    :func:`connected_components` over the whole accumulated edge list
+    re-propagates labels across the entire corpus every night. This
+    operator's iterative work touches only the delta and the clusters
+    it lands in; every untouched cluster's rows pass through in a
+    single anti-join, never entering a propagation round.
+
+    Construction: an existing cluster is exactly the star graph
+    ``member -> cluster_id`` (depth 1, and cluster_id is the min member
+    by :func:`connected_components`' contract). So CC over
+    ``(affected stars) ∪ (delta edges)`` yields min-reachable-doc_id
+    labels over the MERGED components — identical to a full recompute
+    (pinned in tests/test_clustering_incremental.py) — and because
+    stars have depth 1, the subgraph's diameter is bounded by the
+    delta's chain length + 2, so the round count stays small no matter
+    how big the old clusters are.
+
+    Affected set = clusters containing any delta endpoint (two
+    semi-joins); delta endpoints never seen before enter as their own
+    vertices. Returns the full updated (doc_id, cluster_id) mapping.
+    """
+    delta_ids = (
+        new_edges.select(F.col(src).alias("doc_id"))
+        .union(new_edges.select(F.col(dst).alias("doc_id")))
+        .distinct()
+    )
+    touched = (
+        labels.join(delta_ids, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    affected = labels.join(touched, "cluster_id", "left_semi").persist()
+    stars = affected.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(src), F.col("cluster_id").alias(dst)
+    )
+    # singleton clusters have no star edge; keep their vertex alive via
+    # a self-loop only if it's a delta endpoint (otherwise untouched).
+    # Checkpoint before the CC: the sub frame is delta-sized but its
+    # LINEAGE is the caller's whole candidate pipeline, and the CC loop
+    # re-plans its input every round (see the sym note above).
+    sub = stars.unionByName(new_edges.select(src, dst)).localCheckpoint(eager=True)
+    merged = connected_components(sub, src, dst, max_iter=max_iter)
+    untouched = labels.join(touched, "cluster_id", "left_anti")
+    out = untouched.unionByName(merged).localCheckpoint(eager=True)
+    affected.unpersist()
+    return out
