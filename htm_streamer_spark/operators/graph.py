@@ -65,20 +65,29 @@ def pagerank(
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # localCheckpoint, not persist, for every loop-invariant frame: a
+    # cache truncates compute, but each iteration's action re-ANALYZES
+    # the full upstream logical tree (for the bench graph, the whole
+    # kNN build) — Catalyst replanning, not data, dominated the loop
+    # (same find as clustering.connected_components, 10x there)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = verts.count()
     if n == 0:
-        e.unpersist()
-        verts.unpersist()
         schema = f"id {edges.schema[src].dataType.simpleString()}, rank double"
         return edges.sparkSession.createDataFrame([], schema)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg")).persist()
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     base = (1.0 - damping) / n
 
     # ONE job per iteration: the dangling mass joins the plan as a
@@ -127,9 +136,6 @@ def pagerank(
             )
         )
         ranks = new_ranks.localCheckpoint(eager=True)
-    e.unpersist()
-    verts.unpersist()
-    deg.unpersist()
     return ranks
 
 
