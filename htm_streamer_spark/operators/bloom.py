@@ -145,12 +145,20 @@ def contaminated_pairs_bloom(
     m_bits: int = 1 << 20,
     k: int = 5,
 ) -> DataFrame:
-    """(doc_id, probe_id): exactly ``contaminated_pairs_ngram``'s
-    answer via the Bloom-gated plan — the shape that survives when BOTH
-    sides are large: probe cardinality is unbounded (the filter build
-    is distributed and the collected state is fixed-size), and the doc
+    """(doc_id, probe_id): ``contaminated_pairs_ngram``'s answer via
+    the Bloom-gated plan — the shape that survives when BOTH sides are
+    large: probe cardinality is unbounded (the filter build is
+    distributed and the collected state is fixed-size), and the doc
     side's shuffle carries only gate survivors (matches + fpp trickle)
     instead of every distinct gram in the corpus.
+
+    Equality caveat: this form ends with ``.distinct()`` on
+    (doc_id, probe_id), while the ngram form deduplicates on
+    (doc_id, probe_id, gram) and can emit one row per shared gram. The
+    outputs are row-identical only when each probe_id carries a single
+    gram — true of ``derive_ngram_probes`` (one n-gram per probe row),
+    which is the contract this operator assumes. A multi-gram probe
+    set still gets the correct PAIR set here, just pre-deduplicated.
 
     Because survivors are rare, they can keep their gram TEXT through
     the join — the join on the string itself is the exact confirm, so

@@ -56,6 +56,19 @@ def connected_components(
     # minhash pipeline — Catalyst re-optimization per round, not data).
     # The checkpoint cuts the lineage so each round plans against a
     # leaf. Same storage footprint as the persist it replaces.
+    #
+    # Fault-tolerance trade (deliberate): localCheckpoint blocks are
+    # NON-recomputable — on a real cluster, losing an executor mid-loop
+    # fails the job instead of transparently recomputing, whereas the
+    # old persist() would recompute the lost partitions. The edge frame
+    # is pair-sized (LSH survivors, orders of magnitude below the
+    # corpus), so a rare executor loss costs one operator re-run; the
+    # per-round replanning the checkpoint eliminates costs EVERY run.
+    # When spark.sparkContext.setCheckpointDir points at reliable
+    # storage, a deployment that cannot tolerate job restarts should
+    # swap these for reliable .checkpoint() — same plan shape, blocks
+    # survive executor loss. Block lifetime: released by driver GC of
+    # the DataFrame (documented in GRAPH notes round 4).
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")

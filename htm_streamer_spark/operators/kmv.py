@@ -113,6 +113,14 @@ def kmv_pairwise_jaccard(
     groups×k — nothing here ever touches the corpus.
     """
     g = group_col
+    # The members frame is referenced FOUR times below (a, b, and twice
+    # via pairs). Without a lineage cut each reference re-runs the whole
+    # upstream sketch build — at corpus scale that is several full scans
+    # for a groups×k result. localCheckpoint materializes the signature
+    # once; the frame is metadata-sized (groups×k rows, e.g. 1000×256),
+    # so the non-recomputable-blocks caveat is immaterial: losing an
+    # executor re-runs a seconds-long sketch job, not a corpus scan.
+    members = members.localCheckpoint(eager=True)
     a = members.select(F.col(g).alias("ga"), "h")
     b = members.select(F.col(g).alias("gb"), "h")
     # union hash list per pair: full outer on h within each pair via a

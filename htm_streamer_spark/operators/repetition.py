@@ -132,7 +132,7 @@ def cross_doc_dup_spans(
         .agg(F.count("*").alias("ndocs"))
     )
     is_dup = F.when(F.col("ndocs") >= min_docs, F.lit(1)).otherwise(F.lit(0))
-    return (
+    out = (
         grams.join(docfreq, "gh")
         .groupBy("doc_id")
         .agg(
@@ -146,6 +146,13 @@ def cross_doc_dup_spans(
             (F.col("n_dup_grams") / F.col("n_grams")).cast("double").alias("dup_span_frac"),
         )
     )
+    # Materialize the per-doc rollup (narrow: doc_id + 3 numbers — a
+    # ~100× reduction from the position-level gram frame) so the
+    # corpus-sized gram cache is released here rather than pinned for
+    # the session lifetime.
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out
 
 
 def dup_span_extents(
@@ -199,7 +206,7 @@ def dup_span_extents(
     dup_pos = grams.join(docfreq, "gh").select("doc_id", "_p")
     w = Window.partitionBy("doc_id").orderBy("_p")
     isl = dup_pos.withColumn("_isl", F.col("_p") - F.row_number().over(w))
-    return (
+    out = (
         isl.groupBy("doc_id", "_isl")
         .agg(
             F.min("_p").alias("span_start"),
@@ -212,6 +219,14 @@ def dup_span_extents(
             (F.col("n_positions") + F.lit(n - 1)).cast("long").alias("span_len_words"),
         )
     )
+    # Materialize the span-sized result (output-sensitive: only docs
+    # with duplicated runs emit rows) so the corpus-sized gram cache can
+    # be released NOW instead of pinning position×8-byte blocks for the
+    # session lifetime. The checkpointed result is tiny; losing its
+    # blocks re-runs this operator, not a corpus scan.
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out
 
 
 def top_ngram(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:

@@ -86,9 +86,11 @@ def brute_force_topk_arrow(
     batches × k × m candidate rows, never the full n × m score matrix.
     Queries are driver-collected and broadcast — small by the same
     contract as the broadcast in the expression form. Zero-norm
-    vectors score 0 instead of the expression form's null/NaN — the
-    one disclosed semantic difference (no such vectors pass
-    ``embedding_integrity``)."""
+    vectors score 0 instead of the expression form's null/NaN, and
+    NULL-embedding rows are filtered out before the kernel (the
+    expression form would carry them with NULL cosine; unfiltered they
+    would break the fixed-width reshape) — the two disclosed semantic
+    differences (no such vectors pass ``embedding_integrity``)."""
     import pyarrow as pa
 
     q_rows = queries.select(query_id_col, vec_col).collect()
@@ -137,7 +139,15 @@ def brute_force_topk_arrow(
                 names=[query_id_col, id_col, "cosine"],
             )
 
-    cand = corpus.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+    cand = (
+        corpus.select(id_col, vec_col)
+        # NULL embeddings would silently shrink flatten()'s value buffer
+        # and break the fixed-width reshape below — drop them up front
+        # (the expression form degrades to NULL cosine for these rows,
+        # which the top-k window would discard anyway).
+        .where(F.col(vec_col).isNotNull())
+        .mapInArrow(kernel, out_schema)
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

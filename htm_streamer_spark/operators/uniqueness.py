@@ -78,7 +78,12 @@ def duplicate_content_violations(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         .select("_ch")
     )
     return (
-        df.select("doc_id", "part_id", F.xxhash64(F.col("tokens"), F.col("n_tok")).alias("_ch"))
+        # Same tokens.isNotNull() filter as phase 1: Spark hash functions
+        # skip NULL inputs, so xxhash64(NULL, n_tok) == xxhash64([], n_tok)
+        # and an unfiltered join-back would falsely flag NULL-tokens rows
+        # whenever >=2 docs share an empty token array with the same n_tok.
+        df.where(F.col("tokens").isNotNull())
+        .select("doc_id", "part_id", F.xxhash64(F.col("tokens"), F.col("n_tok")).alias("_ch"))
         .join(dup_hashes, "_ch", "left_semi")
         .select(
             "doc_id",

@@ -106,3 +106,34 @@ def test_scan_count_bounded(all_plans):
     }
     bad = {n: c for n, c in bad.items() if c > MAX_SCANS}
     assert not bad, f"scan explosion (> {MAX_SCANS} source scans): {bad}"
+
+
+# Multi-table TPC-H join shapes read several DIFFERENT tables (allowed by
+# MAX_SCANS above); re-reading the SAME table is the plan smell this rule
+# pins — it caught the round-3 minhash 12-scan and the round-4 kmv 6-scan
+# after the fact, so now it runs on every query before the driver does.
+# Whitelist: per-table scan counts that are genuinely part of the shape.
+SAME_TABLE_OK = {
+    # TPC-H Q8: nation joined twice (supplier's and customer's nation) —
+    # 2 scans of one table, below the bound; listed for documentation.
+}
+MAX_SAME_TABLE_SCANS = 3
+
+
+def test_same_table_scan_bounded(all_plans):
+    import re
+    from collections import Counter
+
+    bad = {}
+    for n, p in all_plans.items():
+        tables = re.findall(r"InMemoryFileIndex(?:\(\d+ paths\))?\s*\[[^\]]*/(\w+)\.parquet", p)
+        counts = Counter(tables)
+        over = {t: c for t, c in counts.items() if c > MAX_SAME_TABLE_SCANS}
+        allowed = SAME_TABLE_OK.get(n, {})
+        over = {t: c for t, c in over.items() if c > allowed.get(t, MAX_SAME_TABLE_SCANS)}
+        if over:
+            bad[n] = over
+    assert not bad, (
+        f"same-table re-scan (> {MAX_SAME_TABLE_SCANS}x one source): {bad} — "
+        "persist/localCheckpoint the shared subtree instead of re-deriving it"
+    )

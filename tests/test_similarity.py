@@ -233,7 +233,11 @@ def test_pq_recall_vs_brute_force(emb, queries):
     want = {(r["query_id"], r["vec_id"]) for r in exact}
     got = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(want & got) / len(want)
-    assert recall >= 0.8, f"PQ recall@5 {recall}"
+    # The fixture is seeded and the PQ pipeline is bit-deterministic, so
+    # the observed 0.96 recall is stable; pin at 0.9 (margin for an
+    # intentional kernel change) so a quantization regression trips this
+    # instead of hiding under a slack 0.8 bound.
+    assert recall >= 0.9, f"PQ recall@5 {recall}"
     # rank-1 self hit must survive quantization + re-rank
     for r in approx:
         if r["rank"] == 1:
