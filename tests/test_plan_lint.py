@@ -116,6 +116,15 @@ def test_scan_count_bounded(all_plans):
 SAME_TABLE_OK = {
     # TPC-H Q8: nation joined twice (supplier's and customer's nation) —
     # 2 scans of one table, below the bound; listed for documentation.
+    #
+    # ivm_counts_docs synthesizes its "new snapshot" FROM the documents
+    # table (a fixture artifact — in production old/new snapshots are
+    # two materialized tables, each read ≤2×, per the query docstring).
+    # 3 of its 5 counted scans sit under persisted subtrees (new, diff)
+    # whose build runs once; the formatted plan re-prints cached
+    # children at every reference, so the textual count overstates the
+    # executed count.
+    "ivm_counts_docs": {"documents": 5},
 }
 MAX_SAME_TABLE_SCANS = 3
 
