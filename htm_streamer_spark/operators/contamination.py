@@ -194,9 +194,36 @@ def contaminated_pairs_ngram(
         .select("doc_id", "probe_id", "gram")
         .distinct()
     )
-    confirmed = cand.join(docs.select("doc_id", text_col), "doc_id").filter(
-        F.array_contains(_gram_array(_word_array(text_col), n), F.col("gram"))
+    # exact confirm: re-derive gram STRINGS for candidate docs only and
+    # equi-join on (doc_id, gram). The position-slice gram stream stays
+    # inside whole-stage codegen; the previous
+    # ``array_contains(_gram_array(...), gram)`` filter evaluated the
+    # interpreted higher-order zip_with chain once PER CANDIDATE ROW
+    # (measured 95s of a 100s query at sf1.0 on 373k candidates — the
+    # confirm was 20x the rest of the plan). Same rows out: the stream
+    # is deduped per (doc, gram) and cand is already distinct per
+    # (doc, probe, gram), so the membership join neither drops nor
+    # multiplies pairs (equivalence pinned in tests/test_contamination).
+    cand_ids = cand.select("doc_id").distinct()
+    cgrams = (
+        fan_out_narrow_scans(docs.select("doc_id", text_col))
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", _word_array(text_col).alias("_t"))
+        .where(F.size("_t") >= n)
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1))
+            ).alias("_p"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("_t"), F.col("_p"), n), " ").alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
     )
+    confirmed = cand.join(cgrams, ["doc_id", "gram"])
     return confirmed.select("doc_id", "probe_id")
 
 
