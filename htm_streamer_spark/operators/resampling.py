@@ -92,8 +92,16 @@ def poisson_bootstrap_mean_ci(
         raise ValueError("alpha must be in (0, 1)")
 
     # Stage 1: one hash per (row, replicate), each u its own alias so
-    # stage 2's nine threshold comparisons reference a column.
-    with_u = df.select(
+    # stage 2's nine threshold comparisons reference a column. The
+    # narrow (group, value, id) projection is fanned out first: the B
+    # md5 hashes per row are the dominant cost and inherit the scan's
+    # split count — a single-row-group input file serializes them onto
+    # one core (guide §2.5 input skew; measured 39.6s -> 3.7s at sf1.0
+    # local[32]). No-op when the scan already carries >= parallelism
+    # splits, i.e. at real scale.
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    with_u = fan_out_narrow_scans(df.select(group_col, value_col, id_col)).select(
         group_col,
         value_col,
         *[_u_expr(id_col, b).alias(f"u_{b}") for b in range(n_replicas)],
