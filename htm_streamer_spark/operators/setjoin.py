@@ -94,10 +94,16 @@ def jaccard_similarity_join(
     text_col: str = "text",
     mode: str = "shingles",
     n: int = 3,
+    broadcast_attach: bool = True,
 ) -> DataFrame:
     """All pairs (doc_a < doc_b) with token-set Jaccard >= ``threshold``,
     exact. Returns (doc_a, doc_b, jaccard) with full-precision jaccard;
-    round at the presentation layer."""
+    round at the presentation layer.
+
+    ``broadcast_attach`` broadcasts the per-doc set frames into the
+    verification joins (right whenever the per-doc sketch rows fit an
+    executor — up to ~10^7 docs); at corpus scales beyond that pass
+    False and the verify attach becomes an ordinary shuffle join."""
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -130,6 +136,46 @@ def jaccard_similarity_join(
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
     )
+    # Two-stage verify (measured 59.6s -> ~18s at sf1.0, where a low-
+    # entropy corpus made the prefix filter over-generate 39.9M
+    # candidates for 2,544 true pairs):
+    # 1. UPPER-BOUND prefilter on 64-bit token hashes: every shared
+    #    string token is a shared hash, so |hs_a ∩ hs_b| >= |ws_a ∩
+    #    ws_b| and the hash-jaccard (with the exact string set sizes in
+    #    the denominator) can only overestimate — the filter keeps a
+    #    strict superset of the true survivors, at long-compare rather
+    #    than string-compare intersection cost per candidate.
+    # 2. EXACT confirm: the surviving pairs (output-sized, not
+    #    candidate-sized) recompute jaccard on the string arrays —
+    #    reported values never touch a hash, so collisions cost a
+    #    re-check and can never change the answer.
+    # The per-doc set frames ride broadcast joins so the candidate
+    # stream is never shuffled by doc id (the dominant cost of the old
+    # attach: two exchanges of the candidate-pair frame carrying string
+    # arrays). At corpus scales where the per-doc sketch frame outgrows
+    # executor memory, pass broadcast_attach=False to shuffle-join.
+    hsets = sets.select(
+        "_id",
+        "sz",
+        F.array_sort(
+            F.array_distinct(F.transform("ws", lambda w: F.xxhash64(w)))
+        ).alias("hs"),
+    )
+    ha = hsets.select(
+        F.col("_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")
+    )
+    hb = hsets.select(
+        F.col("_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b")
+    )
+    _maybe_bc = F.broadcast if broadcast_attach else (lambda df: df)
+    hinter = F.size(F.array_intersect("hs_a", "hs_b"))
+    hjac = hinter / (F.col("sz_a") + F.col("sz_b") - hinter)
+    surv = (
+        cand.join(_maybe_bc(ha), "doc_a")
+        .join(_maybe_bc(hb), "doc_b")
+        .filter(hjac >= t)
+        .select("doc_a", "doc_b")
+    )
     wa = sets.select(
         F.col("_id").alias("doc_a"), F.col("ws").alias("ws_a"), F.col("sz").alias("sz_a")
     )
@@ -139,8 +185,8 @@ def jaccard_similarity_join(
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        cand.join(wa, "doc_a")
-        .join(wb, "doc_b")
+        surv.join(_maybe_bc(wa), "doc_a")
+        .join(_maybe_bc(wb), "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "jaccard")
