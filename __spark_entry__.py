@@ -9828,12 +9828,28 @@ def _kmv_gram_items(spark, sf_dir):
     """(source, item): exploded 3-gram shingles of normalized text —
     the same shingle space as the dedup/contamination family, so the
     KMV estimates are commensurable with the exact overlap matrix."""
-    from htm_streamer_spark.operators.dedup import _gram_array, normalized_text
+    from htm_streamer_spark.operators.dedup import (
+        _gram_array,
+        fan_out_narrow_scans,
+        normalized_text,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    words = F.split(normalized_text(F.col("text")), r"\s+")
-    return d.select(
-        "source", F.explode(_gram_array(words, 3)).alias("item")
+    # the per-gram md5 in the KMV sketch inherits the scan's split
+    # count — fan the narrow (source, text) projection out so a
+    # single-row-group file does not serialize ~50 hashes/doc onto one
+    # core (guide §2.5; no-op at real scale). The word array is
+    # materialized in its own projection first: _gram_array references
+    # its input n+1 times and higher-order functions are interpreted,
+    # so an inline split+regexp would be re-evaluated per reference
+    # (measured 3.5x on the sf1-scale corpus).
+    return (
+        fan_out_narrow_scans(d.select("source", "text"))
+        .select(
+            "source",
+            F.split(normalized_text(F.col("text")), r"\s+").alias("_ws"),
+        )
+        .select("source", F.explode(_gram_array(F.col("_ws"), 3)).alias("item"))
     )
 
 

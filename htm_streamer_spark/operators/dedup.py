@@ -305,7 +305,15 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     df = df.join(cand_ids, "doc_id", "left_semi")
-    sets = df.select("doc_id", _gram_array(words, n).alias("grams")).persist()
+    # word array materialized in its own projection first: _gram_array
+    # references its input n+1 times, and higher-order functions are
+    # interpreted — an inline split+regexp would be re-evaluated per
+    # reference
+    sets = (
+        df.select("doc_id", words.alias("_ws"))
+        .select("doc_id", _gram_array(F.col("_ws"), n).alias("grams"))
+        .persist()
+    )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")

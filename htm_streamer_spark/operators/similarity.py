@@ -115,32 +115,47 @@ def brute_force_topk_arrow(
 
     def kernel(batch_iter):
         ids_b, Qn = bc.value
+        ids_arr = np.asarray(ids_b)
         m = Qn.shape[0]
         for batch in batch_iter:
             n = batch.num_rows
             if n == 0:
                 continue
-            ids = batch.column(0).to_pylist()
+            ids = np.asarray(batch.column(0).to_pylist())
             vals = np.asarray(batch.column(1).flatten(), dtype=np.float64)
             V = vals.reshape(n, -1)  # equal dims guaranteed upstream
             vn = np.linalg.norm(V, axis=1, keepdims=True)
             vn[vn == 0.0] = 1.0
             S = (V / vn) @ Qn.T  # (n, m)
             kk = min(k, n)
-            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, m)
-            rows_q, rows_v, rows_c = [], [], []
-            for j in range(m):
-                for i in top[:, j]:
-                    rows_q.append(ids_b[j])
-                    rows_v.append(ids[int(i)])
-                    rows_c.append(float(S[int(i), j]))
+            # batch-local top-k per query column, emitted fully
+            # vectorized (a Python loop over m queries costs more than
+            # the matmul at m ~ corpus size)
+            if kk < n:
+                top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, m)
+            else:
+                top = np.broadcast_to(
+                    np.arange(n)[:, None], (n, m)
+                )  # every row is a candidate
+            flat_i = top.ravel(order="F")  # row indices grouped by query
+            flat_j = np.repeat(np.arange(m), kk)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(rows_q), pa.array(rows_v), pa.array(rows_c, pa.float64())],
+                [
+                    pa.array(np.repeat(ids_arr, kk)),
+                    pa.array(ids[flat_i]),
+                    pa.array(S[flat_i, flat_j], pa.float64()),
+                ],
                 names=[query_id_col, id_col, "cosine"],
             )
 
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
     cand = (
-        corpus.select(id_col, vec_col)
+        # the scoring matmul inherits the scan's split count — fan the
+        # narrow (id, vec) projection out first so a single-row-group
+        # input does not serialize the whole corpus×queries matmul onto
+        # one core (guide §2.5 input skew; no-op at real scale)
+        fan_out_narrow_scans(corpus.select(id_col, vec_col))
         # NULL embeddings would silently shrink flatten()'s value buffer
         # and break the fixed-width reshape below — drop them up front
         # (the expression form degrades to NULL cosine for these rows,
