@@ -2145,7 +2145,13 @@ def q_lsh_topk_wide_embeddings(spark, sf_dir):
     (lsh_signatures_arrow) — the code path that actually runs at real
     embedding dims, now under the driver's correctness gate
     (VERDICT r2 item 6). Plan-asserted in tests/test_plans.py."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    # fan out the id column BEFORE deriving the 256-dim embedding: the
+    # 256 md5+conv evaluations per row inherit the scan's split count,
+    # and the fixture is a single-row-group file (guide §2.5; no-op at
+    # real scale)
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    emb = fan_out_narrow_scans(_t(spark, sf_dir, "embeddings").select("vec_id")).select(
         "vec_id", _wide_embedding_col().alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(

@@ -168,22 +168,28 @@ def contaminated_pairs_ngram(
     doc_ids and re-derives the gram array for exactly those rows."""
     from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
 
-    # words materialized first (_gram_array references them 4x);
-    # explode_OUTER so the synthesized size>0 generate-filter can't be
-    # pushed through the projection re-inlining the gram chain
-    # (see dedup.shingles); fan-out so a single-file layout doesn't run
-    # the gram hashing on one core
+    # position-slice gram stream (whole-stage codegen) instead of the
+    # interpreted _gram_array+array_distinct chain (higher-order
+    # functions never codegen; the per-row distinct alone was seconds
+    # at sf1-scale). Within-doc duplicate grams ride through the join —
+    # only probe-matching grams fan out, and ``cand`` is distinct-ed
+    # anyway, so the per-doc dedup bought nothing but interpreted CPU.
+    # Fan-out so a single-file layout doesn't hash on one core.
     doc_side = (
         fan_out_narrow_scans(docs.select("doc_id", text_col))
-        .select("doc_id", _word_array(text_col).alias("_ws"))
+        .select("doc_id", _word_array(text_col).alias("_t"))
+        .where(F.size("_t") >= n)
         .select(
             "doc_id",
-            F.explode_outer(
-                F.array_distinct(_gram_array(F.col("_ws"), n))
-            ).alias("_g"),
+            "_t",
+            F.explode(F.sequence(F.lit(1), F.size("_t") - (n - 1))).alias("_p"),
         )
-        .filter(F.col("_g").isNotNull())
-        .select("doc_id", F.xxhash64("_g").alias("_h"))
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.array_join(F.slice(F.col("_t"), F.col("_p"), n), " ")
+            ).alias("_h"),
+        )
     )
     probe_side = probes.select(
         "probe_id", "gram", F.xxhash64("gram").alias("_h")
@@ -204,10 +210,19 @@ def contaminated_pairs_ngram(
     # is deduped per (doc, gram) and cand is already distinct per
     # (doc, probe, gram), so the membership join neither drops nor
     # multiplies pairs (equivalence pinned in tests/test_contamination).
+    # the candidate frame is OUTPUT-sized (a pair per contaminated
+    # doc×probe) — broadcast it into the re-derived gram stream so the
+    # corpus-side confirm never shuffles gram text at all (the previous
+    # shape shuffled the full candidate-doc gram stream twice: a
+    # dropDuplicates exchange + the confirm join's SMJ — measured as
+    # the dominant stage once candidates ≈ answers on a low-entropy
+    # corpus). Position duplicates multiply matched pairs and are
+    # deduped on the output-sized frame instead.
+    cand = cand.localCheckpoint(eager=True)
     cand_ids = cand.select("doc_id").distinct()
     cgrams = (
         fan_out_narrow_scans(docs.select("doc_id", text_col))
-        .join(cand_ids, "doc_id", "left_semi")
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .select("doc_id", _word_array(text_col).alias("_t"))
         .where(F.size("_t") >= n)
         .select(
@@ -221,10 +236,9 @@ def contaminated_pairs_ngram(
             "doc_id",
             F.array_join(F.slice(F.col("_t"), F.col("_p"), n), " ").alias("gram"),
         )
-        .dropDuplicates(["doc_id", "gram"])
     )
-    confirmed = cand.join(cgrams, ["doc_id", "gram"])
-    return confirmed.select("doc_id", "probe_id")
+    confirmed = cgrams.join(F.broadcast(cand), ["doc_id", "gram"])
+    return confirmed.select("doc_id", "probe_id").distinct()
 
 
 def cross_source_overlap(

@@ -57,12 +57,20 @@ def mahalanobis_2d(
     one broadcast join back; the score is pure codegen. Population
     (1/n) covariance — the χ² reference distribution's convention.
     """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
     x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
-    rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_grp"),
-        x.alias("_x"),
-        y.alias("_y"),
+    # both the stats pass and the score pass re-derive this projection
+    # (often including a JSON field extraction) from the scan — fan the
+    # narrow frame out so a single-row-group input does not serialize
+    # either pass onto one core (guide §2.5; no-op at real scale)
+    rows = fan_out_narrow_scans(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias("_grp"),
+            x.alias("_x"),
+            y.alias("_y"),
+        )
     ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     stats = rows.groupBy("_grp").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -251,21 +251,24 @@ def json_type_profile(
     """
     from pyspark.sql import Window
 
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    # fan out the narrow blob projection (the per-row variant parsing
+    # inherits the scan's split count — guide §2.5; no-op at real
+    # scale); parse the variant ONCE per row and extract each key's
+    # value ONCE — the inlined form re-parsed the blob per expression
+    # (3 parses/row)
     keyed = (
-        df.select(F.col(json_col).alias("_js"))
+        fan_out_narrow_scans(df.select(F.col(json_col).alias("_js")))
         .select(
             F.explode_outer(F.json_object_keys("_js")).alias("key"),
-            "_js",
+            F.expr("try_parse_json(_js)").alias("_v"),
         )
         .where(F.col("key").isNotNull())
+        .select("key", F.expr("variant_get(_v, '$.' || key)").alias("_g"))
     )
-    t = F.expr(
-        "schema_of_variant(variant_get(try_parse_json(_js), '$.' || key))"
-    )
-    x = F.expr(
-        "try_cast(variant_get(try_parse_json(_js), '$.' || key)"
-        " AS DOUBLE)"
-    )
+    t = F.expr("schema_of_variant(_g)")
+    x = F.expr("try_cast(_g AS DOUBLE)")
     typed = keyed.select("key", t.alias("_t"), x.alias("_x"))
     canon = (
         F.when(F.col("_t") == "VOID", "null")

@@ -119,16 +119,29 @@ def embedding_dim_profile(
     every dimension and are skipped by avg/stddev null semantics —
     run the integrity gate first; this profile never crashes on them.
     """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim)) & ~F.exists(
         vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
     )
-    cell = lambda j: F.when(ok, F.element_at(vd, j + 1))  # noqa: E731
+    # the cast-and-validate transform is hoisted into ONE projection
+    # below the aggregate: as 2*dim inline aggregate children it would
+    # be re-evaluated per aggregate expression (interpreted — higher-
+    # order functions never codegen), turning a 2-pass fold into a
+    # 2*dim-pass one. element_at on a NULL array is NULL, preserving
+    # the per-dim skip semantics of the old when(ok, ...) guard. The
+    # narrow projection is also fanned out (guide §2.5; single-row-
+    # group inputs otherwise serialize the whole aggregate map side).
+    guarded = fan_out_narrow_scans(
+        df.select(F.col(group_by), F.when(ok, vd).alias("_e"))
+    )
+    cell = lambda j: F.element_at(F.col("_e"), j + 1)  # noqa: E731
     aggs = []
     for j in range(dim):
         aggs.append(F.avg(cell(j)).alias(f"_m{j}"))
         aggs.append(F.var_pop(cell(j)).alias(f"_v{j}"))
-    agg = df.groupBy(group_by).agg(*aggs)
+    agg = guarded.groupBy(group_by).agg(*aggs)
 
     rounded = lambda c: F.round(c + F.lit(1e-12), round_to) + F.lit(0.0)  # noqa: E731
     packed = F.array(
@@ -202,8 +215,12 @@ def embedding_isotropy(
     norm = F.sqrt(
         F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)
     )
-    valid = df.where(ok).select(
-        group_by, vd.alias("_e"), norm.alias("_nrm")
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
+    # fan out the narrow projection: the 3*dim aggregate expressions
+    # inherit the scan's split count (guide §2.5; no-op at real scale)
+    valid = fan_out_narrow_scans(
+        df.where(ok).select(group_by, vd.alias("_e"), norm.alias("_nrm"))
     ).where(F.col("_nrm") > 0)
     cell = lambda j: F.element_at(F.col("_e"), j + 1)  # noqa: E731
     aggs = [
