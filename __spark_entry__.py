@@ -1451,9 +1451,12 @@ def q_heavy_words_docs(spark, sf_dir):
     shuffle never carries the full distinct-word domain. Result equals
     exact top-20 because the 20th count beats N/sketch_k (asserted in
     tests/test_heavy.py)."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
     from htm_streamer_spark.operators.heavy import heavy_hitters
 
-    d = _t(spark, sf_dir, "documents")
+    # fan out below the tokenize: the per-partition Misra-Gries sketch
+    # inherits the scan's split count (guide §2.5)
+    d = fan_out_narrow_scans(_t(spark, sf_dir, "documents").select("text"))
     words = d.select(
         F.explode(F.split(normalized_text(F.col("text")), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
@@ -7236,9 +7239,15 @@ def q_roc_auc_events(spark, sf_dir):
     it — the MODEL-EVAL member the profile family was missing. Runs
     on the tie-collapsed (group, score) frame: one fact shuffle, two
     distinct-score windows."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
     from htm_streamer_spark.operators.scoreeval import score_label_eval
 
-    e = _t(spark, sf_dir, "events").select(
+    # fan out the raw columns BELOW the JSON parse so the per-row
+    # get_json_object runs at full parallelism, not on the scan's
+    # single-row-group split (guide §2.5; no-op at real scale)
+    e = fan_out_narrow_scans(
+        _t(spark, sf_dir, "events").select("event_type", "value", "props")
+    ).select(
         "event_type",
         "value",
         F.expr(
@@ -7320,10 +7329,12 @@ def q_pareto_docs(spark, sf_dir):
     is the real tradeoff curve a fixed threshold on either axis
     misses). One (x, y) shuffle + a value-domain-sized running max;
     the verdict frame broadcasts back."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
     from htm_streamer_spark.operators.ranking import TOKEN_SPLIT
     from htm_streamer_spark.operators.skyline import pareto_frontier
 
-    d = _t(spark, sf_dir, "documents")
+    # fan out below the tokenize projection (guide §2.5)
+    d = fan_out_narrow_scans(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     words = d.select(
         "doc_id",
         F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT).alias("_w"),
@@ -9062,9 +9073,13 @@ def q_tail_dep_events(spark, sf_dir):
     feeds can be body-independent yet fail together at the 99th
     percentile. Fractional ranks via cume_dist (max-tie — bitwise
     cross-engine), two per-group sort windows, one aggregate."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
     from htm_streamer_spark.operators.dependence import tail_dependence
 
-    e = _t(spark, sf_dir, "events").select(
+    # fan out the raw columns BELOW the JSON parse (guide §2.5)
+    e = fan_out_narrow_scans(
+        _t(spark, sf_dir, "events").select("event_type", "value", "props")
+    ).select(
         "event_type",
         "value",
         F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("k"),
@@ -10087,9 +10102,15 @@ def q_mahalanobis_events(spark, sf_dir):
     d² ~ χ²(2) under normality; flag at the 99% cut (9.210). Plan: one
     scan, one combinable power-sum groupBy, closed-form 2×2 inverse as
     column math, broadcast stats join back, codegen'd score."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
     from htm_streamer_spark.operators.multivariate import mahalanobis_2d
 
-    e = _t(spark, sf_dir, "events").select(
+    # fan out the raw columns BELOW the JSON parse (guide §2.5)
+    e = fan_out_narrow_scans(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", "props"
+        )
+    ).select(
         "event_id",
         "event_type",
         "value",

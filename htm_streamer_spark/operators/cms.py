@@ -69,6 +69,8 @@ def cms_sketch(
     groupBy — at most d·w output rows whatever the input cardinality.
     Counters are ADDITIVE, so sketches of disjoint slices merge by
     summing cells — the property the streaming twin rests on."""
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
     wgt = F.col(count_col).cast("long") if count_col else F.lit(1).cast("long")
     pos = cms_positions(F.col(item_col), d, w)
     cells = F.explode(
@@ -79,9 +81,17 @@ def cms_sketch(
             ]
         )
     ).alias("_c")
+    # fan out the RAW item column first — the d md5 position hashes per
+    # row inherit the scan's split count (guide §2.5; the repartition
+    # must sit BELOW the hash projection to parallelize it, and is a
+    # no-op at real scale)
+    base = fan_out_narrow_scans(
+        df.where(F.col(item_col).isNotNull()).select(
+            *([item_col, count_col] if count_col else [item_col])
+        )
+    )
     return (
-        df.where(F.col(item_col).isNotNull())
-        .select(cells, wgt.alias("_w"))
+        base.select(cells, wgt.alias("_w"))
         .groupBy(
             F.col("_c.row_idx").alias("row_idx"),
             F.col("_c.col_idx").alias("col_idx"),

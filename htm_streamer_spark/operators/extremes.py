@@ -71,10 +71,18 @@ def esd_peel(
     Returns one row per (group, round): (group, round, n_before,
     out_id, out_value, r_stat, exceeds), r_stat at 6 dp.
     """
+    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
+
     g = group_col
-    frame = df.select(
-        F.col(g), F.col(id_col).alias("_id"), F.col(value_col).cast("double").alias("_x")
-    ).where(F.col(value_col).isNotNull())
+    # fan out BEFORE the persist: the cache inherits the scan's split
+    # count, and every round's aggregation/argmax re-reads the cached
+    # partitions — a single-row-group input would pin all 'rounds'
+    # passes to one core (guide §2.5; no-op at real scale)
+    frame = fan_out_narrow_scans(
+        df.select(
+            F.col(g), F.col(id_col).alias("_id"), F.col(value_col).cast("double").alias("_x")
+        ).where(F.col(value_col).isNotNull())
+    )
     frame = frame.persist()  # 'rounds' aggregations, one fact scan
     out = None
     for rnd in range(1, rounds + 1):

@@ -105,26 +105,43 @@ def pagerank(
     # 10^9 vertices that is GBs per executor — fits the same budget as
     # the persist+count strategy it replaces.
     del checkpoint_every
-    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    # the dangling SET is static (out-degree never changes) — attach
+    # deg to the vertex frame ONCE so each iteration needs neither the
+    # left-anti dangling join nor a separate deg join: the dangling
+    # mass becomes a conditional aggregate over the rank frame itself,
+    # and the contribution join reads rank and deg from one frame
+    # (3 joins/iteration -> 1 join + 1 vertex-sized left join)
+    vd = (
+        verts.join(deg, verts.id == deg.src, "left")
+        .select("id", "deg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = vd.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(n_iter):
         # rank mass on vertices with no out-edges, redistributed to all
-        dang = (
-            ranks.join(deg, ranks.id == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("_dang")
         )
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
+            e.join(
+                ranks.where(F.col("deg").isNotNull()).select(
+                    F.col("id").alias("src"), "rank", "deg"
+                ),
+                "src",
+            )
             .select("dst", (F.col("rank") / F.col("deg")).alias("m"))
             .groupBy("dst")
             .agg(F.sum("m").alias("contrib"))
             .withColumnRenamed("dst", "id")
         )
         new_ranks = (
-            verts.join(contrib, "id", "left")
+            vd.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "id",
+                "deg",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -136,7 +153,7 @@ def pagerank(
             )
         )
         ranks = new_ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def knn_edges(
