@@ -70,54 +70,38 @@ def tail_dependence(
     either column NULL are excluded. Returns ``(group, n_rows,
     n_upper, lambda_u, n_lower, lambda_l)``, 6 dp.
     """
-    from htm_streamer_spark.operators.dedup import fan_out_narrow_scans
-
     g = group_col
-    base = fan_out_narrow_scans(
-        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
-            F.col(g),
-            F.col(x_col).cast("double").alias("_x"),
-            F.col(y_col).cast("double").alias("_y"),
-        )
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(g),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
     )
-    # The per-row fractional rank only feeds THRESHOLD comparisons, so
-    # it never needs a fact-table sort: cume_dist is monotone in the
-    # value, hence `u_x > q` ⟺ `x >= x_hi` where x_hi is the smallest
-    # distinct value whose CDF exceeds q (and `u_x <= 1-q` ⟺
-    # `x <= x_lo` likewise). The CDF is computed on the per-group
-    # DISTINCT-VALUE collapse (map-side-combinable count, then a
-    # window over the value-domain-sized frame), using the identical
-    # double division cume_dist evaluates (cnt_le/n) compared with the
-    # identical literals — bitwise-equal decisions, without sorting
-    # the fact table twice into |groups|-bounded partitions (the old
-    # plan's parallelism ceiling; guide §2.5).
-    def _thresholds(col: str, hi_name: str, lo_name: str) -> DataFrame:
-        vals = base.groupBy(g, col).agg(F.count(F.lit(1)).alias("_c"))
-        cum = F.sum("_c").over(
-            Window.partitionBy(g).orderBy(col).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        tot = F.sum("_c").over(Window.partitionBy(g))
-        cdf = (cum / tot).alias("_cdf")
-        vv = vals.select(F.col(g), F.col(col).alias("_v"), cdf)
-        return vv.groupBy(g).agg(
-            F.min(F.when(F.col("_cdf") > q, F.col("_v"))).alias(hi_name),
-            F.max(F.when(F.col("_cdf") <= 1.0 - q, F.col("_v"))).alias(lo_name),
-            F.lit(1).alias("_one"),
-        ).drop("_one")
-
-    thr = _thresholds("_x", "_xhi", "_xlo").join(
-        _thresholds("_y", "_yhi", "_ylo"), g
+    # NOTE (round 6): a distinct-value-CDF threshold rewrite (derive
+    # x_hi/x_lo per group from the collapsed value counts, then one
+    # fact aggregate — no fact-table sort, no |groups| parallelism
+    # ceiling) was built, proven bitwise-equal, and REVERTED: at bench
+    # scale its ~8 extra stages read consistently slower (3 full-bench
+    # runs, ~5.5s -> ~9s) than the two in-memory sorts it removes. At
+    # true 100 TB the window form's |groups|-bounded sort partitions
+    # become the wall and the threshold form wins — revisit then.
+    n_w = Window.partitionBy(g)
+    # cume_dist = rank-with-max-ties / n: tie-stable fractional rank
+    ux = F.cume_dist().over(Window.partitionBy(g).orderBy("_x"))
+    uy = F.cume_dist().over(Window.partitionBy(g).orderBy("_y"))
+    ranked = base.select(
+        F.col(g),
+        ux.alias("_ux"),
+        uy.alias("_uy"),
+        F.count(F.lit(1)).over(n_w).alias("_n"),
     )
-    rows = base.join(F.broadcast(thr), g)
-    # NULL threshold (no value qualifies) -> NULL comparison -> counts 0
-    up_x = F.col("_x") >= F.col("_xhi")
-    up_y = F.col("_y") >= F.col("_yhi")
-    lo_x = F.col("_x") <= F.col("_xlo")
-    lo_y = F.col("_y") <= F.col("_ylo")
-    agg = rows.groupBy(g).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    up_x = F.col("_ux") > q
+    up_y = F.col("_uy") > q
+    lo_x = F.col("_ux") <= 1.0 - q
+    lo_y = F.col("_uy") <= 1.0 - q
+    agg = ranked.groupBy(g).agg(
+        F.max("_n").cast("long").alias("n_rows"),
         F.sum(F.when(up_x, 1).otherwise(0)).cast("long").alias("_nu"),
         F.sum(F.when(up_x & up_y, 1).otherwise(0)).cast("long").alias("_nuu"),
         F.sum(F.when(lo_x, 1).otherwise(0)).cast("long").alias("_nl"),

@@ -126,18 +126,30 @@ def cross_doc_dup_spans(
         .select("doc_id", gh.alias("gh"))
         .persist()
     )
-    docfreq = (
+    # join ONLY against the duplicated-gram dim (ndocs >= min_docs):
+    # non-dup grams contributed nothing but join traffic — the total
+    # position count comes from the gram frame alone, and the dup
+    # count from the (much smaller) filtered join; identical counts,
+    # one full-vocab join less
+    dupfreq = (
         grams.dropDuplicates(["doc_id", "gh"])
         .groupBy("gh")
         .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("gh")
     )
-    is_dup = F.when(F.col("ndocs") >= min_docs, F.lit(1)).otherwise(F.lit(0))
-    out = (
-        grams.join(docfreq, "gh")
+    tot = grams.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    ndup = (
+        grams.join(dupfreq, "gh")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(is_dup).cast("long").alias("n_dup_grams"),
+        .agg(F.count("*").cast("long").alias("n_dup_grams"))
+    )
+    out = (
+        tot.join(ndup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
         )
         .select(
             "doc_id",
