@@ -233,25 +233,52 @@ def embedding_isotropy(
         aggs.append(F.sum(cell(j) / F.col("_nrm")).alias(f"_u{j}"))
     agg = valid.groupBy(group_by).agg(*aggs)
 
+    # The readout is staged through intermediate COLUMNS (per-dim
+    # mean-square / resultant-square / variance first, the four sums
+    # second, the rounded ratios last): inlining var_j into vsum, vsq
+    # (twice) and the final when() builds a multi-thousand-node
+    # expression tree whose Catalyst analysis/optimization costs
+    # seconds of pure driver time PER RUN on a groups-sized frame
+    # (guide §7.3 — planning, not data, dominated this query).
+    # Arithmetic and summation order are kept identical term-for-term,
+    # so the result is bit-for-bit unchanged.
     n = F.col("n_valid").cast("double")
-    mean_sq = lambda j: (F.col(f"_s{j}") / n) * (F.col(f"_s{j}") / n)  # noqa: E731
-    var_j = lambda j: F.col(f"_q{j}") / n - mean_sq(j)  # noqa: E731
-    cent = sum((mean_sq(j) for j in range(dim)), F.lit(0.0))
-    resu = sum(
-        ((F.col(f"_u{j}") / n) * (F.col(f"_u{j}") / n) for j in range(dim)),
-        F.lit(0.0),
+    stage1 = agg.select(
+        F.col(group_by),
+        "n_valid",
+        "_sn",
+        *[((F.col(f"_s{j}") / n) * (F.col(f"_s{j}") / n)).alias(f"_m2{j}") for j in range(dim)],
+        *[((F.col(f"_u{j}") / n) * (F.col(f"_u{j}") / n)).alias(f"_r2{j}") for j in range(dim)],
+        *[
+            (F.col(f"_q{j}") / n - (F.col(f"_s{j}") / n) * (F.col(f"_s{j}") / n)).alias(
+                f"_v{j}"
+            )
+            for j in range(dim)
+        ],
     )
-    vsum = sum((var_j(j) for j in range(dim)), F.lit(0.0))
-    vsq = sum((var_j(j) * var_j(j) for j in range(dim)), F.lit(0.0))
+    stage2 = stage1.select(
+        F.col(group_by),
+        "n_valid",
+        "_sn",
+        sum((F.col(f"_m2{j}") for j in range(dim)), F.lit(0.0)).alias("_cent"),
+        sum((F.col(f"_r2{j}") for j in range(dim)), F.lit(0.0)).alias("_resu"),
+        sum((F.col(f"_v{j}") for j in range(dim)), F.lit(0.0)).alias("_vsum"),
+        sum(
+            (F.col(f"_v{j}") * F.col(f"_v{j}") for j in range(dim)), F.lit(0.0)
+        ).alias("_vsq"),
+    )
     mean_norm = F.col("_sn") / n
     rounded = lambda c: F.round(c + F.lit(1e-12), round_to) + F.lit(0.0)  # noqa: E731
-    return agg.select(
+    return stage2.select(
         F.col(group_by),
         "n_valid",
         rounded(mean_norm).alias("mean_norm"),
-        rounded(F.sqrt(cent) / mean_norm).alias("centroid_ratio"),
-        rounded(F.sqrt(resu)).alias("resultant"),
+        rounded(F.sqrt(F.col("_cent")) / mean_norm).alias("centroid_ratio"),
+        rounded(F.sqrt(F.col("_resu"))).alias("resultant"),
         F.when(
-            vsq > 0, rounded(vsum * vsum / vsq / F.lit(float(dim)))
+            F.col("_vsq") > 0,
+            rounded(
+                F.col("_vsum") * F.col("_vsum") / F.col("_vsq") / F.lit(float(dim))
+            ),
         ).alias("eff_dim_frac"),
     )
