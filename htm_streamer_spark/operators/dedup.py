@@ -271,7 +271,12 @@ def lsh_candidate_pairs(
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    return pairs.distinct()
+    # materialize the candidate-sized result and release the banded
+    # cache — a leaked entry taxes every later action in the session
+    # (CacheManager plan-matching) and pins bands×|docs| blocks
+    out = pairs.distinct().localCheckpoint(eager=True)
+    banded.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -320,10 +325,16 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
+    # materialize the confirmed (output-sized) pairs and release both
+    # caches — leaked entries tax every later action in the session
+    out = (
         joined.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    sets.unpersist()
+    return out
 
 
 def plan_lsh_bands(
