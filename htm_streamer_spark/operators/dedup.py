@@ -271,12 +271,7 @@ def lsh_candidate_pairs(
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    # materialize the candidate-sized result and release the banded
-    # cache — a leaked entry taxes every later action in the session
-    # (CacheManager plan-matching) and pins bands×|docs| blocks
-    out = pairs.distinct().localCheckpoint(eager=True)
-    banded.unpersist()
-    return out
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -325,16 +320,10 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    # materialize the confirmed (output-sized) pairs and release both
-    # caches — leaked entries tax every later action in the session
-    out = (
+    return (
         joined.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .localCheckpoint(eager=True)
     )
-    pairs.unpersist()
-    sets.unpersist()
-    return out
 
 
 def plan_lsh_bands(

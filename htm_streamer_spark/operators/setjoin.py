@@ -327,21 +327,10 @@ def jaccard_similarity_join(
     )
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
-    out = (
+    return (
         surv.join(_maybe_bc(wa), "doc_a")
         .join(_maybe_bc(wb), "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "jaccard")
     )
-    # Materialize the OUTPUT-sized result and release every internal
-    # cache: leaked cache entries tax every later action in the session
-    # (the CacheManager consults each cached plan per action — measured
-    # 2x on an unrelated iterative query downstream) and pin corpus-
-    # token-sized blocks for the session lifetime. Losing the
-    # checkpointed blocks re-runs this operator, never a corpus scan.
-    out = out.localCheckpoint(eager=True)
-    tokh.unpersist()
-    hsets.unpersist()
-    ssets.unpersist()
-    return out
